@@ -1,0 +1,36 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory so Verify / Bench / tests share one
+  * scale-aware configuration.
+  *
+  *  - shuffle.partitions defaults to the local core count (32 on the
+  *    harness); on a real cluster AQE coalesces post-shuffle partitions
+  *    anyway (`spark.sql.adaptive.enabled=true`).
+  *  - AQE on: runtime re-planning (skew joins, dynamic coalescing) is
+  *    the 100 TB insurance policy for every shuffle in this library.
+  *  - `parquet.nanosAsLong`: the driver's `events` table carries
+  *    TIMESTAMP(NANOS) which Spark's vectorized reader refuses; we read
+  *    it as long and convert in Tables.events.
+  */
+object GraftSession {
+  def builder(master: String, cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized from SPARK_GRAFT_CPUS (default 32, matching the
+    * harness). */
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish testdata (see TESTDATA.md).
+  *
+  * All operators take the scale-factor directory as a parameter so the same
+  * plan runs at sf0.001 (smoke), sf0.01 (correctness) and sf0.1 (bench) —
+  * and, unchanged, against a 100 TB warehouse path on a real cluster:
+  * nothing here hard-codes partition counts or collects to the driver.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
+    * rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives
+    * as nanos-since-epoch LongType and is converted here to a proper
+    * timestamp truncated to microseconds (matching DuckDB's us precision).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros, floor}
+    import org.apache.spark.sql.types.LongType
+    val raw = apply(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

@@ -1,0 +1,394 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Relational / dataframe operator inventory — SURVEY.md §2.B2.
+  *
+  * The reference (ds2-lab/Wukong) executes the dask.dataframe surface:
+  * projection, assign, filter/range-predicate, distinct, full-table and
+  * grouped aggregation, cumulative sums, rolling windows, set-index
+  * (range repartition + sort), joins, sort/limit/top-k, set ops and
+  * element-wise scalar expressions (reference evidence:
+  * `Static Scheduler/wukong/tests/test_collections.py:40-177`,
+  * `README.md:125-175`). Here each capability is one declarative
+  * DataFrame pipeline over the TPC-H-ish testdata, DuckDB-oracle-checked.
+  *
+  * Scale notes (100 TB design stance):
+  *  - Dimension tables (nation, region, supplier) are broadcast — no
+  *    shuffle of the fact side for those joins.
+  *  - Fact-fact joins (orders ⋈ lineitem) shuffle on the join key and
+  *    rely on AQE for skew handling; no driver-side collection anywhere.
+  *  - Window ops are always PARTITION BY a high-cardinality key so state
+  *    per task stays bounded; nothing orders the whole table in one
+  *    partition except final small outputs (post-aggregation).
+  *  - Filters/projections stay at the head of the plan so Catalyst
+  *    pushes them into the parquet scan (PushedFilters / ReadSchema).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-style pricing summary: scan → filter → hash-agg (partial +
+    * final, map-side combine for free). groupBy keys are tiny (RF×LS ≤ 9)
+    * so the shuffle is negligible at any scale. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Projection + predicate: both must reach the parquet scan (column
+    * pruning + PushedFilters). */
+  def projectFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Flagship: scan → filter → join ⨝3 → agg → sort. nation is broadcast
+    * (a few rows at any scale factor); customer⋈orders and orders⋈lineitem
+    * are key-shuffled fact joins that AQE re-plans at runtime. */
+  def revenueByNation(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+    val nat = Tables.nation(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-k = orderBy + limit → Spark plans TakeOrderedAndProject (per-
+    * partition heaps + driver merge of k rows — no global sort shuffle). */
+  def topCustomers(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_spend"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+      .limit(10)
+
+  /** Distinct = hash-agg on the key pair (partial+final, tiny output). */
+  def distinctFlags(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Full-table aggregation: single-pass partial aggregates, one final
+    * reduce — the dask `df.x.mean()/.std()` shape. */
+  def globalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(min(col("l_quantity")), 2).as("min_qty"),
+        round(max(col("l_quantity")), 2).as("max_qty"),
+        round(stddev_samp(col("l_quantity")), 6).as("std_qty"))
+
+  /** Cumulative sum (dask `df.x.cumsum()`): windowed running total
+    * PARTITIONed BY customer so each task holds one customer's rows —
+    * bounded state at 100 TB (never a single global ordering). */
+  def cumsumPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("cum_spend", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("cum_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Rolling mean (dask `df.A.rolling(3).mean()` semantics, min_periods=1):
+    * bounded ROWS frame per user. */
+  def rollingAvgPerUser(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("rolling_avg", round(avg(col("value")).over(w), 6))
+      .select(col("event_id"), col("user_id"), col("rolling_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Set op: UNION (distinct) of two filtered projections. */
+  def unionSegments(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .union(c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey")))
+      .distinct()
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Set op: EXCEPT — customers that placed no orders. */
+  def exceptNoOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"))
+      .except(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))
+      .orderBy(col("c_custkey"))
+
+  /** Anti join (NOT EXISTS): same semantics as except but as a join
+    * operator — Spark plans a broadcast/shuffled hash anti join. */
+  def antiJoinNoOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Semi join (EXISTS): customers with at least one high-value order. */
+  def semiJoinBigSpenders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Element-wise scalar expressions + CASE WHEN (dask `df.assign` /
+    * delayed arithmetic README.md:149-160): pure codegen'd projection. */
+  def caseWhenBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 1.07, 2).as("price_with_tax"),
+        when(col("o_totalprice") > 300000.0, "big")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("small").as("bucket"))
+      .orderBy(col("o_orderkey"))
+
+  /** Ranking window: top-2 orders per customer by price (row_number). */
+  def rankTopOrders(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Group-by + HAVING (post-aggregation filter). */
+  def havingPriorities(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .filter(col("n_orders") > 100)
+      .orderBy(col("o_orderpriority"))
+
+  /** Multi-way join with a mid-size dimension (part): revenue by brand.
+    * At 100 TB `part` may exceed the broadcast threshold — leave the
+    * strategy to Catalyst/AQE rather than forcing a hint. */
+  def revenueByBrand(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  /** Time-bucketed aggregation (tumbling day) — the batch shape of the
+    * streaming windowed count; date_trunc keeps it codegen'd. */
+  def eventsPerDay(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Semi-structured extraction: pull the integer out of the JSON-ish
+    * props column, aggregate exactly (BIGINT — no FP rounding concerns). */
+  def propsExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+              regexp_extract(col("props"), "(\\d+)", 1).cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** set_index analog (SURVEY §2.B2 / known-hard #4): range repartition by
+    * key + sort within partitions. Result content equals the sorted
+    * projection; the point is the physical layout (range-partitioned,
+    * locally sorted — the Spark analog of dask divisions). */
+  def setIndexByDate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .repartitionByRange(col("o_orderdate"), col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderdate"), col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  /** Correlated-style aggregation join: each order vs its customer's
+    * average order value (join back an aggregate — dask groupby+merge). */
+  def aboveCustomerAvg(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val custAvg = ord.groupBy(col("o_custkey").as("ck"))
+      .agg(avg(col("o_totalprice")).as("cust_avg"))
+    // Output only raw parquet doubles: `cust_avg` itself is kept out of
+    // the projection because cross-engine FP summation order makes its
+    // low bits (and thus any rounding of it) oracle-unstable.
+    ord.join(custAvg, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary"   -> (pricingSummary _),
+    "q02_project_filter"    -> (projectFilter _),
+    "q03_revenue_by_nation" -> (revenueByNation _),
+    "q04_top_customers"     -> (topCustomers _),
+    "q05_distinct_flags"    -> (distinctFlags _),
+    "q06_global_agg"        -> (globalAgg _),
+    "q07_cumsum_customer"   -> (cumsumPerCustomer _),
+    "q08_rolling_avg_user"  -> (rollingAvgPerUser _),
+    "q09_union_segments"    -> (unionSegments _),
+    "q10_except_no_orders"  -> (exceptNoOrders _),
+    "q11_anti_join"         -> (antiJoinNoOrders _),
+    "q12_semi_join"         -> (semiJoinBigSpenders _),
+    "q13_case_when"         -> (caseWhenBuckets _),
+    "q14_rank_top_orders"   -> (rankTopOrders _),
+    "q15_having"            -> (havingPriorities _),
+    "q16_revenue_by_brand"  -> (revenueByBrand _),
+    "q17_events_per_day"    -> (eventsPerDay _),
+    "q18_props_extract"     -> (propsExtract _),
+    "q19_set_index"         -> (setIndexByDate _),
+    "q20_above_cust_avg"    -> (aboveCustomerAvg _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(avg(l_extendedprice), 6) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+           AND l_discount > 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_revenue_by_nation" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1998-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+    "q04_top_customers" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+                count(*) AS n_orders
+         FROM orders GROUP BY o_custkey
+         ORDER BY total_spend DESC, o_custkey LIMIT 10""",
+    "q05_distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q06_global_agg" ->
+      """SELECT count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(min(l_quantity), 2) AS min_qty,
+         round(max(l_quantity), 2) AS max_qty,
+         round(stddev_samp(l_quantity), 6) AS std_qty
+         FROM lineitem""",
+    "q07_cumsum_customer" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q08_rolling_avg_user" ->
+      """SELECT event_id, user_id,
+         round(avg(value) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
+         FROM events ORDER BY event_id""",
+    "q09_union_segments" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+         ORDER BY c_custkey""",
+    "q10_except_no_orders" ->
+      """SELECT c_custkey FROM customer
+         EXCEPT
+         SELECT o_custkey AS c_custkey FROM orders
+         ORDER BY c_custkey""",
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q12_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+         ORDER BY c_custkey""",
+    "q13_case_when" ->
+      """SELECT o_orderkey,
+         round(o_totalprice * 1.07, 2) AS price_with_tax,
+         CASE WHEN o_totalprice > 300000.0 THEN 'big'
+              WHEN o_totalprice > 100000.0 THEN 'mid'
+              ELSE 'small' END AS bucket
+         FROM orders ORDER BY o_orderkey""",
+    "q14_rank_top_orders" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 2 ORDER BY o_custkey, rn""",
+    "q15_having" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                round(avg(o_totalprice), 4) AS avg_price
+         FROM orders GROUP BY o_orderpriority
+         HAVING count(*) > 100 ORDER BY o_orderpriority""",
+    "q16_revenue_by_brand" ->
+      """SELECT p_brand,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q17_events_per_day" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "q18_props_extract" ->
+      """SELECT event_type,
+                CAST(sum(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q19_set_index" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+         ORDER BY o_orderdate, o_orderkey""",
+    "q20_above_cust_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders JOIN (
+           SELECT o_custkey AS ck, avg(o_totalprice) AS cust_avg
+           FROM orders GROUP BY o_custkey) a ON o_custkey = ck
+         WHERE o_totalprice > cust_avg
+         ORDER BY o_orderkey""",
+  )
+}

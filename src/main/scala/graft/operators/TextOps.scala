@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language profiling,
+  * fingerprinting and exact deduplication.
+  *
+  * All of these are single-pass, codegen'd column expressions (no UDFs) —
+  * at 100 TB they run as a map-only stage fused into the parquet scan,
+  * with the only shuffles being the final small aggregations.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace token count as a Column (count of \S+ runs — robust to
+    * leading/trailing/repeated whitespace, unlike split()). */
+  def tokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\S+"), lit(0)))
+
+  /** Canonical text normalization used for fingerprinting: lowercase,
+    * collapse whitespace runs, trim. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Stable 128-bit content fingerprint of normalized text. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Per-document token count. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus profile by language: doc counts, size and token statistics. */
+  def langProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("n_chars")), 4).as("avg_chars"),
+           round(avg(tokenCount(col("text"))), 4).as("avg_tokens"),
+           sum(length(col("text"))).as("total_chars"))
+      .orderBy(col("lang"))
+
+  /** Quality-scoring signals: alphabetic ratio, whitespace ratio, mean
+    * token length — the length/punctuation-style heuristics used to
+    * filter web-scrape corpora. Pure expressions, fused into the scan. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val len = length(col("text"))
+    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    val spaces = length(col("text")) - length(regexp_replace(col("text"), "\\s", ""))
+    val ntok = tokenCount(col("text"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        len.as("len"),
+        round(alpha.cast("double") / len, 6).as("alpha_ratio"),
+        round(spaces.cast("double") / len, 6).as("space_ratio"),
+        ntok.as("n_tokens"),
+        round((alpha.cast("double")) / ntok, 6).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprint per document (md5 of normalized text). */
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Exact deduplication: group by content fingerprint, keep the lowest
+    * doc_id per group. One hash shuffle on the 128-bit fingerprint —
+    * the canonical exact-dedup shape at 100 TB (the text itself is never
+    * shuffled, only the 16-byte digest + id). */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("fp"))
+
+  val queries: Map[String, Q] = Map(
+    "t01_token_count"  -> (tokenCounts _),
+    "t02_lang_profile" -> (langProfile _),
+    "t03_quality"      -> (qualityScore _),
+    "t04_fingerprint"  -> (fingerprints _),
+    "t05_dedup_exact"  -> (dedupExact _),
+  )
+
+  // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
+  // replace all matches (Spark replaces all by default).
+  val oracles: Map[String, String] = Map(
+    "t01_token_count" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "t02_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs,
+                round(avg(n_chars), 4) AS avg_chars,
+                round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "t03_quality" ->
+      """SELECT doc_id, length(text) AS len,
+                round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                      / length(text), 6) AS alpha_ratio,
+                round((length(text) - length(regexp_replace(text, '\s', '', 'g'))) * 1.0
+                      / length(text), 6) AS space_ratio,
+                len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                      / len(regexp_extract_all(text, '\S+')), 6) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "t05_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY fp""",
+  )
+}
