@@ -1,18 +1,49 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark harness (driver contract): runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  *  - Action is a `noop` sink write, not `count()`: count() lets Catalyst
+  *    prune all columns and drop sorts, so projection-heavy queries would
+  *    measure a fraction of their real work. The noop sink materializes
+  *    every output row/column without disk I/O.
+  *  - One unmeasured warmup pass (flagship join + a text query) eats
+  *    session/JIT/codegen warmup so per-query numbers are comparable.
+  *  - Failures are reported per-query in an "errors" map instead of
+  *    being silently swallowed as fast wall-times.
+  *  - The JSON line is also written to bench_out.json so the driver can
+  *    parse it even if sbt noise mangles stdout.
+  */
 object Bench {
+  private def runNoop(spark: SparkSession, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, sfDir: String): Unit =
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val qs = SparkEntry.queries
+    // warmup: exercise scan+join+agg+window+regex codegen paths once
+    Seq("q03_revenue_by_nation", "q08_rolling_avg_user", "t05_dedup_exact")
+      .foreach(k => qs.get(k).foreach(fn => try runNoop(spark, fn, sfDir) catch { case _: Throwable => () }))
+    val errors = scala.collection.mutable.Map[String, String]()
+    val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try runNoop(spark, fn, sfDir)
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val qJson = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val eJson = errors.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"sf":${jstr(sfDir)}}"""
+    println(line)
+    Files.writeString(Paths.get("bench_out.json"), line)
     spark.stop()
   }
 }

@@ -30,11 +30,14 @@ object Tables {
     * timestamp truncated to microseconds (matching DuckDB's us precision).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, timestamp_micros, floor}
+    import org.apache.spark.sql.functions.{timestamp_micros, expr}
     import org.apache.spark.sql.types.LongType
     val raw = apply(s, d, "events")
+    // `ts div 1000` stays in the integer domain: nanos-since-epoch exceed
+    // double's 53-bit exact range, so `/ 1000.0` would mis-truncate ~1 in 8
+    // timestamps by one microsecond vs DuckDB's exact conversion.
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

@@ -54,7 +54,6 @@ object Relational {
               col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
               col("l_discount") > 0.05)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** Flagship: scan → filter → join ⨝3 → agg → sort. nation is broadcast
     * (a few rows at any scale factor); customer⋈orders and orders⋈lineitem
@@ -113,7 +112,6 @@ object Relational {
     Tables.orders(s, d)
       .withColumn("cum_spend", round(sum(col("o_totalprice")).over(w), 2))
       .select(col("o_custkey"), col("o_orderkey"), col("cum_spend"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   /** Rolling mean (dask `df.A.rolling(3).mean()` semantics, min_periods=1):
@@ -125,7 +123,6 @@ object Relational {
     Tables.events(s, d)
       .withColumn("rolling_avg", round(avg(col("value")).over(w), 6))
       .select(col("event_id"), col("user_id"), col("rolling_avg"))
-      .orderBy(col("event_id"))
   }
 
   /** Set op: UNION (distinct) of two filtered projections. */
@@ -149,7 +146,6 @@ object Relational {
     Tables.customer(s, d)
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
 
   /** Semi join (EXISTS): customers with at least one high-value order. */
   def semiJoinBigSpenders(s: SparkSession, d: String): DataFrame =
@@ -157,7 +153,6 @@ object Relational {
       .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
             col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
 
   /** Element-wise scalar expressions + CASE WHEN (dask `df.assign` /
     * delayed arithmetic README.md:149-160): pure codegen'd projection. */
@@ -169,7 +164,6 @@ object Relational {
         when(col("o_totalprice") > 300000.0, "big")
           .when(col("o_totalprice") > 100000.0, "mid")
           .otherwise("small").as("bucket"))
-      .orderBy(col("o_orderkey"))
 
   /** Ranking window: top-2 orders per customer by price (row_number). */
   def rankTopOrders(s: SparkSession, d: String): DataFrame = {
@@ -179,7 +173,6 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
       .select(col("o_custkey"), col("o_orderkey"), col("rn"))
-      .orderBy(col("o_custkey"), col("rn"))
   }
 
   /** Group-by + HAVING (post-aggregation filter). */
@@ -216,35 +209,38 @@ object Relational {
   def propsExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_type"),
-              regexp_extract(col("props"), "(\\d+)", 1).cast("long").as("k"))
+              // try_cast: a digit-free props row degrades to NULL instead of
+              // failing the whole query under ANSI mode (oracle uses TRY_CAST)
+              expr("try_cast(regexp_extract(props, '(\\\\d+)', 1) AS BIGINT)").as("k"))
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
   /** set_index analog (SURVEY §2.B2 / known-hard #4): range repartition by
-    * key + sort within partitions. Result content equals the sorted
-    * projection; the point is the physical layout (range-partitioned,
-    * locally sorted — the Spark analog of dask divisions). */
+    * key + sort within partitions — ONE range shuffle + local sort, the
+    * Spark analog of dask divisions (globally ordered across partitions,
+    * sorted within each). No trailing global orderBy: it would be a second
+    * full-table sort of identical ordering — pure waste at scale. */
   def setIndexByDate(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
       .repartitionByRange(col("o_orderdate"), col("o_orderkey"))
       .sortWithinPartitions(col("o_orderdate"), col("o_orderkey"))
-      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
 
   /** Correlated-style aggregation join: each order vs its customer's
-    * average order value (join back an aggregate — dask groupby+merge). */
+    * average order value (join back an aggregate — dask groupby+merge).
+    * The predicate `price > avg(prices)` is evaluated in the exact
+    * integer-cents domain (`cents * n > sum_cents`): double summation
+    * order differs between engines/runs, so comparing against a floating
+    * average is oracle- and replan-unstable for rows within an ulp of it. */
   def aboveCustomerAvg(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
     val custAvg = ord.groupBy(col("o_custkey").as("ck"))
-      .agg(avg(col("o_totalprice")).as("cust_avg"))
-    // Output only raw parquet doubles: `cust_avg` itself is kept out of
-    // the projection because cross-engine FP summation order makes its
-    // low bits (and thus any rounding of it) oracle-unstable.
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_ord"))
     ord.join(custAvg, col("o_custkey") === col("ck"))
-      .filter(col("o_totalprice") > col("cust_avg"))
+      .filter(col("cents") * col("n_ord") > col("sum_cents"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .orderBy(col("o_orderkey"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -377,18 +373,21 @@ object Relational {
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "q18_props_extract" ->
       """SELECT event_type,
-                CAST(sum(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                CAST(sum(TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
                 count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q19_set_index" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
          ORDER BY o_orderdate, o_orderkey""",
     "q20_above_cust_avg" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice
-         FROM orders JOIN (
-           SELECT o_custkey AS ck, avg(o_totalprice) AS cust_avg
-           FROM orders GROUP BY o_custkey) a ON o_custkey = ck
-         WHERE o_totalprice > cust_avg
+      """WITH o AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders)
+         SELECT o_orderkey, o_custkey, o_totalprice
+         FROM o JOIN (
+           SELECT o_custkey AS ck, sum(cents) AS sum_cents,
+                  count(*) AS n_ord
+           FROM o GROUP BY o_custkey) a ON o_custkey = ck
+         WHERE cents * n_ord > sum_cents
          ORDER BY o_orderkey""",
   )
 }

@@ -32,7 +32,6 @@ object TextOps {
   def tokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
-      .orderBy(col("doc_id"))
 
   /** Corpus profile by language: doc counts, size and token statistics. */
   def langProfile(s: SparkSession, d: String): DataFrame =
@@ -46,7 +45,9 @@ object TextOps {
 
   /** Quality-scoring signals: alphabetic ratio, whitespace ratio, mean
     * token length — the length/punctuation-style heuristics used to
-    * filter web-scrape corpora. Pure expressions, fused into the scan. */
+    * filter web-scrape corpora. Pure expressions, fused into the scan.
+    * Divisions are guarded: empty / whitespace-only docs yield NULL in
+    * both engines instead of engine-dependent NaN/Infinity rendering. */
   def qualityScore(s: SparkSession, d: String): DataFrame = {
     val len = length(col("text"))
     val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
@@ -56,18 +57,16 @@ object TextOps {
       .select(
         col("doc_id"),
         len.as("len"),
-        round(alpha.cast("double") / len, 6).as("alpha_ratio"),
-        round(spaces.cast("double") / len, 6).as("space_ratio"),
+        when(len > 0, round(alpha.cast("double") / len, 6)).as("alpha_ratio"),
+        when(len > 0, round(spaces.cast("double") / len, 6)).as("space_ratio"),
         ntok.as("n_tokens"),
-        round((alpha.cast("double")) / ntok, 6).as("avg_token_len"))
-      .orderBy(col("doc_id"))
+        when(ntok > 0, round(alpha.cast("double") / ntok, 6)).as("avg_token_len"))
   }
 
   /** Content fingerprint per document (md5 of normalized text). */
   def fingerprints(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .orderBy(col("doc_id"))
 
   /** Exact deduplication: group by content fingerprint, keep the lowest
     * doc_id per group. One hash shuffle on the 128-bit fingerprint —
@@ -78,7 +77,6 @@ object TextOps {
       .select(fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("fp"))
 
   val queries: Map[String, Q] = Map(
     "t01_token_count"  -> (tokenCounts _),
@@ -103,12 +101,12 @@ object TextOps {
     "t03_quality" ->
       """SELECT doc_id, length(text) AS len,
                 round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
-                      / length(text), 6) AS alpha_ratio,
+                      / nullif(length(text), 0), 6) AS alpha_ratio,
                 round((length(text) - length(regexp_replace(text, '\s', '', 'g'))) * 1.0
-                      / length(text), 6) AS space_ratio,
+                      / nullif(length(text), 0), 6) AS space_ratio,
                 len(regexp_extract_all(text, '\S+')) AS n_tokens,
                 round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
-                      / len(regexp_extract_all(text, '\S+')), 6) AS avg_token_len
+                      / nullif(len(regexp_extract_all(text, '\S+')), 0), 6) AS avg_token_len
          FROM documents ORDER BY doc_id""",
     "t04_fingerprint" ->
       """SELECT doc_id,
