@@ -1,0 +1,146 @@
+package graft.array
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate entries for the dask.array rebuild (SURVEY.md §2.B3).
+  *
+  * The a01-a05 matrices are integer-valued (`DMatrix.randInt`): every
+  * product/sum is an exact integer in a double, so results are bit-equal
+  * across engines regardless of summation order — which makes blocked
+  * matmul / transpose / reductions / masks / elementwise ops *exactly*
+  * checkable against DuckDB SQL over `range()` cross joins, sharing the
+  * same LCG formula.
+  *
+  * The factorizations (TSQR / SVD / randomized SVD / Cholesky) are not
+  * SQL-expressible; they get rows-only driver entries here and
+  * tolerance-based Breeze oracles in LinAlgSpec (the rebuild analog of
+  * dask's `compute(scheduler="sync")` single-node oracle).
+  */
+object ArrayQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // shared shapes (scaled-down GEMM per BASELINE.md; chunks stay square)
+  private val BS = 16
+  private def matA(s: SparkSession) = DMatrix.randInt(s, 64, 48, BS, 7L)
+  private def matB(s: SparkSession) = DMatrix.randInt(s, 48, 32, BS, 11L)
+  private def matE(s: SparkSession) = DMatrix.randInt(s, 64, 48, BS, 19L)
+  private def matS(s: SparkSession) = DMatrix.randInt(s, 32, 32, BS, 13L)
+
+  /** Blocked GEMM: C = A(64×48) · B(48×32). */
+  def matmul(s: SparkSession, d: String): DataFrame =
+    matA(s).multiply(matB(s)).toCoords
+
+  /** Axis reduction: per-row sum and mean of A. */
+  def axisStats(s: SparkSession, d: String): DataFrame =
+    matA(s).sumAxis1.withColumn("row_mean", col("row_sum") / 48.0)
+
+  /** Gram matrix via transpose + matmul: G = Aᵀ·A (48×48). */
+  def gram(s: SparkSession, d: String): DataFrame =
+    matA(s).transpose.multiply(matA(s)).toCoords
+
+  /** Lower-triangular mask of square S: above-diagonal blocks dropped,
+    * diagonal blocks masked in place (coords of kept blocks emitted). */
+  def tril(s: SparkSession, d: String): DataFrame =
+    matS(s).tril.toCoords
+
+  /** Elementwise pipeline: D = A⊙E + 2A (zip, hadamard, scalar ops). */
+  def elementwise(s: SparkSession, d: String): DataFrame =
+    (matA(s).hadamard(matE(s)) + (matA(s) * 2.0)).toCoords
+
+  /** TSQR R factor of an integer tall-skinny matrix (4096×64, chunks
+    * 256×64 — the reference tsqr shape scaled down). Rows-only gate;
+    * exact factor checked in LinAlgSpec. */
+  def tsqrR(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = DMatrix.randInt(s, 4096, 64, 64, 23L)
+    val r = LinAlg.tsqr(a)
+    val rows = for { i <- 0 until r.rows; j <- 0 until r.cols }
+      yield (i.toLong, j.toLong, BigDecimal(r(i, j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    s.createDataset(rows).toDF("i", "j", "v")
+  }
+
+  /** Tall-skinny SVD singular values (2048×64). Rows-only gate. */
+  def svdValues(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = DMatrix.rand(s, 2048, 64, 128, 29L)
+    val (_, sv, _) = LinAlg.svdTallSkinny(a)
+    s.createDataset(sv.toArray.zipWithIndex.toSeq.map { case (v, i) =>
+      (i.toLong, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toDF("k", "sigma")
+  }
+
+  /** Randomized SVD top-5 singular values of a 512×512 square matrix
+    * (the reference's svd_compressed shape scaled down). Rows-only. */
+  def svdCompressedValues(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = DMatrix.rand(s, 512, 512, 128, 31L)
+    val (_, sv, _) = LinAlg.svdCompressed(a, k = 5, seed = 99L)
+    s.createDataset(sv.toArray.zipWithIndex.toSeq.map { case (v, i) =>
+      (i.toLong, BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toDF("k", "sigma")
+  }
+
+  /** Blocked Cholesky of an SPD matrix (diag-dominant 96×96, chunks 32).
+    * Rows-only gate; L·Lᵀ = A checked in LinAlgSpec. */
+  def choleskyFactor(s: SparkSession, d: String): DataFrame = {
+    val base = DMatrix.randInt(s, 96, 96, 32, 37L, mod = 10L)
+    val spd = base.transpose.multiply(base) + (DMatrix.eye(s, 96, 32) * 960.0)
+    LinAlg.choleskyLower(spd).toCoords
+      .select(col("i"), col("j"), round(col("v"), 6).as("v"))
+  }
+
+  /** Bench-scale GEMM: 1024×1024 · 1024×1024, chunks 128 (~2.1 GFLOP) —
+    * the throughput probe for BENCH, full-table checksum output. */
+  def gemmBench(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = DMatrix.randInt(s, 1024, 1024, 128, 41L, mod = 100L)
+    val b = DMatrix.randInt(s, 1024, 1024, 128, 43L, mod = 100L)
+    val c = a.multiply(b)
+    s.createDataset(Seq(c.sum)).toDF("checksum")
+  }
+
+  private def lcgSql(iExpr: String, jExpr: String, nCols: Int, seed: Int, mod: Int) =
+    s"CAST(((($iExpr*$nCols+$jExpr)*1103515245+$seed)%2147483647)%$mod AS DOUBLE)"
+
+  private def matSql(alias: String, m: Int, n: Int, seed: Int, mod: Int = 1000) =
+    s"""$alias AS (SELECT ri.range AS i, rj.range AS j,
+        ${lcgSql("ri.range", "rj.range", n, seed, mod)} AS v
+        FROM range($m) ri, range($n) rj)"""
+
+  val queries: Map[String, Q] = Map(
+    "a01_matmul"         -> (matmul _),
+    "a02_axis_stats"     -> (axisStats _),
+    "a03_gram"           -> (gram _),
+    "a04_tril"           -> (tril _),
+    "a05_elementwise"    -> (elementwise _),
+    "a06_tsqr_r"         -> (tsqrR _),
+    "a07_svd_values"     -> (svdValues _),
+    "a08_cholesky"       -> (choleskyFactor _),
+    "a09_svd_compressed" -> (svdCompressedValues _),
+    "a10_gemm_bench"     -> (gemmBench _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a01_matmul" ->
+      s"""WITH ${matSql("a", 64, 48, 7)}, ${matSql("b", 48, 32, 11)}
+          SELECT a.i AS i, b.j AS j, sum(a.v * b.v) AS v
+          FROM a JOIN b ON a.j = b.i GROUP BY 1, 2""",
+    "a02_axis_stats" ->
+      s"""WITH ${matSql("a", 64, 48, 7)}
+          SELECT i, sum(v) AS row_sum, sum(v) / 48.0 AS row_mean
+          FROM a GROUP BY i""",
+    "a03_gram" ->
+      s"""WITH ${matSql("a", 64, 48, 7)}
+          SELECT a1.j AS i, a2.j AS j, sum(a1.v * a2.v) AS v
+          FROM a a1 JOIN a a2 ON a1.i = a2.i GROUP BY 1, 2""",
+    "a04_tril" ->
+      s"""WITH ${matSql("s", 32, 32, 13)}
+          SELECT i, j, CASE WHEN j <= i THEN v ELSE 0.0 END AS v
+          FROM s WHERE (j // 16) <= (i // 16)""",
+    "a05_elementwise" ->
+      s"""WITH ${matSql("a", 64, 48, 7)}, ${matSql("e", 64, 48, 19)}
+          SELECT a.i AS i, a.j AS j, a.v * e.v + 2 * a.v AS v
+          FROM a JOIN e ON a.i = e.i AND a.j = e.j""",
+  )
+}

@@ -1,0 +1,322 @@
+package graft.array
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+import breeze.linalg.{DenseMatrix => BDM}
+
+/** One block of a chunked matrix — the Spark analog of a dask.array chunk
+  * (reference: `da.random.random((200000,1000), chunks=(10000,1000))`,
+  * /root/reference/README.md:220). `data` is column-major (Breeze layout)
+  * so per-block kernels wrap it with zero copy.
+  */
+case class Block(bi: Int, bj: Int, rows: Int, cols: Int, data: Array[Double]) {
+  def toBreeze: BDM[Double] = new BDM(rows, cols, data)
+}
+
+/** Distributed block matrix: the rebuild of the reference's dask.array
+  * surface (SURVEY.md §2.B3) as a `Dataset[Block]`.
+  *
+  * Scale design (the 100 TB stance):
+  *  - every op is a distributed map / shuffle over blocks; nothing ever
+  *    collects the matrix to the driver (only nb×nb-small factors like
+  *    TSQR's R leave the cluster);
+  *  - matmul joins on the inner block index and reduces partial products
+  *    with `reduceByKey` (map-side combine), mirroring MLlib
+  *    BlockMatrix.multiply semantics;
+  *  - constructors are seeded per-cell so any block can be (re)built
+  *    independently on any executor — the analog of dask's deterministic
+  *    chunked RNG (`da.random` chunk semantics).
+  */
+class DMatrix(
+    val blocks: Dataset[Block],
+    val nRows: Long,
+    val nCols: Long,
+    val blockSize: Int) extends Serializable {
+
+  import DMatrix.addInto
+
+  private def spark: SparkSession = blocks.sparkSession
+  def nbRows: Int = DMatrix.nBlocks(nRows, blockSize)
+  def nbCols: Int = DMatrix.nBlocks(nCols, blockSize)
+
+  /** Elementwise unary map (dask `x * 2`, `x - c`, `abs(x)`, …). */
+  def mapElements(f: Double => Double): DMatrix = {
+    import blocks.sparkSession.implicits._
+    new DMatrix(blocks.map { b =>
+      val out = new Array[Double](b.data.length)
+      var i = 0
+      while (i < out.length) { out(i) = f(b.data(i)); i += 1 }
+      b.copy(data = out)
+    }, nRows, nCols, blockSize)
+  }
+
+  def *(s: Double): DMatrix = mapElements(_ * s)
+  def +(s: Double): DMatrix = mapElements(_ + s)
+
+  /** Elementwise binary op with an identically-chunked matrix
+    * (dask `x + y`, `x - y`): one co-partitioned join on block key. */
+  def zip(other: DMatrix)(f: (Double, Double) => Double): DMatrix = {
+    require(nRows == other.nRows && nCols == other.nCols &&
+            blockSize == other.blockSize, "shape/chunk mismatch")
+    import blocks.sparkSession.implicits._
+    val joined = blocks.rdd.map(b => ((b.bi, b.bj), b))
+      .join(other.blocks.rdd.map(b => ((b.bi, b.bj), b)))
+      .map { case (_, (x, y)) =>
+        val out = new Array[Double](x.data.length)
+        var i = 0
+        while (i < out.length) { out(i) = f(x.data(i), y.data(i)); i += 1 }
+        x.copy(data = out)
+      }
+    new DMatrix(spark.createDataset(joined), nRows, nCols, blockSize)
+  }
+
+  def +(other: DMatrix): DMatrix = zip(other)(_ + _)
+  def -(other: DMatrix): DMatrix = zip(other)(_ - _)
+  def hadamard(other: DMatrix): DMatrix = zip(other)(_ * _)
+
+  /** Transpose: pure narrow map — swap block indices, transpose data. */
+  def transpose: DMatrix = {
+    import blocks.sparkSession.implicits._
+    new DMatrix(blocks.map { b =>
+      val out = new Array[Double](b.data.length)
+      var j = 0
+      while (j < b.cols) {
+        var i = 0
+        while (i < b.rows) { out(j + i * b.cols) = b.data(i + j * b.rows); i += 1 }
+        j += 1
+      }
+      Block(b.bj, b.bi, b.cols, b.rows, out)
+    }, nCols, nRows, blockSize)
+  }
+
+  /** Blocked GEMM (reference flagship: `da.matmul`, 10k×10k blocks 1k —
+    * README.md:265-270). Join A-blocks and B-blocks on the inner block
+    * index, per-pair Breeze GEMM, then reduceByKey-sum partial products
+    * into C(i,j) — partial aggregation happens map-side, so the shuffle
+    * carries at most one partial block per (i,j) per map partition. */
+  def multiply(other: DMatrix): DMatrix = {
+    require(nCols == other.nRows, s"dim mismatch: $nCols vs ${other.nRows}")
+    require(blockSize == other.blockSize, "chunk mismatch")
+    import blocks.sparkSession.implicits._
+    val parts = math.max(blocks.rdd.getNumPartitions, other.blocks.rdd.getNumPartitions)
+    val aByInner = blocks.rdd.map(b => (b.bj, b))
+    val bByInner = other.blocks.rdd.map(b => (b.bi, b))
+    val products: RDD[((Int, Int), Array[Double])] =
+      aByInner.join(bByInner, parts).map { case (_, (a, b)) =>
+        val c = a.toBreeze * b.toBreeze
+        ((a.bi, b.bj), c.data)
+      }
+    val m = nRows; val n = other.nCols; val bs = blockSize
+    val summed = products.reduceByKey(addInto _, parts).map { case ((bi, bj), data) =>
+      val rows = DMatrix.blockDim(m, bs, bi)
+      val cols = DMatrix.blockDim(n, bs, bj)
+      Block(bi, bj, rows, cols, data)
+    }
+    new DMatrix(spark.createDataset(summed), m, n, bs)
+  }
+
+  /** Lower-triangular mask (reference `da.tril(A)`, examples.rst:92):
+    * blocks strictly above the diagonal are dropped entirely (no compute,
+    * no shuffle); diagonal blocks are masked in place. */
+  def tril: DMatrix = {
+    import blocks.sparkSession.implicits._
+    val bs = blockSize
+    val kept = blocks.filter((b: Block) => b.bi >= b.bj).map { b =>
+      if (b.bi > b.bj) b
+      else {
+        val out = b.data.clone()
+        var j = 0
+        while (j < b.cols) {
+          var i = 0
+          while (i < b.rows) {
+            val gi = b.bi.toLong * bs + i; val gj = b.bj.toLong * bs + j
+            if (gj > gi) out(i + j * b.rows) = 0.0
+            i += 1
+          }
+          j += 1
+        }
+        b.copy(data = out)
+      }
+    }
+    new DMatrix(kept, nRows, nCols, blockSize)
+  }
+
+  /** Row sums / col sums (dask `x.sum(axis=…)`): per-block partial vector,
+    * reduceByKey on the block index — classic partial aggregation, the
+    * shuffle carries nb small vectors, never the matrix. */
+  def sumAxis1: DataFrame = { // per global row
+    import blocks.sparkSession.implicits._
+    val bs = blockSize
+    blocks.rdd.map { b =>
+      val partial = new Array[Double](b.rows)
+      var j = 0
+      while (j < b.cols) {
+        var i = 0
+        while (i < b.rows) { partial(i) += b.data(i + j * b.rows); i += 1 }
+        j += 1
+      }
+      (b.bi, partial)
+    }.reduceByKey(addInto _)
+      .flatMap { case (bi, v) => v.iterator.zipWithIndex.map { case (x, i) => (bi.toLong * bs + i, x) } }
+      .toDF("i", "row_sum")
+  }
+
+  def sumAxis0: DataFrame = { // per global column
+    import blocks.sparkSession.implicits._
+    val bs = blockSize
+    blocks.rdd.map { b =>
+      val partial = new Array[Double](b.cols)
+      var j = 0
+      while (j < b.cols) {
+        var i = 0
+        while (i < b.rows) { partial(j) += b.data(i + j * b.rows); i += 1 }
+        j += 1
+      }
+      (b.bj, partial)
+    }.reduceByKey(addInto _)
+      .flatMap { case (bj, v) => v.iterator.zipWithIndex.map { case (x, j) => (bj.toLong * bs + j, x) } }
+      .toDF("j", "col_sum")
+  }
+
+  /** Full reductions (dask `x.sum()`, `x.mean()`, `x.std()`):
+    * single treeAggregate pass over blocks. */
+  def stats: (Long, Double, Double, Double, Double) = {
+    val (n, s, s2, mn, mx) = blocks.rdd.treeAggregate((0L, 0.0, 0.0, Double.MaxValue, Double.MinValue))(
+      seqOp = { case ((n, s, s2, mn, mx), b) =>
+        var i = 0; var ls = 0.0; var ls2 = 0.0; var lmn = mn; var lmx = mx
+        while (i < b.data.length) {
+          val v = b.data(i); ls += v; ls2 += v * v
+          if (v < lmn) lmn = v; if (v > lmx) lmx = v
+          i += 1
+        }
+        (n + b.data.length, s + ls, s2 + ls2, lmn, lmx)
+      },
+      combOp = { case ((n1, s1, q1, m1, x1), (n2, s2, q2, m2, x2)) =>
+        (n1 + n2, s1 + s2, q1 + q2, math.min(m1, m2), math.max(x1, x2))
+      })
+    (n, s, s2, mn, mx)
+  }
+
+  def sum: Double = stats._2
+  def mean: Double = { val st = stats; st._2 / st._1 }
+  def std: Double = { val st = stats; math.sqrt(st._3 / st._1 - math.pow(st._2 / st._1, 2)) }
+
+  /** Exploded (i, j, v) coordinates — the oracle-comparable form. */
+  def toCoords: DataFrame = {
+    import blocks.sparkSession.implicits._
+    val bs = blockSize
+    blocks.flatMap { b =>
+      for {
+        j <- 0 until b.cols
+        i <- 0 until b.rows
+      } yield (b.bi.toLong * bs + i, b.bj.toLong * bs + j, b.data(i + j * b.rows))
+    }.toDF("i", "j", "v")
+  }
+
+  /** Collect to a local Breeze matrix — TEST/ORACLE USE ONLY (the analog
+    * of dask's `compute(scheduler="sync")` single-node oracle). */
+  def toLocal: BDM[Double] = {
+    require(nRows * nCols <= 4_000_000L, "toLocal is for tests only")
+    val out = BDM.zeros[Double](nRows.toInt, nCols.toInt)
+    val bs = blockSize
+    blocks.collect().foreach { b =>
+      var j = 0
+      while (j < b.cols) {
+        var i = 0
+        while (i < b.rows) {
+          out(b.bi * bs + i, b.bj * bs + j) = b.data(i + j * b.rows)
+          i += 1
+        }
+        j += 1
+      }
+    }
+    out
+  }
+
+  def persist(): DMatrix = { blocks.persist(StorageLevel.MEMORY_AND_DISK); this }
+  def unpersist(): DMatrix = { blocks.unpersist(); this }
+}
+
+object DMatrix {
+  def nBlocks(dim: Long, bs: Int): Int = ((dim + bs - 1) / bs).toInt
+  def blockDim(dim: Long, bs: Int, bIdx: Int): Int =
+    math.min(bs.toLong, dim - bIdx.toLong * bs).toInt
+
+  private[array] def addInto(x: Array[Double], y: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < x.length) { x(i) += y(i); i += 1 }
+    x
+  }
+
+  /** Deterministic per-cell LCG shared with the DuckDB oracle:
+    * `((idx*1103515245 + seed) % 2147483647)` with `idx = i*nCols + j`.
+    * Pure integer arithmetic → bit-identical in any engine. NOTE: linear
+    * in idx, so it is only for exact-arithmetic oracle fixtures — numeric
+    * workloads use [[mix64]] (the LCG's linear structure makes large
+    * "random" matrices nearly rank-deficient). */
+  @inline def lcg(i: Long, j: Long, nCols: Long, seed: Long): Long =
+    ((i * nCols + j) * 1103515245L + seed) % 2147483647L
+
+  /** splitmix64 finalizer: well-mixed deterministic hash for numeric
+    * random matrices (da.random analog with proper spectral behavior). */
+  @inline def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  @inline def mixedUniform(i: Long, j: Long, nCols: Long, seed: Long): Double =
+    (mix64(i * nCols + j + seed * 0x632BE59BD9B4E019L) >>> 11).toDouble / (1L << 53).toDouble
+
+  /** Generic seeded constructor: one Spark task per block, each block
+    * built independently from (bi, bj) — the dask chunked-RNG analog. */
+  def tabulate(spark: SparkSession, m: Long, n: Long, bs: Int)
+              (f: (Long, Long) => Double): DMatrix = {
+    import spark.implicits._
+    val nbi = nBlocks(m, bs); val nbj = nBlocks(n, bs)
+    val ds = spark.range(nbi.toLong * nbj).map { k =>
+      val bi = (k / nbj).toInt; val bj = (k % nbj).toInt
+      val rows = blockDim(m, bs, bi); val cols = blockDim(n, bs, bj)
+      val data = new Array[Double](rows * cols)
+      var j = 0
+      while (j < cols) {
+        var i = 0
+        while (i < rows) {
+          data(i + j * rows) = f(bi.toLong * bs + i, bj.toLong * bs + j)
+          i += 1
+        }
+        j += 1
+      }
+      Block(bi, bj, rows, cols, data)
+    }
+    new DMatrix(ds, m, n, bs)
+  }
+
+  /** Integer-valued uniform in [0, mod): exactly SQL-expressible, so
+    * matmul/reduction results are exact integers in doubles (order-
+    * independent sums → safe for hash-compared oracles). */
+  def randInt(spark: SparkSession, m: Long, n: Long, bs: Int, seed: Long,
+              mod: Long = 1000L): DMatrix =
+    tabulate(spark, m, n, bs)((i, j) => (lcg(i, j, n, seed) % mod).toDouble)
+
+  /** Uniform doubles in [0,1) — the `da.random.random` analog for the
+    * numeric (tolerance-tested) linalg workloads. Uses the mixed hash:
+    * proper full-rank spectral behavior, still deterministic per cell. */
+  def rand(spark: SparkSession, m: Long, n: Long, bs: Int, seed: Long): DMatrix =
+    tabulate(spark, m, n, bs)((i, j) => mixedUniform(i, j, n, seed))
+
+  def ones(spark: SparkSession, m: Long, n: Long, bs: Int): DMatrix =
+    tabulate(spark, m, n, bs)((_, _) => 1.0)
+
+  def zeros(spark: SparkSession, m: Long, n: Long, bs: Int): DMatrix =
+    tabulate(spark, m, n, bs)((_, _) => 0.0)
+
+  def eye(spark: SparkSession, n: Long, bs: Int): DMatrix =
+    tabulate(spark, n, n, bs)((i, j) => if (i == j) 1.0 else 0.0)
+
+  /** In-memory local matrix → distributed (the `da.asarray` analog). */
+  def fromLocal(spark: SparkSession, local: BDM[Double], bs: Int): DMatrix =
+    tabulate(spark, local.rows, local.cols, bs)((i, j) => local(i.toInt, j.toInt))
+}

@@ -1,0 +1,215 @@
+package graft.array
+
+import org.apache.spark.sql.SparkSession
+import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV, qr, svd, cholesky => bchol, inv}
+
+/** Distributed linear-algebra factorizations over [[DMatrix]] — the
+  * reference's flagship workloads (SURVEY.md §2.B3):
+  *   - TSQR / QR    (`da.linalg.tsqr` 262,144×128 chunks 8192×128,
+  *                   /root/reference/docs/examples/examples.rst:80-82)
+  *   - SVD tall-skinny (`da.linalg.svd(X)` 200k×1000, README.md:220-224)
+  *   - SVD compressed / randomized (`da.linalg.svd_compressed` k=5 on
+  *                   10k×10k, README.md:243-247)
+  *   - blocked Cholesky (`da.linalg.cholesky(X, lower=False)`,
+  *                   examples.rst:84-100)
+  *
+  * Everything distributed is a treeAggregate or a keyed shuffle over
+  * blocks; only n×n-small factors (R, B, U_r) ever live on the driver —
+  * never a full matrix. That is the property that survives 100 TB.
+  */
+object LinAlg {
+
+  /** Stack two R factors (or a partial stripe) and re-QR — the TSQR
+    * combiner step. */
+  private def stackR(top: BDM[Double], bot: BDM[Double]): BDM[Double] = {
+    if (top == null && bot == null) return null   // two empty partitions
+    if (top == null) return triOf(bot)
+    if (bot == null) return triOf(top)
+    val stacked = BDM.vertcat(top, bot)
+    qr.reduced(stacked).r
+  }
+
+  private def triOf(m: BDM[Double]): BDM[Double] =
+    if (m.rows <= m.cols) m else qr.reduced(m).r
+
+  /** Flip R's row signs so the diagonal is non-negative — makes the
+    * factor unique regardless of partitioning / reduction order. */
+  private def fixSigns(r: BDM[Double]): BDM[Double] = {
+    val out = r.copy
+    var i = 0
+    while (i < math.min(out.rows, out.cols)) {
+      if (out(i, i) < 0) { out(i, ::) :*= -1.0 }
+      i += 1
+    }
+    out
+  }
+
+  /** TSQR: tree-reduce per-block local QRs into one n×n R factor.
+    * One pass over the data, log-depth combiner tree, driver only ever
+    * sees n×n matrices (the exact shape Wukong ran at 262,144×128). */
+  def tsqr(a: DMatrix): BDM[Double] = {
+    require(a.nbCols == 1, s"tsqr needs tall-skinny layout (nCols ${a.nCols} <= blockSize ${a.blockSize})")
+    val depth = math.max(2, (math.log(math.max(a.nbRows, 2)) / math.log(4)).ceil.toInt)
+    val r = a.blocks.rdd.treeAggregate(null: BDM[Double])(
+      (acc, b) => stackR(acc, b.toBreeze),
+      (r1, r2) => stackR(r1, r2),
+      depth)
+    fixSigns(r)
+  }
+
+  /** Full QR: R via TSQR, then Q = A·R⁻¹ as a distributed narrow map
+    * (R is n×n-small, broadcast inside the closure). */
+  def qrFactor(a: DMatrix): (DMatrix, BDM[Double]) = {
+    val r = tsqr(a)
+    val rInv = inv(r)
+    import a.blocks.sparkSession.implicits._
+    val qBlocks = a.blocks.map { b =>
+      val q = b.toBreeze * rInv
+      b.copy(data = q.data)
+    }
+    (new DMatrix(qBlocks, a.nRows, a.nCols, a.blockSize), r)
+  }
+
+  /** Tall-skinny SVD: R = tsqr(A); svd(R) on the driver (n×n);
+    * U = A·(V·S⁻¹) distributed. Returns (U, s, V). */
+  def svdTallSkinny(a: DMatrix): (DMatrix, BDV[Double], BDM[Double]) = {
+    val r = tsqr(a)
+    val svd.SVD(uR, s, vt) = svd.reduced(r)
+    val v = vt.t
+    // A · V · diag(1/s): one narrow map; guard tiny singular values.
+    val vs = v.copy
+    var j = 0
+    while (j < vs.cols) {
+      val inv = if (s(j) > 1e-12) 1.0 / s(j) else 0.0
+      vs(::, j) :*= inv
+      j += 1
+    }
+    import a.blocks.sparkSession.implicits._
+    val uBlocks = a.blocks.map { b =>
+      val u = b.toBreeze * vs
+      b.copy(data = u.data)
+    }
+    (new DMatrix(uBlocks, a.nRows, a.nCols, a.blockSize), s, v)
+  }
+
+  /** Randomized (compressed) SVD — the reference's `svd_compressed(X, k)`
+    * on square-ish matrices: project onto a seeded random n×(k+p) sketch,
+    * orthonormalize (TSQR), form B = Qᵀ·A (small × n, via one keyed
+    * shuffle + reduce), finish with a local SVD of B. */
+  def svdCompressed(a: DMatrix, k: Int, oversample: Int = 10, seed: Long = 1234L,
+                    nPowerIter: Int = 2): (DMatrix, BDV[Double], BDM[Double]) = {
+    val spark = a.blocks.sparkSession
+    val l = math.min(k + oversample, math.min(a.nRows, a.nCols).toInt)
+    require(l <= a.blockSize, "sketch width must fit one block column")
+    val omega = DMatrix.tabulate(spark, a.nCols, l, a.blockSize)(
+      (i, j) => DMatrix.mixedUniform(i, j, l, seed) - 0.5)
+    val y0 = a.multiply(omega)                    // m × l, tall-skinny
+    // subspace (power) iteration — dask's n_power_iter: sharpens the
+    // captured spectrum when singular values decay slowly; QR between
+    // multiplies keeps the sketch numerically orthonormal.
+    var (q, _) = qrFactor(y0)
+    var t = 0
+    while (t < nPowerIter) {
+      val z = a.transpose.multiply(q)             // n × l
+      val (qz, _) = qrFactor(z)
+      val y = a.multiply(qz)                      // m × l
+      q = qrFactor(y)._1
+      t += 1
+    }
+    // B = Qᵀ·A, accumulated per A-column-block: join Q's row-blocks with
+    // A's row-stripes on the row-block index, reduce partials by bj.
+    val qByRow = q.blocks.rdd.map(b => (b.bi, b))
+    val aByRow = a.blocks.rdd.map(b => (b.bi, b))
+    val partials = qByRow.join(aByRow).map { case (_, (qb, ab)) =>
+      val contrib = qb.toBreeze.t * ab.toBreeze   // l × cols(ab)
+      (ab.bj, contrib.data)
+    }.reduceByKey(DMatrix.addInto _)
+    val bs = a.blockSize; val nC = a.nCols
+    val bLocal = BDM.zeros[Double](l, nC.toInt)
+    partials.collect().foreach { case (bj, data) =>
+      val cols = DMatrix.blockDim(nC, bs, bj)
+      val piece = new BDM(l, cols, data)
+      bLocal(::, bj * bs until bj * bs + cols) := piece
+    }
+    val svd.SVD(uB, s, vt) = svd.reduced(bLocal)
+    val uBk = uB(::, 0 until k).copy              // l × k, broadcast in closure
+    import spark.implicits._
+    val uBlocks = q.blocks.map { b =>
+      val u = b.toBreeze * uBk
+      Block(b.bi, 0, b.rows, k, u.data)
+    }
+    val u = new DMatrix(uBlocks, a.nRows, k, a.blockSize)
+    (u, s(0 until k).copy, vt(0 until k, ::).t.copy)
+  }
+
+  /** Blocked right-looking Cholesky (reference `da.linalg.cholesky`,
+    * examples.rst:84-100): nb sequential panel steps — inherently
+    * iterative, exactly as the reference ran it (deep DAG). Per step:
+    * local chol of the bs×bs diagonal block, distributed panel solve,
+    * distributed rank-bs trailing update via two keyed joins (never a
+    * broadcast of the panel — panels are m×bs and would not fit at
+    * scale). Lineage is truncated with localCheckpoint every few steps
+    * (SURVEY §7.5 known-hard #5). Returns the lower factor L. */
+  def choleskyLower(a: DMatrix, checkpointEvery: Int = 6): DMatrix = {
+    require(a.nRows == a.nCols, "cholesky needs a square matrix")
+    val spark = a.blocks.sparkSession
+    val bs = a.blockSize
+    val nb = a.nbRows
+    // keep only the lower triangle; key by (bi, bj)
+    var state = a.blocks.rdd.filter(b => b.bi >= b.bj).map(b => ((b.bi, b.bj), b)).cache()
+    var prev = state
+    for (k <- 0 until nb) {
+      val diag = state.filter(_._1 == (k, k)).values.first()
+      val lkk = bchol(new BDM(diag.rows, diag.cols, diag.data))
+      val invLkkT = inv(lkk.t)     // bs×bs-small, shipped in closures
+      val updated = state.flatMap { case ((bi, bj), b) =>
+        if (bj == k && bi == k) None                             // replaced by local L_kk below
+        else if (bj == k && bi > k) {                            // panel solve
+          val lik = b.toBreeze * invLkkT
+          Some(((bi, bj), b.copy(data = lik.data)))
+        } else Some(((bi, bj), b))                               // finalized (bj<k) or trailing (bj>k)
+      }
+      // split: finalized (col <= k) vs trailing (col > k)
+      val panel = updated.filter { case ((bi, bj), _) => bj == k && bi > k }
+        .map { case ((bi, _), b) => (bi, b) }
+      val doneOrPanel = updated.filter { case ((_, bj), _) => bj <= k }
+      val trailing = updated.filter { case ((_, bj), _) => bj > k }
+      // A_ij -= L_ik · L_jkᵀ  for i >= j > k : join on i then on j
+      val newTrailing = trailing
+        .map { case ((bi, bj), b) => (bi, (bj, b)) }
+        .leftOuterJoin(panel)
+        .map { case (bi, ((bj, b), likOpt)) => (bj, (bi, b, likOpt)) }
+        .leftOuterJoin(panel)
+        .map { case (bj, ((bi, b, likOpt), ljkOpt)) =>
+          (likOpt, ljkOpt) match {
+            case (Some(lik), Some(ljk)) =>
+              val upd = b.toBreeze - lik.toBreeze * ljk.toBreeze.t
+              ((bi, bj), b.copy(data = upd.data))
+            case _ => ((bi, bj), b)
+          }
+        }
+      val kk = ((k, k), diag.copy(data = lkk.data))
+      var next = doneOrPanel.union(newTrailing).union(spark.sparkContext.parallelize(Seq(kk)))
+      if ((k + 1) % checkpointEvery == 0) next.localCheckpoint()
+      next = next.cache()
+      next.count()                 // materialize before dropping the parent
+      prev.unpersist(false)
+      prev = next
+      state = next
+    }
+    import spark.implicits._
+    val lower = state.values.map { b =>
+      if (b.bi == b.bj) {          // zero the strictly-upper entries of diag blocks
+        val out = b.data.clone()
+        var j = 0
+        while (j < b.cols) {
+          var i = 0
+          while (i < b.rows) { if (j > i) out(i + j * b.rows) = 0.0; i += 1 }
+          j += 1
+        }
+        b.copy(data = out)
+      } else b
+    }
+    new DMatrix(spark.createDataset(lower), a.nRows, a.nCols, bs)
+  }
+}

@@ -48,19 +48,23 @@ object TextOps {
     * filter web-scrape corpora. Pure expressions, fused into the scan.
     * Divisions are guarded: empty / whitespace-only docs yield NULL in
     * both engines instead of engine-dependent NaN/Infinity rendering. */
-  def qualityScore(s: SparkSession, d: String): DataFrame = {
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    qualityOf(Tables.documents(s, d))
+
+  /** Quality signals over any frame with (doc_id, text) — split out so the
+    * degenerate-document guards are unit-testable on in-memory data. */
+  def qualityOf(docs: DataFrame): DataFrame = {
     val len = length(col("text"))
     val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
     val spaces = length(col("text")) - length(regexp_replace(col("text"), "\\s", ""))
     val ntok = tokenCount(col("text"))
-    Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        len.as("len"),
-        when(len > 0, round(alpha.cast("double") / len, 6)).as("alpha_ratio"),
-        when(len > 0, round(spaces.cast("double") / len, 6)).as("space_ratio"),
-        ntok.as("n_tokens"),
-        when(ntok > 0, round(alpha.cast("double") / ntok, 6)).as("avg_token_len"))
+    docs.select(
+      col("doc_id"),
+      len.as("len"),
+      when(len > 0, round(alpha.cast("double") / len, 6)).as("alpha_ratio"),
+      when(len > 0, round(spaces.cast("double") / len, 6)).as("space_ratio"),
+      ntok.as("n_tokens"),
+      when(ntok > 0, round(alpha.cast("double") / ntok, 6)).as("avg_token_len"))
   }
 
   /** Content fingerprint per document (md5 of normalized text). */

@@ -1,0 +1,63 @@
+package graft.array
+
+import graft.SparkSpec
+import breeze.linalg.{DenseMatrix => BDM, sum => bsum}
+
+/** Block-matrix core ops vs local Breeze — the rebuild analog of the
+  * reference's distributed-vs-sync-scheduler oracle
+  * (Static Scheduler/wukong/tests/test_collections.py:90-103). */
+class ArraySpec extends SparkSpec {
+
+  private def approxEqual(a: BDM[Double], b: BDM[Double], tol: Double = 1e-9): Boolean =
+    a.rows == b.rows && a.cols == b.cols &&
+      (0 until a.cols).forall(j => (0 until a.rows).forall(i => math.abs(a(i, j) - b(i, j)) <= tol))
+
+  test("constructors: shape, determinism, eye/ones") {
+    val a1 = DMatrix.randInt(spark, 40, 30, 16, 7L).toLocal
+    val a2 = DMatrix.randInt(spark, 40, 30, 16, 7L).toLocal
+    assert(a1 == a2, "seeded constructor must be deterministic")
+    assert(DMatrix.ones(spark, 10, 10, 4).toLocal == BDM.ones[Double](10, 10))
+    assert(DMatrix.eye(spark, 9, 4).toLocal == BDM.eye[Double](9))
+  }
+
+  test("matmul matches Breeze, including non-divisible block edges") {
+    val a = DMatrix.randInt(spark, 37, 23, 8, 3L)
+    val b = DMatrix.randInt(spark, 23, 19, 8, 5L)
+    val got = a.multiply(b).toLocal
+    val want = a.toLocal * b.toLocal
+    assert(approxEqual(got, want))
+  }
+
+  test("transpose and double transpose") {
+    val a = DMatrix.randInt(spark, 21, 34, 8, 17L)
+    assert(a.transpose.toLocal == a.toLocal.t)
+    assert(a.transpose.transpose.toLocal == a.toLocal)
+  }
+
+  test("elementwise zip / scalar ops") {
+    val a = DMatrix.randInt(spark, 12, 15, 8, 3L)
+    val b = DMatrix.randInt(spark, 12, 15, 8, 9L)
+    assert((a + b).toLocal == a.toLocal + b.toLocal)
+    assert((a - b).toLocal == a.toLocal - b.toLocal)
+    assert(a.hadamard(b).toLocal == (a.toLocal *:* b.toLocal))
+    assert((a * 3.0).toLocal == a.toLocal * 3.0)
+  }
+
+  test("tril masks above-diagonal entries") {
+    val s0 = DMatrix.randInt(spark, 20, 20, 8, 13L)
+    val local = s0.tril.toLocal
+    for (i <- 0 until 20; j <- 0 until 20 if j > i) assert(local(i, j) == 0.0)
+    for (i <- 0 until 20; j <- 0 to i) assert(local(i, j) == s0.toLocal(i, j))
+  }
+
+  test("axis and full reductions") {
+    val a = DMatrix.randInt(spark, 17, 13, 8, 21L)
+    val local = a.toLocal
+    val rowSums = a.sumAxis1.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (i <- 0 until 17) assert(math.abs(rowSums(i) - bsum(local(i, ::).t)) < 1e-9)
+    val colSums = a.sumAxis0.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (j <- 0 until 13) assert(math.abs(colSums(j) - bsum(local(::, j))) < 1e-9)
+    assert(math.abs(a.sum - bsum(local)) < 1e-9)
+    assert(math.abs(a.mean - bsum(local) / (17 * 13)) < 1e-9)
+  }
+}

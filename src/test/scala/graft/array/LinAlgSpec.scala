@@ -1,0 +1,62 @@
+package graft.array
+
+import graft.SparkSpec
+import breeze.linalg.{DenseMatrix => BDM, svd => bsvd, cholesky => bchol}
+
+/** Factorizations vs Breeze single-node oracles, tolerance-based
+  * (SURVEY.md §5 local-math oracle; tolerances 1e-8 relative). */
+class LinAlgSpec extends SparkSpec {
+
+  private def maxAbs(m: BDM[Double]): Double = breeze.linalg.max(breeze.numerics.abs(m))
+
+  test("tsqr: R is upper-triangular and RtR = AtA") {
+    val a = DMatrix.rand(spark, 500, 20, 64, 3L)
+    val r = LinAlg.tsqr(a)
+    assert(r.rows == 20 && r.cols == 20)
+    for (i <- 0 until 20; j <- 0 until i) assert(math.abs(r(i, j)) < 1e-10)
+    val local = a.toLocal
+    assert(maxAbs(r.t * r - local.t * local) < 1e-6)
+    assert((0 until 20).forall(i => r(i, i) >= 0), "sign-normalized diagonal")
+  }
+
+  test("qr: Q orthonormal and Q*R reconstructs A") {
+    val a = DMatrix.rand(spark, 300, 16, 50, 11L)
+    val (q, r) = LinAlg.qrFactor(a)
+    val qLocal = q.toLocal
+    assert(maxAbs(qLocal.t * qLocal - BDM.eye[Double](16)) < 1e-8)
+    assert(maxAbs(qLocal * r - a.toLocal) < 1e-8)
+  }
+
+  test("tall-skinny svd matches Breeze singular values; U orthonormal") {
+    val a = DMatrix.rand(spark, 400, 12, 64, 19L)
+    val (u, s, v) = LinAlg.svdTallSkinny(a)
+    val want = bsvd.reduced(a.toLocal).singularValues
+    for (i <- 0 until 12) assert(math.abs(s(i) - want(i)) / want(i) < 1e-8)
+    val uLocal = u.toLocal
+    assert(maxAbs(uLocal.t * uLocal - BDM.eye[Double](12)) < 1e-8)
+    // reconstruction: U S Vt = A
+    val recon = uLocal * breeze.linalg.diag(s) * v.t
+    assert(maxAbs(recon - a.toLocal) < 1e-8)
+  }
+
+  test("svd_compressed approximates dominant singular values") {
+    // low-rank-ish matrix: outer products + small noise
+    val base = DMatrix.rand(spark, 200, 24, 32, 5L)
+    val g = base.multiply(base.transpose.multiply(base)) // boosts spectrum decay
+    val (_, s, _) = LinAlg.svdCompressed(g, k = 3, oversample = 8, seed = 7L)
+    val want = bsvd.reduced(g.toLocal).singularValues
+    for (i <- 0 until 3)
+      assert(math.abs(s(i) - want(i)) / want(i) < 1e-2,
+        s"sigma_$i: got ${s(i)} want ${want(i)}")
+  }
+
+  test("blocked cholesky: L lower-triangular and L*Lt = A") {
+    val b0 = DMatrix.randInt(spark, 48, 48, 16, 23L, mod = 10L)
+    val spd = b0.transpose.multiply(b0) + (DMatrix.eye(spark, 48, 16) * 480.0)
+    val l = LinAlg.choleskyLower(spd, checkpointEvery = 2).toLocal
+    for (i <- 0 until 48; j <- 0 until 48 if j > i) assert(l(i, j) == 0.0)
+    assert(maxAbs(l * l.t - spd.toLocal) < 1e-6)
+    // cross-check against Breeze
+    assert(maxAbs(l - bchol(spd.toLocal)) < 1e-6)
+  }
+}

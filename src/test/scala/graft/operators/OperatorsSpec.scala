@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Smoke + targeted checks for the relational and text inventories at
+  * sf0.001. The deep correctness gate is the DuckDB oracle (Verify +
+  * tools/local_verify.py); these suites catch regressions locally. */
+class OperatorsSpec extends SparkSpec {
+
+  test("every declared query runs and yields its declared schema") {
+    val qs = graft.SparkEntry.queries
+    assert(qs.nonEmpty)
+    for ((name, fn) <- qs if !name.startsWith("a")) { // array entries covered in ArraySpec
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val qs = graft.SparkEntry.queries.keySet
+    val os = graft.SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"orphan oracles: ${os -- qs}")
+  }
+
+  test("q01 pricing summary: six flag/status groups, exact counts") {
+    val rows = Relational.pricingSummary(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val filtered = graft.core.Tables.lineitem(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") <= "2000-09-02").count()
+    assert(total == filtered)
+  }
+
+  test("q20 above-customer-avg: exact-cents predicate") {
+    import spark.implicits._
+    // customer 1: prices 10.00, 20.00, 30.00 -> avg 20.00; only 30 qualifies
+    // customer 2: equal prices -> nobody strictly above average
+    val df = Seq((1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 30.0),
+                 (4L, 2L, 15.0), (5L, 2L, 15.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val tmp = java.nio.file.Files.createTempDirectory("graftq20").toString
+    df.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Relational.aboveCustomerAvg(spark, tmp).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("token count is whitespace-robust") {
+    import spark.implicits._
+    val df = Seq((1L, "  a  b\t c \n"), (2L, ""), (3L, "one")).toDF("doc_id", "text")
+    val got = df.select(org.apache.spark.sql.functions.col("doc_id"),
+                        TextOps.tokenCount(org.apache.spark.sql.functions.col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 0, 3L -> 1))
+  }
+
+  test("quality score guards degenerate documents with NULL, not NaN") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "abc def")).toDF("doc_id", "text")
+    val rows = TextOps.qualityOf(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).isNullAt(2) && rows(1L).isNullAt(5), "empty doc -> NULL ratios")
+    assert(rows(2L).isNullAt(5), "whitespace-only doc -> NULL avg_token_len")
+    assert(!rows(3L).isNullAt(2) && !rows(3L).isNullAt(5))
+  }
+
+  test("exact dedup groups identical normalized text") {
+    import spark.implicits._
+    val df = Seq((10L, "Hello  World"), (11L, "hello world"), (12L, "different"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftt05").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.dedupExact(spark, tmp).collect()
+    assert(out.length == 2)
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 10L)
+  }
+}
