@@ -1,0 +1,103 @@
+package graft.delayed
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Delayed-DAG semantics vs an in-memory interpreter (SURVEY.md §5:
+  * property-based mirror of the reference's delayed examples,
+  * README.md:149-175). */
+class DelayedSpec extends SparkSpec {
+
+  // --- random arithmetic DAG: evaluate via Delayed vs direct recursion ---
+  sealed trait Expr
+  case class Lit(v: Long) extends Expr
+  case class Add(a: Expr, b: Expr) extends Expr
+  case class Mul(a: Expr, b: Expr) extends Expr
+  case class Neg(a: Expr) extends Expr
+
+  def genExpr(depth: Int): Gen[Expr] =
+    if (depth <= 0) Gen.chooseNum(-100L, 100L).map(Lit)
+    else Gen.frequency(
+      2 -> Gen.chooseNum(-100L, 100L).map(Lit),
+      3 -> Gen.lzy(for { a <- genExpr(depth - 1); b <- genExpr(depth - 1) } yield Add(a, b)),
+      2 -> Gen.lzy(for { a <- genExpr(depth - 1); b <- genExpr(depth - 1) } yield Mul(a, b)),
+      1 -> Gen.lzy(genExpr(depth - 1).map(Neg)))
+
+  def evalDirect(e: Expr): Long = e match {
+    case Lit(v) => v
+    case Add(a, b) => evalDirect(a) + evalDirect(b)
+    case Mul(a, b) => evalDirect(a) * evalDirect(b)
+    case Neg(a) => -evalDirect(a)
+  }
+
+  def evalDelayed(e: Expr): Delayed[Long] = e match {
+    case Lit(v) => Delayed.value(v)
+    case Add(a, b) => evalDelayed(a).zip(evalDelayed(b))(_ + _)
+    case Mul(a, b) => evalDelayed(a).zip(evalDelayed(b))(_ * _)
+    case Neg(a) => evalDelayed(a).map(x => -x)
+  }
+
+  test("property: random arithmetic DAGs match the direct interpreter") {
+    val gen = genExpr(6)
+    for (n <- 0 until 200) {
+      val e = gen.pureApply(Gen.Parameters.default, Seed(n.toLong))
+      assert(evalDelayed(e).compute() == evalDirect(e), s"mismatch for seed $n: $e")
+    }
+  }
+
+  test("1024-leaf pairwise tree reduction (reference README.md:180-201)") {
+    val leaves = (1 to 1024).map(i => Delayed.value(i.toLong))
+    assert(Delayed.treeReduce(leaves)(_ + _).compute() == 1024L * 1025 / 2)
+  }
+
+  test("shared subgraphs evaluate exactly once under fan-out") {
+    val calls = new AtomicInteger(0)
+    val shared = Delayed { calls.incrementAndGet(); 21L }
+    val a = shared.map(_ * 2)
+    val b = shared.map(_ + 1)
+    assert(Delayed.computeAll(Seq(a, b)) == Seq(42L, 22L))
+    assert(calls.get() == 1, "fan-out must not recompute the shared node")
+  }
+
+  test("errors short-circuit dependents and keep their message") {
+    val boom = Delayed[Long] { throw new IllegalStateException("task exploded") }
+    val downstream = boom.map(_ + 1)
+    val e = intercept[IllegalStateException](downstream.compute())
+    assert(e.getMessage == "task exploded")
+  }
+
+  test("raw graph get(dsk, keys) with packed args and aliases") {
+    import DaskGraph._
+    val dsk = Map[String, Any](
+      "x" -> 1L,
+      "y" -> GraphTask(args => args(0).asInstanceOf[Long] + 10L, Seq("x")),
+      "alias" -> "y",
+      "z" -> GraphTask(args => args(0).asInstanceOf[Long] * args(1).asInstanceOf[Long], Seq("y", "w")),
+      "w" -> 3L)
+    assert(DaskGraph.get(dsk, Seq("z", "alias", "x")) == Seq(33L, 11L, 1L))
+  }
+
+  test("client: submit / map / gather / as_completed / scatter") {
+    val client = new Client(spark)
+    val fs = client.map(Seq(1, 2, 3, 4))(i => i * i)
+    assert(client.gather(fs) == Seq(1, 4, 9, 16))
+    assert(client.asCompleted(fs).map(_.get).toSet == Set(1, 4, 9, 16))
+    val b = client.scatter(Map("k" -> 7))
+    val used = spark.sparkContext.parallelize(1 to 4, 2).map(_ * b.value("k")).collect()
+    assert(used.toSeq == Seq(7, 14, 21, 28))
+    val bad = client.submit[Int] { throw new RuntimeException("remote failure") }
+    val err = intercept[RuntimeException](client.gather(Seq(bad)))
+    assert(err.getMessage == "remote failure")
+  }
+
+  test("delayed over Spark actions runs independent branches in parallel") {
+    val t0 = System.nanoTime()
+    val a = Delayed { Thread.sleep(300); 1 }
+    val b = Delayed { Thread.sleep(300); 2 }
+    assert(a.zip(b)(_ + _).compute() == 3)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 550, s"branches ran sequentially: $ms ms")
+  }
+}
