@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, TextOps}
+import graft.operators.{Relational, TextOps, TextSim, Similarity}
 import graft.array.ArrayQueries
 import graft.delayed.DelayedQueries
 
@@ -19,12 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextOps.queries ++ ArrayQueries.queries ++
-      DelayedQueries.queries
+    Relational.queries ++ TextOps.queries ++ TextSim.queries ++
+      Similarity.queries ++ ArrayQueries.queries ++ DelayedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextOps.oracles ++ ArrayQueries.oracles ++
-      DelayedQueries.oracles
+    Relational.oracles ++ TextOps.oracles ++ TextSim.oracles ++
+      Similarity.oracles ++ ArrayQueries.oracles ++ DelayedQueries.oracles
 }

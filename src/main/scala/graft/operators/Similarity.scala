@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * FLOAT[64], label) — SURVEY-mandated ANN for the training-data
+  * pipeline.
+  *
+  * Two paths:
+  *  - [[bruteKnn]]: exact cosine top-k. The query side is broadcast
+  *    (queries are small by definition); the corpus side streams — a
+  *    map-side nested loop, no shuffle of the corpus. The baseline.
+  *  - [[lshBuckets]] / [[annTopK]]: random-hyperplane LSH — each vector
+  *    hashed to a sign-bit bucket (map-only), candidates found by
+  *    equi-join on the bucket key. At 100 TB the candidate join touches
+  *    only same-bucket pairs (corpus shuffled once on a 4-byte key),
+  *    never the all-pairs product. The scale path.
+  *
+  * Cross-engine determinism: embeddings are quantized to integers
+  * (floor(x·1000 + 0.5)), so dot products and norms are exact integer
+  * sums in doubles (≤ 2^53) — order-independent and bit-equal to the
+  * DuckDB oracle; cosine is then a single deterministic double division.
+  * All arithmetic is array expressions (zip_with / aggregate) — codegen,
+  * no UDFs.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  val Scale = 1000
+  val NumPlanes = 8   // 256 buckets
+
+  /** Integer-quantized copy of a float embedding array. */
+  def quantize(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * Scale + 0.5).cast("long"))
+
+  private def dotInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic hyperplane weight: lcg over (plane, dim) in
+    * [-1000, 1000] — identical formula in the oracle SQL. */
+  private def planeWeight(p: Column, dim: Column): Column =
+    ((p * 64 + dim) * 1103515245L + 17L) % 2147483647L % 2001L - 1000L
+
+  /** Sign-bit LSH bucket (0..2^NumPlanes-1) for each vector: map-only. */
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    val q = quantize(col("embedding"))
+    val bucket = (0 until NumPlanes).map { p =>
+      // dot(w_p, q) over the 64 dims via an indexed transform
+      val dims = sequence(lit(0), lit(63))
+      val dot = aggregate(
+        zip_with(dims, q, (d, x) => planeWeight(lit(p), d) * x),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  /** Exact cosine top-k for a set of query vectors against the corpus.
+    * Queries broadcast; ranking by (cosine desc, vec_id) per query. */
+  def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("n_id"), quantize(col("embedding")).as("nv"))
+    val dot = dotInt(col("qv"), col("nv"))
+    val cos = dot.cast("double") /
+      (sqrt(dotInt(col("qv"), col("qv")).cast("double")) *
+       sqrt(dotInt(col("nv"), col("nv")).cast("double")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
+  /** Bucketed ANN: nearest same-bucket neighbor per vector by cosine.
+    * One map stage (bucket), one equi-join on bucket, per-bucket ranking. */
+  def annTopK(emb: DataFrame, k: Int): DataFrame = {
+    val withB = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .join(lshBuckets(emb), "vec_id")
+    val a = withB.select(col("bucket"), col("vec_id").as("q_id"), col("qv"))
+    val b = withB.select(col("bucket").as("b2"), col("vec_id").as("n_id"), col("qv").as("nv"))
+    val cos = dotInt(col("qv"), col("nv")).cast("double") /
+      (sqrt(dotInt(col("qv"), col("qv")).cast("double")) *
+       sqrt(dotInt(col("nv"), col("nv")).cast("double")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    a.join(b, col("bucket") === col("b2") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
+  // ---- driver-gate queries ----
+
+  /** e01: exact top-3 cosine neighbors for every 50th vector. */
+  def knnQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    bruteKnn(emb, emb.filter(col("vec_id") % 50 === 0), 3)
+  }
+
+  /** e02: LSH bucket assignment for every vector (exact oracle). */
+  def bucketsQuery(s: SparkSession, d: String): DataFrame =
+    lshBuckets(Tables.embeddings(s, d))
+
+  /** e03: nearest same-bucket neighbor per vector (exact oracle). */
+  def annQuery(s: SparkSession, d: String): DataFrame =
+    annTopK(Tables.embeddings(s, d), 1)
+
+  val queries: Map[String, Q] = Map(
+    "e01_knn_cosine"  -> (knnQuery _),
+    "e02_lsh_buckets" -> (bucketsQuery _),
+    "e03_ann_bucket"  -> (annQuery _),
+  )
+
+  private val quantSql =
+    """q AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+            FROM embeddings)"""
+
+  private val bucketSql =
+    """b AS (SELECT vec_id,
+              CAST(list_sum([CASE WHEN list_sum([(((p*64 + i)*1103515245 + 17) % 2147483647 % 2001 - 1000) * qv[i+1]
+                                                 for i in generate_series(0,63)]) > 0
+                             THEN (1::BIGINT << p) ELSE 0 END
+                             for p in generate_series(0,7)]) AS BIGINT) AS bucket
+            FROM q)"""
+
+  val oracles: Map[String, String] = Map(
+    "e01_knn_cosine" ->
+      s"""WITH $quantSql,
+          pairs AS (
+            SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                   CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+                   / (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE))
+                      * sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE))) AS cos
+            FROM q a JOIN q b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
+          SELECT q_id, n_id, rank FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM pairs) t
+          WHERE rank <= 3""",
+    "e02_lsh_buckets" ->
+      s"""WITH $quantSql, $bucketSql
+          SELECT vec_id, bucket FROM b""",
+    "e03_ann_bucket" ->
+      s"""WITH $quantSql, $bucketSql,
+          pairs AS (
+            SELECT qa.vec_id AS q_id, qb.vec_id AS n_id,
+                   CAST(list_dot_product(qa.qv, qb.qv) AS DOUBLE)
+                   / (sqrt(CAST(list_dot_product(qa.qv, qa.qv) AS DOUBLE))
+                      * sqrt(CAST(list_dot_product(qb.qv, qb.qv) AS DOUBLE))) AS cos
+            FROM b ba JOIN b bb ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
+            JOIN q qa ON qa.vec_id = ba.vec_id
+            JOIN q qb ON qb.vec_id = bb.vec_id)
+          SELECT q_id, n_id, rank FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM pairs) t
+          WHERE rank <= 1""",
+  )
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Fuzzy / near-duplicate deduplication for a training-data pipeline:
+  * MinHash signatures, banded LSH bucketing, SimHash fingerprints and
+  * exact n-gram Jaccard verification over the `documents` table.
+  *
+  * Everything is built from codegen'd column expressions (split /
+  * transform / aggregate / array_*) — no UDFs — so signature computation
+  * fuses into the parquet scan as a map-only stage. The only shuffles
+  * are the LSH bucket groupBy (16-byte band keys + ids, never the text)
+  * and the candidate self-join, which is the point of LSH: candidates
+  * come from equi-joins on band buckets, NEVER from an all-pairs product
+  * — the shape that survives 100 TB.
+  *
+  * Cross-engine-exact by construction: shingle hashing goes through
+  * md5 (first 15 hex digits as a 60-bit int) and the (a_k·h + b_k) mod P
+  * family in pure integer arithmetic, so every signature value matches
+  * the DuckDB oracle bit-for-bit.
+  */
+object TextSim {
+  type Q = (SparkSession, String) => DataFrame
+
+  val P = 2147483647L          // 2^31 - 1
+  val NumHashes = 16
+  val BandSize = 4             // 4 bands × 4 hashes
+  def NumBands: Int = NumHashes / BandSize
+
+  /** Normalized word array (lowercase, collapsed whitespace). */
+  def words(c: Column): Column = split(TextOps.normalize(c), " ")
+
+  /** Word 3-gram shingles; callers must filter size(words) >= 3 first
+    * (sequence(1, n) needs n >= 1; both engines agree on the guard). */
+  def shingles3(ws: Column): Column =
+    transform(sequence(lit(1), size(ws) - 2),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))
+
+  /** 60-bit integer hash of a string via md5 — identical in DuckDB as
+    * ('0x' || substr(md5(s),1,15))::BIGINT. */
+  def h64(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** k-th MinHash value: min over shingles of (a_k·(h mod P) + b_k) mod P. */
+  private def minhashK(shs: Column, k: Int): Column =
+    array_min(transform(shs,
+      s => (lit(1L + k * 104729L) * (h64(s) % P) + lit(12345L + k * 7919L)) % P))
+
+  /** Per-doc MinHash signature as an array column. */
+  def signature(shs: Column): Column =
+    array((0 until NumHashes).map(k => minhashK(shs, k)): _*)
+
+  /** docs → (doc_id, sig) for docs with >= 3 words. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    docs.select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), signature(shingles3(col("ws"))).as("sig"))
+  }
+
+  /** Banded LSH keys: md5 of each band's comma-joined signature slice. */
+  def bandKeys(sig: Column): Column =
+    array((0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until BandSize).map(i =>
+          element_at(sig, b * BandSize + i + 1).cast("string")): _*)).as("bucket"))
+    }: _*)
+
+  /** (band, bucket) groups holding >= 2 docs — the near-dup candidates. */
+  def lshBuckets(docs: DataFrame): DataFrame =
+    minhashSignatures(docs)
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+
+  /** Candidate pairs (a < b) sharing >= 1 LSH band, verified with exact
+    * 3-gram-set Jaccard counts. The join key is the band bucket — the
+    * candidate set is the union of small per-bucket products, never an
+    * all-pairs cross join. */
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), signature(shingles3(col("ws"))).as("sig"),
+              array_distinct(shingles3(col("ws"))).as("shset"))
+    val keyed = base.select(col("doc_id"), col("shset"),
+      explode(bandKeys(col("sig"))).as("bk"))
+    val a = keyed.select(col("bk").as("k"), col("doc_id").as("doc_a"), col("shset").as("sa"))
+    val b = keyed.select(col("bk").as("k"), col("doc_id").as("doc_b"), col("shset").as("sb"))
+    a.join(b, a("k") === b("k") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        size(array_union(col("sa"), col("sb"))).as("uni"))
+      .distinct()    // a pair may collide in several bands
+  }
+
+  /** 16-bit SimHash over word tokens: bit j set iff the sum of ±1 votes
+    * from token-hash bit j is positive. Computed per row with array
+    * expressions — map-only, no shuffle. */
+  def simhash(ws: Column): Column = {
+    val hs = transform(ws, t => h64(t))
+    val bits = (0 until 16).map { j =>
+      // shiftright, not `/`: Column division is floating-point and h has
+      // 60 significant bits — double division would corrupt low bits.
+      val votes = aggregate(hs, lit(0L),
+        (acc, h) => acc + when((shiftright(h, j) % 2L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  // ---- driver-gate queries ----
+
+  def minhashSigQuery(s: SparkSession, d: String): DataFrame =
+    minhashSignatures(Tables.documents(s, d))
+
+  def lshBucketsQuery(s: SparkSession, d: String): DataFrame =
+    lshBuckets(Tables.documents(s, d))
+
+  def nearDupQuery(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(Tables.documents(s, d))
+
+  def simhashQuery(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), simhash(col("ws")).as("simhash"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t06_minhash_sig"  -> (minhashSigQuery _),
+    "t07_lsh_buckets"  -> (lshBucketsQuery _),
+    "t08_simhash"      -> (simhashQuery _),
+    "t09_neardup_pairs" -> (nearDupQuery _),
+  )
+
+  private val sigSql =
+    """WITH d AS (
+         SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+         FROM documents),
+       sh AS (
+         SELECT doc_id, [ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                         for i in generate_series(1, len(ws)-2)] AS shs
+         FROM d WHERE len(ws) >= 3),
+       sig AS (
+         SELECT doc_id,
+                [list_min(list_transform(shs, s ->
+                   ((1+k*104729) * (('0x'||substr(md5(s),1,15))::BIGINT % 2147483647)
+                    + 12345+k*7919) % 2147483647))
+                 for k in generate_series(0,15)] AS sig
+         FROM sh)"""
+
+  val oracles: Map[String, String] = Map(
+    "t06_minhash_sig" -> (sigSql + "\nSELECT doc_id, sig FROM sig"),
+    "t07_lsh_buckets" -> (sigSql + """,
+       bands AS (
+         SELECT doc_id, b.range AS band,
+                md5(list_aggregate(list_transform(sig[b.range*4+1 : b.range*4+4],
+                     x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS bucket
+         FROM sig, range(4) b)
+       SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS min_doc
+       FROM bands GROUP BY 1, 2 HAVING count(*) >= 2"""),
+    "t08_simhash" -> """
+       WITH d AS (
+         SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ',[g_flag])),' ') AS ws
+         FROM documents),
+       hs AS (
+         SELECT doc_id, list_transform(ws, t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
+         FROM d WHERE len(ws) >= 1)
+       SELECT doc_id,
+              CAST(list_sum([CASE WHEN list_sum(list_transform(hs, h ->
+                     CASE WHEN (h // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN (1::BIGINT << j) ELSE 0 END
+                   for j in generate_series(0,15)]) AS BIGINT) AS simhash
+       FROM hs""".replace("[g_flag]", "'g'"),
+    "t09_neardup_pairs" -> (sigSql + """,
+       shset AS (
+         SELECT doc_id, list_distinct(shs) AS shset FROM sh),
+       bands AS (
+         SELECT doc_id, b.range AS band,
+                md5(list_aggregate(list_transform(sig[b.range*4+1 : b.range*4+4],
+                     x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS bucket
+         FROM sig, range(4) b)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              len(list_intersect(sa.shset, sb.shset)) AS inter,
+              len(list_distinct(list_concat(sa.shset, sb.shset))) AS uni
+       FROM bands a
+       JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       JOIN shset sa ON sa.doc_id = a.doc_id
+       JOIN shset sb ON sb.doc_id = b.doc_id"""),
+  )
+}
