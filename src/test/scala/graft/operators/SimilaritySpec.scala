@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral checks for the fuzzy-dedup and ANN operators — exact
+  * cross-engine equality is covered by the DuckDB gate; these verify the
+  * *semantics* (near-dups collide, ANN recalls true neighbors). */
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("minhash: near-duplicate docs share LSH bands, unrelated ones don't") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away tonight"), // near-dup of 1
+      (3L, "completely different content about spark distributed matrix computation engines"),
+    ).toDF("doc_id", "text")
+    val pairs = TextSim.nearDupPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "near-dups must be LSH candidates")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), "unrelated doc must not collide")
+  }
+
+  test("near-dup pair passes Jaccard verification with high similarity") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k z"),
+    ).toDF("doc_id", "text")
+    val row = TextSim.nearDupPairs(docs).collect()
+    if (row.nonEmpty) {
+      val r = row.head
+      val jac = r.getAs[Int]("inter").toDouble / r.getAs[Int]("uni")
+      assert(jac > 0.5, s"expected high jaccard, got $jac")
+    }
+  }
+
+  test("simhash: identical docs equal, near-dups within small hamming distance") {
+    val docs = Seq(
+      (1L, "spark executes distributed dataframe pipelines with catalyst optimization"),
+      (2L, "spark executes distributed dataframe pipelines with catalyst optimization"),
+      (3L, "spark executes distributed dataframe pipelines without catalyst optimization"),
+    ).toDF("doc_id", "text")
+    val hs = docs.select(col("doc_id"),
+        TextSim.simhash(TextSim.words(col("text"))).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(hs(1L) == hs(2L))
+    val hamming = java.lang.Long.bitCount(hs(1L) ^ hs(3L))
+    assert(hamming <= 6, s"near-dup hamming distance too large: $hamming")
+  }
+
+  test("brute kNN finds the planted nearest neighbor") {
+    val dim = 64
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => (graft.array.DMatrix.mixedUniform(seed, i, dim, 42L) - 0.5).toFloat)
+    val base = vec(1)
+    val nearDup = base.clone(); nearDup(0) += 0.01f
+    val corpus = (Seq((0L, base), (1L, nearDup)) ++
+      (2 to 20).map(i => (i.toLong, vec(i)))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteKnn(corpus, corpus.filter(col("vec_id") === 0), 1)
+      .as[(Long, Long, Int)].collect()
+    assert(out.head == ((0L, 1L, 1)), s"expected planted neighbor, got ${out.toSeq}")
+  }
+
+  test("ANN recalls most brute-force top-1 neighbors on clustered data") {
+    val dim = 64
+    // 10 clusters of 8 vectors: cluster center + small deterministic noise
+    val rows = for (c <- 0 until 10; m <- 0 until 8) yield {
+      val v = Array.tabulate(dim) { i =>
+        val center = (graft.array.DMatrix.mixedUniform(c, i, dim, 7L) - 0.5) * 2.0
+        (center + 0.02 * (graft.array.DMatrix.mixedUniform(c * 100 + m, i, dim, 11L) - 0.5)).toFloat
+      }
+      (c * 8L + m, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteKnn(emb, emb, 1)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    val ann = Similarity.annTopK(emb, 1)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    // same-cluster members collide in buckets; recall@1 vs brute force
+    val hits = ann.count { case (q, n) => brute.get(q).contains(n) }
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.8, s"ANN recall@1 too low: $recall (${ann.size} answered)")
+  }
+}
