@@ -1,7 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, TextOps, TextSim, Similarity}
+import graft.operators.{Relational, TextOps, TextSim, Similarity, Apply}
+import graft.core.IterativeQueries
+import graft.sources.Generators
+import graft.ml.Predict
 import graft.array.ArrayQueries
 import graft.delayed.DelayedQueries
 
@@ -20,11 +23,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ TextSim.queries ++
-      Similarity.queries ++ ArrayQueries.queries ++ DelayedQueries.queries
+      Similarity.queries ++ ArrayQueries.queries ++ DelayedQueries.queries ++
+      Apply.queries ++ Generators.queries ++ Predict.queries ++
+      IterativeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ TextSim.oracles ++
-      Similarity.oracles ++ ArrayQueries.oracles ++ DelayedQueries.oracles
+      Similarity.oracles ++ ArrayQueries.oracles ++ DelayedQueries.oracles ++
+      Apply.oracles ++ Generators.oracles ++ Predict.oracles ++
+      IterativeQueries.oracles
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Arbitrary-function operator surface (SURVEY.md §2.B2 map-partitions
+  * row / §2.B7): the rebuild of dask's `groupby(...).apply(f)` and
+  * `delayed(f)` custom callables
+  * (reference: SS/wukong/tests/test_collections.py:152-177).
+  *
+  * Three typed shapes, all of which keep Catalyst in charge of the
+  * shuffle and only hand the *per-group / per-partition* work to Scala:
+  *  - `groupByKey(...).mapGroups(f)` — apply-style: one imperative pass
+  *    per group, state bounded by the group;
+  *  - typed `Aggregator[IN, BUF, OUT]` — partial-aggregatable custom
+  *    reduction (map-side combine preserved, unlike mapGroups);
+  *  - `mapPartitions` — per-partition imperative logic (see
+  *    graft.ml.Predict for the broadcast-model scoring use).
+  */
+object Apply {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** groupby-apply: per customer, the second-highest order price, found
+    * with one imperative scan per group (no per-group sort — O(n) state
+    * of two values). Customers with a single order are dropped. */
+  def secondHighestOrder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (cust, rows) =>
+        // rank by (price desc, orderkey asc); track top-2 in one pass
+        var best: (Double, Long) = null
+        var second: (Double, Long) = null
+        def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+          b == null || a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+        rows.foreach { case (_, key, price) =>
+          val cand = (price, key)
+          if (beats(cand, best)) { second = best; best = cand }
+          else if (beats(cand, second)) second = cand
+        }
+        (cust, if (second == null) Double.NaN else second._1, second != null)
+      }
+      .filter(_._3)
+      .map(t => (t._1, t._2))
+      .toDF("o_custkey", "second_price")
+  }
+
+  /** Typed Aggregator (UDAF surface): exact per-priority spend stats in
+    * the integer-cents domain. Unlike mapGroups, an Aggregator keeps
+    * partial aggregation — the shuffle carries one (count, sum) pair per
+    * priority per map partition, not the rows. */
+  object SpendAgg extends Aggregator[(String, Long), (Long, Long), (Long, Long)] {
+    def zero: (Long, Long) = (0L, 0L)
+    def reduce(b: (Long, Long), a: (String, Long)): (Long, Long) = (b._1 + 1, b._2 + a._2)
+    def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) = (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Long, Long)): (Long, Long) = r
+    def bufferEncoder = Encoders.product[(Long, Long)]
+    def outputEncoder = Encoders.product[(Long, Long)]
+  }
+
+  def typedSpendStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(SpendAgg.toColumn.name("stats"))
+      .map { case (prio, (n, sum)) => (prio, n, sum) }
+      .toDF("o_orderpriority", "n_orders", "sum_cents")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "g01_groupby_apply" -> (secondHighestOrder _),
+    "g02_typed_agg"     -> (typedSpendStats _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g01_groupby_apply" ->
+      """SELECT o_custkey, o_totalprice AS second_price FROM (
+           SELECT o_custkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn = 2""",
+    "g02_typed_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders GROUP BY o_orderpriority""",
+  )
+}

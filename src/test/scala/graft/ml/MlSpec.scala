@@ -1,0 +1,64 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.sources.Generators
+import org.apache.spark.sql.functions._
+
+class MlSpec extends SparkSpec {
+
+  test("fitCents recovers a known linear relationship exactly") {
+    import spark.implicits._
+    // y = 3 + 2x with no noise, in whole units
+    val df = (1 to 100).map(i => (i.toDouble, 3.0 + 2.0 * i)).toDF("x", "y")
+    val m = Predict.fitCents(df, "x", "y")
+    // cents domain: yc = 300 + 2*xc
+    assert(math.abs(m.slope - 2.0) < 1e-9, s"slope ${m.slope}")
+    assert(math.abs(m.intercept - 300.0) < 1e-6, s"intercept ${m.intercept}")
+  }
+
+  test("broadcast predict scores every lineitem row") {
+    val out = Predict.predictLineitem(spark, sfDir)
+    val n = graft.core.Tables.lineitem(spark, sfDir).count()
+    assert(out.count() == n)
+    assert(out.filter(col("pred_cents").isNull).count() == 0)
+  }
+
+  test("generated classification data is deterministic and separable by its own rule") {
+    val a = Generators.makeClassification(spark, 1000, 8, seed = 3L)
+    val b = Generators.makeClassification(spark, 1000, 8, seed = 3L)
+    assert(a.select(sum(col("label"))).head.getDouble(0)
+        == b.select(sum(col("label"))).head.getDouble(0))
+    val frac = a.select(avg(col("label"))).head.getDouble(0)
+    assert(frac > 0.2 && frac < 0.8, s"degenerate label balance: $frac")
+  }
+
+  test("ml02: broadcast scorer reproduces the generator's ground truth") {
+    // the scorer uses the same hyperplane as the generator -> 100% accuracy;
+    // run at reduced n here (the 800k shape runs in the bench gate)
+    import spark.implicits._
+    val data = Generators.makeClassification(spark, 20000, 20, seed = 5L)
+    val w = Array.tabulate(20)(j => graft.array.DMatrix.mixedUniform(9999L, j, 20, 5L) - 0.5)
+    val bc = spark.sparkContext.broadcast(w)
+    val nCorrect = data.select(col("features"), col("label"))
+      .as[(Array[Double], Double)]
+      .mapPartitions { it =>
+        val ww = bc.value
+        it.map { case (x, label) =>
+          var dot = 0.0; var j = 0
+          while (j < ww.length) { dot += ww(j) * x(j); j += 1 }
+          if ((if (dot > 0) 1.0 else 0.0) == label) 1L else 0L
+        }
+      }.reduce(_ + _)
+    assert(nCorrect == 20000L)
+  }
+
+  test("timeseries generator: bounds, frequency and value domain") {
+    val ts = Generators.makeTimeseries(spark, 500, 946684800L, 7200L, 1L)
+    assert(ts.count() == 500)
+    val r = ts.agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))),
+                   min(col("value")), max(col("value"))).head()
+    assert(r.getLong(0) == 946684800L)
+    assert(r.getLong(1) == 946684800L + 499 * 7200L)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) < 1000.0)
+  }
+}
