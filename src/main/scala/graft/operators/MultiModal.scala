@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling for a training-data
+  * pipeline: opaque `binary` payloads + typed metadata, processed in
+  * batches with `mapPartitions` — the Scala analog of the mapInPandas
+  * batch-UDF shape.
+  *
+  * The actual codec work (JPEG decode, resampling, …) is STUBBED — this
+  * container has no media libraries — with a deterministic fake format:
+  * payload bytes are seeded LCG bytes whose header encodes width/height.
+  * Everything Spark-side is real and tested: binary column schema,
+  * batched partition processing, flatMap frame explosion (the UDTF
+  * shape), and feature extraction feeding the Similarity operators.
+  * Swapping `decodeHeader`/`frameChecksum` for a real codec changes no
+  * plan shape.
+  *
+  * At 100 TB the payloads dominate: every op here is a map-only stage
+  * over the asset rows (no shuffle of blobs); aggregates reduce only
+  * ids + small metadata.
+  */
+object MultiModal {
+  type Q = (SparkSession, String) => DataFrame
+
+  val Kinds = Seq("image", "audio", "video")
+
+  @inline private def lcgByte(idx: Long): Int =
+    (((idx * 1103515245L + 99L) % 2147483647L) % 256L).toInt
+
+  /** Deterministic synthetic assets: (asset_id, kind, payload BINARY).
+    * Byte t of asset i is lcgByte(i*64+t); length varies 64 + i%32. */
+  def synthesizeAssets(s: SparkSession, n: Long): DataFrame = {
+    import s.implicits._
+    s.range(n).map { i =>
+      val len = 64 + (i % 32).toInt
+      val bytes = Array.tabulate(len)(t => lcgByte(i * 64L + t).toByte)
+      (i, Kinds((i % 3).toInt), bytes)
+    }.toDF("asset_id", "kind", "payload")
+  }
+
+  /** STUB decode: parse "header" (width = b0·256+b1, height = b2·256+b3)
+    * from the payload — stands in for an image/audio codec. Batched via
+    * mapPartitions: a real codec would amortize per-batch init
+    * (library handles, GPU context) exactly here. */
+  def decodeMeta(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("asset_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-batch codec init would go here (once per partition)
+        it.map { case (id, kind, bytes) =>
+          def u(b: Byte): Int = b & 0xff
+          val width = u(bytes(0)) * 256 + u(bytes(1))
+          val height = u(bytes(2)) * 256 + u(bytes(3))
+          (id, kind, width, height, bytes.length.toLong)
+        }
+      }
+      .toDF("asset_id", "kind", "width", "height", "n_bytes")
+  }
+
+  /** STUB frame sampling (UDTF shape): every 16-byte window of a video
+    * payload is a "frame"; emit (asset_id, frame_idx, checksum) rows via
+    * flatMap — one asset explodes to many frames. */
+  def sampleFrames(assets: DataFrame, stride: Int = 16): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(col("kind") === "video")
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (0 until bytes.length / stride).iterator.map { f =>
+          var sum = 0L; var t = f * stride
+          while (t < (f + 1) * stride) { sum += (bytes(t) & 0xff); t += 1 }
+          (id, f, sum)
+        }
+      }
+      .toDF("asset_id", "frame_idx", "checksum")
+  }
+
+  /** Byte-histogram feature vector (16 coarse bins, L1-normalized to
+    * integer permille) — a real feature extractor over binary data whose
+    * output plugs into Similarity.bruteKnn/annTopK. */
+  def byteHistogram(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val h = new Array[Long](16)
+          var t = 0
+          while (t < bytes.length) { h((bytes(t) & 0xff) / 16) += 1; t += 1 }
+          val feats = h.map(c => (c * 1000L / bytes.length).toFloat)
+          (id, feats)
+        }
+      }
+      .toDF("asset_id", "embedding")
+  }
+
+  // ---- driver-gate queries (exact: LCG bytes are SQL arithmetic) ----
+
+  def decodeQuery(s: SparkSession, d: String): DataFrame =
+    decodeMeta(synthesizeAssets(s, 200))
+
+  def framesQuery(s: SparkSession, d: String): DataFrame =
+    sampleFrames(synthesizeAssets(s, 200))
+
+  val queries: Map[String, Q] = Map(
+    "mm01_decode_meta"  -> (decodeQuery _),
+    "mm02_frame_sample" -> (framesQuery _),
+  )
+
+  private val byteSql = "(((B)*1103515245+99)%2147483647)%256"
+
+  val oracles: Map[String, String] = Map(
+    "mm01_decode_meta" ->
+      s"""SELECT r.range AS asset_id,
+             ['image','audio','video'][CAST(r.range % 3 AS INT) + 1] AS kind,
+             CAST(${byteSql.replace("B", "r.range*64+0")} * 256
+                + ${byteSql.replace("B", "r.range*64+1")} AS INT) AS width,
+             CAST(${byteSql.replace("B", "r.range*64+2")} * 256
+                + ${byteSql.replace("B", "r.range*64+3")} AS INT) AS height,
+             64 + r.range % 32 AS n_bytes
+          FROM range(200) r""",
+    "mm02_frame_sample" ->
+      s"""WITH v AS (SELECT r.range AS asset_id, 64 + r.range % 32 AS len
+                     FROM range(200) r WHERE r.range % 3 = 2),
+          frames AS (SELECT asset_id, f.range AS frame_idx, len FROM v, range(6) f
+                     WHERE f.range < len // 16)
+          SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+                 CAST((SELECT sum(${byteSql.replace("B", "asset_id*64 + frame_idx*16 + t.range")})
+                       FROM range(16) t) AS BIGINT) AS checksum
+          FROM frames""",
+  )
+}

@@ -243,6 +243,40 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 
+  /** Set op: INTERSECT — customers in both segments' key ranges (the
+    * remaining §2.B2.12 member; hash-agg + shuffle like except). */
+  def intersectSegments(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment").isin("BUILDING", "MACHINERY")).select(col("c_custkey"))
+      .intersect(c.filter(col("c_acctbal") > 0.0).select(col("c_custkey")))
+  }
+
+  /** Full outer join of two aggregates: per-customer order count vs
+    * high-value order count — exercises null-completion on both sides. */
+  def fullOuterCounts(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val all = ord.groupBy(col("o_custkey").as("ck_all"))
+      .agg(count(lit(1)).as("n_all"))
+    val big = ord.filter(col("o_totalprice") > 250000.0)
+      .groupBy(col("o_custkey").as("ck_big"))
+      .agg(count(lit(1)).as("n_big"))
+    all.join(big, col("ck_all") === col("ck_big"), "full_outer")
+      .select(
+        coalesce(col("ck_all"), col("ck_big")).as("o_custkey"),
+        coalesce(col("n_all"), lit(0L)).as("n_all"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"))
+  }
+
+  /** Left outer join keeping customers without orders (null-extended),
+    * aggregated — the classic left-join shape. */
+  def leftJoinSpend(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           count(lit(1)).as("n_rows"),
+           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_project_filter"    -> (projectFilter _),
@@ -264,6 +298,9 @@ object Relational {
     "q18_props_extract"     -> (propsExtract _),
     "q19_set_index"         -> (setIndexByDate _),
     "q20_above_cust_avg"    -> (aboveCustomerAvg _),
+    "q21_intersect"         -> (intersectSegments _),
+    "q22_full_outer"        -> (fullOuterCounts _),
+    "q23_left_join_agg"     -> (leftJoinSpend _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -389,5 +426,21 @@ object Relational {
            FROM o GROUP BY o_custkey) a ON o_custkey = ck
          WHERE cents * n_ord > sum_cents
          ORDER BY o_orderkey""",
+    "q21_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+         INTERSECT
+         SELECT c_custkey FROM customer WHERE c_acctbal > 0.0""",
+    "q22_full_outer" ->
+      """SELECT coalesce(a.ck, b.ck) AS o_custkey,
+                coalesce(a.n_all, 0) AS n_all, coalesce(b.n_big, 0) AS n_big
+         FROM (SELECT o_custkey AS ck, count(*) AS n_all FROM orders GROUP BY 1) a
+         FULL OUTER JOIN (SELECT o_custkey AS ck, count(*) AS n_big FROM orders
+                          WHERE o_totalprice > 250000.0 GROUP BY 1) b
+           ON a.ck = b.ck""",
+    "q23_left_join_agg" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_orders, count(*) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment""",
   )
 }
