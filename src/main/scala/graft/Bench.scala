@@ -29,6 +29,7 @@ object Bench {
       .foreach(k => qs.get(k).foreach(fn => try runNoop(spark, fn, sfDir) catch { case _: Throwable => () }))
     val errors = scala.collection.mutable.Map[String, String]()
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.err.println(s"[bench] running $name")
       val t0 = System.nanoTime()
       try runNoop(spark, fn, sfDir)
       catch { case e: Throwable =>

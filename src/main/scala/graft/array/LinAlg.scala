@@ -70,11 +70,38 @@ object LinAlg {
     (new DMatrix(qBlocks, a.nRows, a.nCols, a.blockSize), r)
   }
 
+  /** Driver-side SVD of a small matrix with fallbacks: the pure-Java
+    * LAPACK dgesdd occasionally throws NotConverged on valid inputs —
+    * retry on the transpose, then fall back to the (very robust)
+    * symmetric eigendecomposition of MᵀM. */
+  private[array] def robustSvd(m: BDM[Double]): svd.SVD[BDM[Double], BDV[Double]] = {
+    try svd.reduced(m) catch {
+      case _: breeze.linalg.NotConvergedException =>
+        try {
+          val svd.SVD(u2, s2, vt2) = svd.reduced(m.t)
+          svd.SVD(vt2.t, s2, u2.t)
+        } catch {
+          case _: breeze.linalg.NotConvergedException =>
+            val gram = m.t * m
+            val es = breeze.linalg.eigSym(gram)
+            // eigSym returns ascending; SVD wants descending
+            val order = (0 until es.eigenvalues.length).sortBy(i => -es.eigenvalues(i))
+            val s = BDV(order.map(i => math.sqrt(math.max(0.0, es.eigenvalues(i)))).toArray)
+            val v = BDM.horzcat(order.map(i => es.eigenvectors(::, i).toDenseMatrix.t): _*)
+            val u = BDM.horzcat((0 until s.length).map { j =>
+              val col = if (s(j) > 1e-12) (m * v(::, j)) / s(j) else BDV.zeros[Double](m.rows)
+              col.toDenseMatrix.t
+            }: _*)
+            svd.SVD(u, s, v.t)
+        }
+    }
+  }
+
   /** Tall-skinny SVD: R = tsqr(A); svd(R) on the driver (n×n);
     * U = A·(V·S⁻¹) distributed. Returns (U, s, V). */
   def svdTallSkinny(a: DMatrix): (DMatrix, BDV[Double], BDM[Double]) = {
     val r = tsqr(a)
-    val svd.SVD(uR, s, vt) = svd.reduced(r)
+    val svd.SVD(uR, s, vt) = robustSvd(r)
     val v = vt.t
     // A · V · diag(1/s): one narrow map; guard tiny singular values.
     val vs = v.copy
@@ -131,7 +158,7 @@ object LinAlg {
       val piece = new BDM(l, cols, data)
       bLocal(::, bj * bs until bj * bs + cols) := piece
     }
-    val svd.SVD(uB, s, vt) = svd.reduced(bLocal)
+    val svd.SVD(uB, s, vt) = robustSvd(bLocal)
     val uBk = uB(::, 0 until k).copy              // l × k, broadcast in closure
     import spark.implicits._
     val uBlocks = q.blocks.map { b =>
@@ -155,6 +182,7 @@ object LinAlg {
     val spark = a.blocks.sparkSession
     val bs = a.blockSize
     val nb = a.nbRows
+    val nParts = math.max(2, math.min(spark.sparkContext.defaultParallelism, nb * nb))
     // keep only the lower triangle; key by (bi, bj)
     var state = a.blocks.rdd.filter(b => b.bi >= b.bj).map(b => ((b.bi, b.bj), b)).cache()
     var prev = state
@@ -177,9 +205,9 @@ object LinAlg {
       // A_ij -= L_ik · L_jkᵀ  for i >= j > k : join on i then on j
       val newTrailing = trailing
         .map { case ((bi, bj), b) => (bi, (bj, b)) }
-        .leftOuterJoin(panel)
+        .leftOuterJoin(panel, nParts)
         .map { case (bi, ((bj, b), likOpt)) => (bj, (bi, b, likOpt)) }
-        .leftOuterJoin(panel)
+        .leftOuterJoin(panel, nParts)
         .map { case (bj, ((bi, b, likOpt), ljkOpt)) =>
           (likOpt, ljkOpt) match {
             case (Some(lik), Some(ljk)) =>
@@ -189,7 +217,12 @@ object LinAlg {
           }
         }
       val kk = ((k, k), diag.copy(data = lkk.data))
-      var next = doneOrPanel.union(newTrailing).union(spark.sparkContext.parallelize(Seq(kk)))
+      // coalesce: unions accumulate partitions every iteration (three
+      // parents each step) — unchecked, a 32-step factorization schedules
+      // thousands of near-empty tasks per job.
+      var next = doneOrPanel.union(newTrailing)
+        .union(spark.sparkContext.parallelize(Seq(kk), 1))
+        .coalesce(nParts)
       if ((k + 1) % checkpointEvery == 0) next.localCheckpoint()
       next = next.cache()
       next.count()                 // materialize before dropping the parent

@@ -98,17 +98,17 @@ object Similarity {
 
   /** e01: exact top-3 cosine neighbors for every 50th vector. */
   def knnQuery(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+    val emb = TextSim.spread(Tables.embeddings(s, d))
     bruteKnn(emb, emb.filter(col("vec_id") % 50 === 0), 3)
   }
 
   /** e02: LSH bucket assignment for every vector (exact oracle). */
   def bucketsQuery(s: SparkSession, d: String): DataFrame =
-    lshBuckets(Tables.embeddings(s, d))
+    lshBuckets(TextSim.spread(Tables.embeddings(s, d)))
 
   /** e03: nearest same-bucket neighbor per vector (exact oracle). */
   def annQuery(s: SparkSession, d: String): DataFrame =
-    annTopK(Tables.embeddings(s, d), 1)
+    annTopK(TextSim.spread(Tables.embeddings(s, d)), 1)
 
   val queries: Map[String, Q] = Map(
     "e01_knn_cosine"  -> (knnQuery _),

@@ -29,6 +29,16 @@ object TextSim {
   val BandSize = 4             // 4 bands × 4 hashes
   def NumBands: Int = NumHashes / BandSize
 
+  /** Spread a narrow scan across the cluster when the source has fewer
+    * splits than cores — the hash/signature work below is CPU-bound per
+    * row, and a small-file corpus (one parquet split) would otherwise
+    * pin it to one core. At warehouse scale the input has thousands of
+    * splits and this is a no-op (no shuffle added). */
+  def spread(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+  }
+
   /** Normalized word array (lowercase, collapsed whitespace). */
   def words(c: Column): Column = split(TextOps.normalize(c), " ")
 
@@ -42,21 +52,29 @@ object TextSim {
     * ('0x' || substr(md5(s),1,15))::BIGINT. */
   def h64(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** k-th MinHash value: min over shingles of (a_k·(h mod P) + b_k) mod P. */
-  private def minhashK(shs: Column, k: Int): Column =
-    array_min(transform(shs,
-      s => (lit(1L + k * 104729L) * (h64(s) % P) + lit(12345L + k * 7919L)) % P))
+  /** k-th MinHash value over PRE-HASHED shingles: min of
+    * (a_k·h + b_k) mod P — pure integer arithmetic. */
+  private def minhashK(hs: Column, k: Int): Column =
+    array_min(transform(hs,
+      h => (lit(1L + k * 104729L) * h + lit(12345L + k * 7919L)) % P))
 
-  /** Per-doc MinHash signature as an array column. */
-  def signature(shs: Column): Column =
-    array((0 until NumHashes).map(k => minhashK(shs, k)): _*)
+  /** Signature from pre-hashed shingles (see [[minhashSignatures]]). */
+  def signature(hs: Column): Column =
+    array((0 until NumHashes).map(k => minhashK(hs, k)): _*)
 
-  /** docs → (doc_id, sig) for docs with >= 3 words. */
+  /** docs → (doc_id, sig) for docs with >= 3 words.
+    *
+    * The md5 hash runs ONCE per shingle in its own projection stage
+    * (`hs`); the 16 hash-family mins then reuse the integer array.
+    * Folding h64 into each min would md5 every shingle 16× — measured
+    * 3.5× slower on the sf0.1 bench. Catalyst keeps the stages separate
+    * (CollapseProject refuses to duplicate non-cheap expressions). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
     docs.select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), signature(shingles3(col("ws"))).as("sig"))
+      .select(col("doc_id"), transform(shingles3(col("ws")), s => h64(s) % P).as("hs"))
+      .select(col("doc_id"), signature(col("hs")).as("sig"))
   }
 
   /** Banded LSH keys: md5 of each band's comma-joined signature slice. */
@@ -82,8 +100,10 @@ object TextSim {
   def nearDupPairs(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), signature(shingles3(col("ws"))).as("sig"),
-              array_distinct(shingles3(col("ws"))).as("shset"))
+      .select(col("doc_id"), shingles3(col("ws")).as("shs"))
+      .select(col("doc_id"), transform(col("shs"), s => h64(s) % P).as("hs"),
+              array_distinct(col("shs")).as("shset"))
+      .select(col("doc_id"), signature(col("hs")).as("sig"), col("shset"))
     val keyed = base.select(col("doc_id"), col("shset"),
       explode(bandKeys(col("sig"))).as("bk"))
     val a = keyed.select(col("bk").as("k"), col("doc_id").as("doc_a"), col("shset").as("sa"))
@@ -98,8 +118,10 @@ object TextSim {
   /** 16-bit SimHash over word tokens: bit j set iff the sum of ±1 votes
     * from token-hash bit j is positive. Computed per row with array
     * expressions — map-only, no shuffle. */
-  def simhash(ws: Column): Column = {
-    val hs = transform(ws, t => h64(t))
+  /** SimHash bits from a PRE-HASHED token array (see simhashQuery: the
+    * md5 pass runs once in its own projection; 16 bit-vote aggregates
+    * then reuse the integer array). */
+  def simhash(hs: Column): Column = {
     val bits = (0 until 16).map { j =>
       // shiftright, not `/`: Column division is floating-point and h has
       // 60 significant bits — double division would corrupt low bits.
@@ -113,20 +135,21 @@ object TextSim {
   // ---- driver-gate queries ----
 
   def minhashSigQuery(s: SparkSession, d: String): DataFrame =
-    minhashSignatures(Tables.documents(s, d))
+    minhashSignatures(spread(Tables.documents(s, d)))
 
   def lshBucketsQuery(s: SparkSession, d: String): DataFrame =
-    lshBuckets(Tables.documents(s, d))
+    lshBuckets(spread(Tables.documents(s, d)))
 
   def nearDupQuery(s: SparkSession, d: String): DataFrame =
-    nearDupPairs(Tables.documents(s, d))
+    nearDupPairs(spread(Tables.documents(s, d)))
 
   def simhashQuery(s: SparkSession, d: String): DataFrame = {
     val ws = words(col("text"))
-    Tables.documents(s, d)
+    spread(Tables.documents(s, d))
       .select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= 1)
-      .select(col("doc_id"), simhash(col("ws")).as("simhash"))
+      .select(col("doc_id"), transform(col("ws"), t => h64(t)).as("hs"))
+      .select(col("doc_id"), simhash(col("hs")).as("simhash"))
   }
 
   val queries: Map[String, Q] = Map(

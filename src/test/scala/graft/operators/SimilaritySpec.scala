@@ -42,7 +42,7 @@ class SimilaritySpec extends SparkSpec {
       (3L, "spark executes distributed dataframe pipelines without catalyst optimization"),
     ).toDF("doc_id", "text")
     val hs = docs.select(col("doc_id"),
-        TextSim.simhash(TextSim.words(col("text"))).as("sh"))
+        TextSim.simhash(transform(TextSim.words(col("text")), t => TextSim.h64(t))).as("sh"))
       .as[(Long, Long)].collect().toMap
     assert(hs(1L) == hs(2L))
     val hamming = java.lang.Long.bitCount(hs(1L) ^ hs(3L))
