@@ -98,21 +98,49 @@ object TextSim {
     * candidate set is the union of small per-bucket products, never an
     * all-pairs cross join. */
   def nearDupPairs(docs: DataFrame): DataFrame = {
+    // The hash/signature pipeline feeds FOUR plan branches (two candidate
+    // sides + two shingle-set joins); without pinning, Spark recomputes
+    // the md5 pass per branch (measured 4× the cost). Persist once, let
+    // the joins read the cache, checkpoint the (small) pair list, release.
     val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), shingles3(col("ws")).as("shs"))
       .select(col("doc_id"), transform(col("shs"), s => h64(s) % P).as("hs"),
               array_distinct(col("shs")).as("shset"))
-      .select(col("doc_id"), signature(col("hs")).as("sig"), col("shset"))
-    val keyed = base.select(col("doc_id"), col("shset"),
-      explode(bandKeys(col("sig"))).as("bk"))
-    val a = keyed.select(col("bk").as("k"), col("doc_id").as("doc_a"), col("shset").as("sa"))
-    val b = keyed.select(col("bk").as("k"), col("doc_id").as("doc_b"), col("shset").as("sb"))
-    a.join(b, a("k") === b("k") && col("doc_a") < col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bands is also pinned: it feeds both self-join sides, and its
+    // signature expression is heavy to regenerate (16 hash-min lambdas —
+    // recomputation would also recompile the codegen stage twice)
+    val bands = base.select(col("doc_id"), explode(bandKeys(signature(col("hs")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Shuffle discipline (the part that survives 100 TB):
+    //  1. only (band-key, doc_id) flows through the candidate self-join —
+    //     never the text or shingle arrays;
+    //  2. pairs are DISTINCT'd before verification: the Jaccard work runs
+    //     once per pair (not once per colliding band) and a hot bucket's
+    //     quadratic pair list is re-partitioned across the cluster
+    //     instead of burning inside one bucket-keyed task;
+    //  3. shingle sets join back per side on doc_id (well-distributed),
+    //     so each doc's array ships once per side.
+    val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band").as("band2"), col("bucket").as("bucket2"),
+                         col("doc_id").as("doc_b")),
+            col("band") === col("band2") && col("bucket") === col("bucket2") &&
+              col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val shsets = base.select(col("doc_id"), col("shset"))
+    val out = cand
+      .join(shsets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), "doc_a")
+      .join(shsets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa"), col("sb"))).as("inter"),
         size(array_union(col("sa"), col("sb"))).as("uni"))
-      .distinct()    // a pair may collide in several bands
+      .localCheckpoint(true)   // materialize the pair list (small vs corpus)
+    base.unpersist(false)
+    bands.unpersist(false)
+    out
   }
 
   /** 16-bit SimHash over word tokens: bit j set iff the sum of ±1 votes
