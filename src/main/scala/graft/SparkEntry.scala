@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Relational, TextOps, TextSim, Similarity, Apply, MultiModal}
 import graft.core.IterativeQueries
-import graft.sources.Generators
+import graft.sources.{Generators, FileFormats}
 import graft.ml.Predict
 import graft.array.ArrayQueries
 import graft.delayed.DelayedQueries
@@ -25,7 +25,7 @@ object SparkEntry {
     Relational.queries ++ TextOps.queries ++ TextSim.queries ++
       Similarity.queries ++ ArrayQueries.queries ++ DelayedQueries.queries ++
       Apply.queries ++ Generators.queries ++ Predict.queries ++
-      IterativeQueries.queries ++ MultiModal.queries
+      IterativeQueries.queries ++ MultiModal.queries ++ FileFormats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
     Relational.oracles ++ TextOps.oracles ++ TextSim.oracles ++
       Similarity.oracles ++ ArrayQueries.oracles ++ DelayedQueries.oracles ++
       Apply.oracles ++ Generators.oracles ++ Predict.oracles ++
-      IterativeQueries.oracles ++ MultiModal.oracles
+      IterativeQueries.oracles ++ MultiModal.oracles ++ FileFormats.oracles
 }

@@ -25,12 +25,25 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 
+  /** Breeze/netlib static initialization is forced once, single-threaded,
+    * before any parallel linalg tasks: 32 tasks racing the netlib
+    * InstanceBuilder class init intermittently deadlocked treeAggregate
+    * stages in local mode. */
+  private lazy val breezeWarm: Unit = {
+    import breeze.linalg.{DenseMatrix, qr, svd, cholesky}
+    val m = DenseMatrix.tabulate(4, 3)((i, j) => (i * 3 + j + 1).toDouble)
+    qr.reduced(m); svd.reduced(m)
+    cholesky(m.t * m + DenseMatrix.eye[Double](3) * 100.0)
+    ()
+  }
+
   /** Local session sized from SPARK_GRAFT_CPUS (default 32, matching the
     * harness). */
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    breezeWarm
     s
   }
 }

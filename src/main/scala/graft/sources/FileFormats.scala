@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** File-format parity — SURVEY.md §2.B1.9: the reference ships protocol
+  * handlers for external formats (h5py/netcdf/arrow) though its repo
+  * generates inputs; the rebuild's parity surface is parquet (primary,
+  * exercised by every gate query) plus csv and json round-trips.
+  *
+  * Round-trip shape: project to exact integer columns (doubles don't
+  * survive text serialization bit-exactly), write csv/json, read back
+  * with an explicit schema, aggregate. The oracle aggregates the source
+  * parquet directly — equality proves the format path is lossless. */
+object FileFormats {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def centsOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+
+  private def profile(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n"),
+           sum(col("cents")).as("sum_cents"),
+           sum(col("o_orderkey")).as("sum_keys"),
+           countDistinct(col("o_custkey")).as("n_cust"))
+
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    centsOrders(s, d).write.mode("overwrite").option("header", "true").csv(tmp)
+    profile(s.read.option("header", "true")
+      .schema("o_orderkey LONG, o_custkey LONG, cents LONG").csv(tmp))
+  }
+
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    centsOrders(s, d).write.mode("overwrite").json(tmp)
+    profile(s.read.schema("o_orderkey LONG, o_custkey LONG, cents LONG").json(tmp))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "src01_csv_roundtrip"  -> (csvRoundtrip _),
+    "src02_json_roundtrip" -> (jsonRoundtrip _),
+  )
+
+  private val oracle =
+    """SELECT count(*) AS n,
+              CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+              CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+              count(DISTINCT o_custkey) AS n_cust
+       FROM orders"""
+
+  val oracles: Map[String, String] = Map(
+    "src01_csv_roundtrip"  -> oracle,
+    "src02_json_roundtrip" -> oracle,
+  )
+}
