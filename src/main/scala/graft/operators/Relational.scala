@@ -243,6 +243,23 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 
+  /** Time-based rolling window (the dd.rolling('1h') variant of q08):
+    * per-user trailing-1-hour event count and sum via a RANGE frame over
+    * epoch seconds — state bounded by the time span, partitioned by a
+    * high-cardinality key. */
+  def rangeWindowPerUser(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+              unix_timestamp(col("ts")).as("epoch"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("cents")).over(w))
+      .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+  }
+
   /** Set op: INTERSECT — customers in both segments' key ranges (the
     * remaining §2.B2.12 member; hash-agg + shuffle like except). */
   def intersectSegments(s: SparkSession, d: String): DataFrame = {
@@ -301,6 +318,7 @@ object Relational {
     "q21_intersect"         -> (intersectSegments _),
     "q22_full_outer"        -> (fullOuterCounts _),
     "q23_left_join_agg"     -> (leftJoinSpend _),
+    "q24_range_window"      -> (rangeWindowPerUser _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -442,5 +460,13 @@ object Relational {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
          GROUP BY c_mktsegment""",
+    "q24_range_window" ->
+      """SELECT event_id, user_id,
+                count(*) OVER w AS n_1h,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS sum_1h
+         FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value
+               FROM events) t
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
   )
 }

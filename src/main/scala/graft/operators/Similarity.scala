@@ -77,21 +77,28 @@ object Similarity {
   }
 
   /** Bucketed ANN: nearest same-bucket neighbor per vector by cosine.
-    * One map stage (bucket), one equi-join on bucket, per-bucket ranking. */
+    * One map stage (bucket), one equi-join on bucket, per-bucket ranking.
+    * The (vec, bucket) frame feeds both join sides, so it is pinned —
+    * otherwise the quantize + 8-hyperplane bucket pipeline recomputes
+    * (and recompiles) per branch. */
   def annTopK(emb: DataFrame, k: Int): DataFrame = {
     val withB = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .join(lshBuckets(emb), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withB.select(col("bucket"), col("vec_id").as("q_id"), col("qv"))
     val b = withB.select(col("bucket").as("b2"), col("vec_id").as("n_id"), col("qv").as("nv"))
     val cos = dotInt(col("qv"), col("nv")).cast("double") /
       (sqrt(dotInt(col("qv"), col("qv")).cast("double")) *
        sqrt(dotInt(col("nv"), col("nv")).cast("double")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    a.join(b, col("bucket") === col("b2") && col("q_id") =!= col("n_id"))
+    val out = a.join(b, col("bucket") === col("b2") && col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), cos.as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"))
+      .localCheckpoint(true)
+    withB.unpersist(false)
+    out
   }
 
   // ---- driver-gate queries ----
