@@ -18,6 +18,7 @@ object GraftSession {
   def builder(master: String, cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      .withExtensions(graft.functions.ArrayDotLong.register)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -36,8 +36,11 @@ object Similarity {
   def quantize(c: Column): Column =
     transform(c, x => floor(x.cast("double") * Scale + 0.5).cast("long"))
 
+  /** Native fused kernel (graft.functions.ArrayDotLong): one codegen'd
+    * loop, no intermediate array — vs `aggregate(zip_with(...))` which
+    * allocates a products array per row and runs two lambdas. */
   private def dotInt(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.ArrayDotLong.dotLong(a, b)
 
   /** Deterministic hyperplane weight: lcg over (plane, dim) in
     * [-1000, 1000] — identical formula in the oracle SQL. */
