@@ -110,8 +110,12 @@ object TextSim {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bands is also pinned: it feeds both self-join sides, and its
     // signature expression is heavy to regenerate (16 hash-min lambdas —
-    // recomputation would also recompile the codegen stage twice)
-    val bands = base.select(col("doc_id"), explode(bandKeys(signature(col("hs")))).as("bk"))
+    // recomputation would also recompile the codegen stage twice).
+    // sig gets its own projection first: bandKeys reads the signature 16
+    // times, and passing the signature EXPRESSION would inline all 16
+    // hash-mins per read (256 array-min lambdas of generated code).
+    val bands = base.select(col("doc_id"), signature(col("hs")).as("sig"))
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Shuffle discipline (the part that survives 100 TB):
