@@ -118,6 +118,11 @@ object TextSim {
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize eagerly: left lazy, the four cache-reading branches race
+    // cache population inside one job and AQE plans the self-join with
+    // unknown stats (observed bimodal 2s-vs-30s runs). One count fills
+    // base+bands; the joins then plan against real cached sizes.
+    bands.count()
     // Shuffle discipline (the part that survives 100 TB):
     //  1. only (band-key, doc_id) flows through the candidate self-join —
     //     never the text or shingle arrays;
