@@ -29,8 +29,10 @@ object LinAlg {
     qr.reduced(stacked).r
   }
 
-  private def triOf(m: BDM[Double]): BDM[Double] =
-    if (m.rows <= m.cols) m else qr.reduced(m).r
+  /** Always QR — even when rows <= cols (a whole matrix fitting one
+    * short/wide block): returning the raw block there would violate the
+    * triangular-R contract that fixSigns and qrFactor assume. */
+  private def triOf(m: BDM[Double]): BDM[Double] = qr.reduced(m).r
 
   /** Flip R's row signs so the diagonal is non-negative — makes the
     * factor unique regardless of partitioning / reduction order. */

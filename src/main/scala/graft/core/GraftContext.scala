@@ -56,6 +56,8 @@ final class GraftContext(val spark: SparkSession) {
       cur.unpersist(false)
       cur = next
     }
+    pinned += cur   // released by stop() — the final frame stays pinned
+                    // only for the session's lifetime, not the JVM's
     cur
   }
 

@@ -30,7 +30,7 @@ object GraftSession {
     * before any parallel linalg tasks: 32 tasks racing the netlib
     * InstanceBuilder class init intermittently deadlocked treeAggregate
     * stages in local mode. */
-  private lazy val breezeWarm: Unit = {
+  lazy val breezeWarm: Unit = {
     import breeze.linalg.{DenseMatrix, qr, svd, cholesky}
     val m = DenseMatrix.tabulate(4, 3)((i, j) => (i * 3 + j + 1).toDouble)
     qr.reduced(m); svd.reduced(m)

@@ -29,15 +29,21 @@ object Predict {
     * (order-independent ⇒ identical coefficients on any cluster layout
     * or engine). One aggregation job over the data. */
   def fitCents(df: DataFrame, xCol: String, yCol: String): LinearModel = {
+    // sxx/sxy accumulate in DECIMAL(38,0): per-row cents products reach
+    // ~5e10, so a LongType sum silently wraps around sf>=200 under
+    // non-ANSI Spark (the DuckDB oracle promotes to HUGEINT) — the
+    // decimal path keeps the closed-form solve exact at warehouse scale.
+    val xd = col("x").cast("decimal(19,0)")
+    val yd = col("y").cast("decimal(19,0)")
     val r = df.select(
         round(col(xCol) * 100).cast("long").as("x"),
         round(col(yCol) * 100).cast("long").as("y"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-           sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+           sum(xd * xd).as("sxx"), sum(xd * yd).as("sxy"))
       .head()
     val n = r.getLong(0).toDouble
     val sx = r.getLong(1).toDouble; val sy = r.getLong(2).toDouble
-    val sxx = r.getLong(3).toDouble; val sxy = r.getLong(4).toDouble
+    val sxx = r.getDecimal(3).doubleValue(); val sxy = r.getDecimal(4).doubleValue()
     val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     val intercept = (sy - slope * sx) / n
     LinearModel(intercept, slope)

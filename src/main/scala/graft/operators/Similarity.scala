@@ -30,7 +30,23 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
   val Scale = 1000
-  val NumPlanes = 8   // 256 buckets
+
+  /** Default hyperplane count (256 buckets) — what the sf-fixture gate
+    * oracles pin. NOT a scale constant: see [[numPlanesFor]]. */
+  val DefaultPlanes = 8
+
+  /** Plane count scaled to corpus size: the per-bucket self-join costs
+    * O(occupancy²) per bucket, so planes must grow with N to keep
+    * occupancy ≈ N/2^planes bounded. planes = ceil(log2(N/target)),
+    * floored at [[DefaultPlanes]] and capped at 30 (Long bucket ids).
+    * A warehouse-scale corpus (N=1e9, target 4096) gets 18 planes /
+    * 262k buckets — candidate work stays ~N·occupancy instead of the
+    * fixed-256-bucket (N/256)² scale-killer. */
+  def numPlanesFor(n: Long, targetOccupancy: Long = 4096L): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.min(30, math.max(DefaultPlanes, needed))
+  }
 
   /** Integer-quantized copy of a float embedding array. */
   def quantize(c: Column): Column =
@@ -47,10 +63,10 @@ object Similarity {
   private def planeWeight(p: Column, dim: Column): Column =
     ((p * 64 + dim) * 1103515245L + 17L) % 2147483647L % 2001L - 1000L
 
-  /** Sign-bit LSH bucket (0..2^NumPlanes-1) for each vector: map-only. */
-  def lshBuckets(emb: DataFrame): DataFrame = {
+  /** Sign-bit LSH bucket (0..2^numPlanes-1) for each vector: map-only. */
+  def lshBuckets(emb: DataFrame, numPlanes: Int = DefaultPlanes): DataFrame = {
     val q = quantize(col("embedding"))
-    val bucket = (0 until NumPlanes).map { p =>
+    val bucket = (0 until numPlanes).map { p =>
       // dot(w_p, q) over the 64 dims via an indexed transform
       val dims = sequence(lit(0), lit(63))
       val dot = aggregate(
@@ -84,9 +100,9 @@ object Similarity {
     * The (vec, bucket) frame feeds both join sides, so it is pinned —
     * otherwise the quantize + 8-hyperplane bucket pipeline recomputes
     * (and recompiles) per branch. */
-  def annTopK(emb: DataFrame, k: Int): DataFrame = {
+  def annTopK(emb: DataFrame, k: Int, numPlanes: Int = DefaultPlanes): DataFrame = {
     val withB = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-      .join(lshBuckets(emb), "vec_id")
+      .join(lshBuckets(emb, numPlanes), "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withB.select(col("bucket"), col("vec_id").as("q_id"), col("qv"))
     val b = withB.select(col("bucket").as("b2"), col("vec_id").as("n_id"), col("qv").as("nv"))

@@ -85,9 +85,17 @@ object TextSim {
           element_at(sig, b * BandSize + i + 1).cast("string")): _*)).as("bucket"))
     }: _*)
 
-  /** (band, bucket) groups holding >= 2 docs — the near-dup candidates. */
+  /** (band, bucket) groups holding >= 2 docs — the near-dup candidates.
+    *
+    * The signature frame is materialized (localCheckpoint) before the
+    * band-key expansion: bandKeys reads `sig` 16 times, and without a
+    * hard barrier Catalyst inlines the whole 16-hash-min signature
+    * expression into every read (256 array-min lambdas of generated
+    * code — measured >3× the staged cost; the same duplication
+    * nearDupPairs avoids by pinning). The checkpoint holds only
+    * (doc_id, 16 longs) — negligible vs the corpus at any scale. */
   def lshBuckets(docs: DataFrame): DataFrame =
-    minhashSignatures(docs)
+    minhashSignatures(docs).localCheckpoint(true)
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
@@ -171,8 +179,13 @@ object TextSim {
 
   // ---- driver-gate queries ----
 
+  /** t06 emits the signature EXPLODED to (doc_id, k, sig_k) rows: the
+    * driver gate sorts rows with pandas, which cannot order an
+    * array<bigint> column (r02: "unhashable type: numpy.ndarray"). The
+    * exploded form is scalar-only and checks every signature value. */
   def minhashSigQuery(s: SparkSession, d: String): DataFrame =
     minhashSignatures(spread(Tables.documents(s, d)))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "sig_k")))
 
   def lshBucketsQuery(s: SparkSession, d: String): DataFrame =
     lshBuckets(spread(Tables.documents(s, d)))
@@ -213,7 +226,8 @@ object TextSim {
          FROM sh)"""
 
   val oracles: Map[String, String] = Map(
-    "t06_minhash_sig" -> (sigSql + "\nSELECT doc_id, sig FROM sig"),
+    "t06_minhash_sig" -> (sigSql +
+      "\nSELECT doc_id, k.range AS k, sig[k.range + 1] AS sig_k FROM sig, range(16) k"),
     "t07_lsh_buckets" -> (sigSql + """,
        bands AS (
          SELECT doc_id, b.range AS band,

@@ -27,15 +27,23 @@ object FileFormats {
            sum(col("o_orderkey")).as("sum_keys"),
            countDistinct(col("o_custkey")).as("n_cust"))
 
+  /** Fixed per-format scratch path, overwritten on every call — repeated
+    * bench/verify runs reuse the same directory instead of leaking one
+    * temp copy of the projection per invocation. Driver-local /tmp is a
+    * single-JVM (local-mode) convenience; on a real cluster this would
+    * be a shared-FS / object-store staging path. */
+  private def scratch(kind: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_scratch/$kind"
+
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val tmp = scratch("csv")
     centsOrders(s, d).write.mode("overwrite").option("header", "true").csv(tmp)
     profile(s.read.option("header", "true")
       .schema("o_orderkey LONG, o_custkey LONG, cents LONG").csv(tmp))
   }
 
   def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val tmp = scratch("json")
     centsOrders(s, d).write.mode("overwrite").json(tmp)
     profile(s.read.schema("o_orderkey LONG, o_custkey LONG, cents LONG").json(tmp))
   }

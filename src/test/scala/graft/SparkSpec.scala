@@ -15,6 +15,10 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = graft.core.GraftSession.builder("local[4]", "4").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // same single-threaded netlib class init the bench/verify sessions
+    // get — parallel linalg tasks racing the netlib InstanceBuilder
+    // static init intermittently deadlocked local-mode stages.
+    graft.core.GraftSession.breezeWarm
     s
   }
 }

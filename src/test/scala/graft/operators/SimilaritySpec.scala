@@ -82,4 +82,38 @@ class SimilaritySpec extends SparkSpec {
     val recall = hits.toDouble / brute.size
     assert(recall >= 0.8, s"ANN recall@1 too low: $recall (${ann.size} answered)")
   }
+
+  test("ANN bucket count scales with corpus size (bounded occupancy)") {
+    // the design knob that survives 100 TB: planes grow log2 with N so
+    // per-bucket self-join occupancy stays ~targetOccupancy
+    assert(Similarity.numPlanesFor(5000L) == Similarity.DefaultPlanes)
+    assert(Similarity.numPlanesFor(10_000_000L) == 12)    // ~4096/bucket
+    assert(Similarity.numPlanesFor(1_000_000_000L) == 18)
+    assert(Similarity.numPlanesFor(Long.MaxValue) == 30)  // Long-bucket cap
+    val n10m = Similarity.numPlanesFor(10_000_000L)
+    assert((10_000_000.0 / (1L << n10m)) <= 4096.0)
+    // monotone non-decreasing in N
+    val pts = Seq(1L, 1000L, 1_000_000L, 1_000_000_000L, 1_000_000_000_000L)
+      .map(Similarity.numPlanesFor(_))
+    assert(pts == pts.sorted)
+  }
+
+  test("ANN with a larger plane count still recalls clustered neighbors") {
+    val dim = 64
+    val rows = for (c <- 0 until 6; m <- 0 until 6) yield {
+      val v = Array.tabulate(dim) { i =>
+        val center = (graft.array.DMatrix.mixedUniform(c, i, dim, 7L) - 0.5) * 2.0
+        (center + 0.02 * (graft.array.DMatrix.mixedUniform(c * 100 + m, i, dim, 11L) - 0.5)).toFloat
+      }
+      (c * 6L + m, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val ann = Similarity.annTopK(emb, 1, numPlanes = 12)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._2 / 6).toMap
+    // with 12 planes near-identical vectors still share all sign bits:
+    // every answered query's neighbor comes from its own cluster
+    assert(ann.nonEmpty)
+    assert(ann.forall { case (q, nc) => q / 6 == nc },
+      s"cross-cluster neighbor at 12 planes: $ann")
+  }
 }
