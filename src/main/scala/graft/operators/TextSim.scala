@@ -182,10 +182,30 @@ object TextSim {
   /** t06 emits the signature EXPLODED to (doc_id, k, sig_k) rows: the
     * driver gate sorts rows with pandas, which cannot order an
     * array<bigint> column (r02: "unhashable type: numpy.ndarray"). The
-    * exploded form is scalar-only and checks every signature value. */
-  def minhashSigQuery(s: SparkSession, d: String): DataFrame =
-    minhashSignatures(spread(Tables.documents(s, d)))
-      .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "sig_k")))
+    * exploded form is scalar-only and checks every signature value.
+    *
+    * Shape matters here: exploding the COMPUTED signature array
+    * (`posexplode(sig)`) lets InferFiltersFromGenerate derive a
+    * `size(sig) > 0` filter whose pushdown inlines the whole 16-hash
+    * signature tree — with the normalize/split re-expanded per shingle
+    * access — into a Filter below the spread Exchange, i.e. the full
+    * signature computed twice per row with the heavy copy pinned to the
+    * source's single input split (measured 166× slower at sf0.1).
+    * Exploding a FOLDABLE `sequence(0..15)` instead leaves nothing for
+    * the rule to infer; `k` becomes a column and each output row computes
+    * exactly one hash-family min over the staged `hs` array. */
+  def minhashSigQuery(s: SparkSession, d: String): DataFrame = {
+    val kL = col("k").cast("long")
+    spread(Tables.documents(s, d))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), transform(shingles3(col("ws")), x => h64(x) % P).as("hs"))
+      .select(col("doc_id"), col("hs"),
+        explode(sequence(lit(0), lit(NumHashes - 1))).as("k"))
+      .select(col("doc_id"), col("k"),
+        array_min(transform(col("hs"),
+          h => ((lit(1L) + kL * 104729L) * h + lit(12345L) + kL * 7919L) % P)).as("sig_k"))
+  }
 
   def lshBucketsQuery(s: SparkSession, d: String): DataFrame =
     lshBuckets(spread(Tables.documents(s, d)))
