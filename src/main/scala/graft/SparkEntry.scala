@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Relational, TextOps, TextSim, Similarity, Apply, MultiModal}
 import graft.core.IterativeQueries
 import graft.sources.{Generators, FileFormats}
+import graft.streaming.Streams
 import graft.ml.Predict
 import graft.array.ArrayQueries
 import graft.delayed.DelayedQueries
@@ -25,7 +26,8 @@ object SparkEntry {
     Relational.queries ++ TextOps.queries ++ TextSim.queries ++
       Similarity.queries ++ ArrayQueries.queries ++ DelayedQueries.queries ++
       Apply.queries ++ Generators.queries ++ Predict.queries ++
-      IterativeQueries.queries ++ MultiModal.queries ++ FileFormats.queries
+      IterativeQueries.queries ++ MultiModal.queries ++ FileFormats.queries ++
+      Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +35,6 @@ object SparkEntry {
     Relational.oracles ++ TextOps.oracles ++ TextSim.oracles ++
       Similarity.oracles ++ ArrayQueries.oracles ++ DelayedQueries.oracles ++
       Apply.oracles ++ Generators.oracles ++ Predict.oracles ++
-      IterativeQueries.oracles ++ MultiModal.oracles ++ FileFormats.oracles
+      IterativeQueries.oracles ++ MultiModal.oracles ++ FileFormats.oracles ++
+      Streams.oracles
 }

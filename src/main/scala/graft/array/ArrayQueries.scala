@@ -48,15 +48,20 @@ object ArrayQueries {
   def elementwise(s: SparkSession, d: String): DataFrame =
     (matA(s).hadamard(matE(s)) + (matA(s) * 2.0)).toCoords
 
-  /** TSQR R factor of an integer tall-skinny matrix (4096×64, chunks
-    * 256×64 — the reference tsqr shape scaled down). Rows-only gate;
-    * exact factor checked in LinAlgSpec. */
-  def tsqrR(s: SparkSession, d: String): DataFrame = {
+  /** TSQR validated through its Gram invariant (4096×64, chunks 256×64 —
+    * the reference tsqr shape scaled down): Q orthonormal ⇒ RᵀR = AᵀA.
+    * A is integer-valued and QR roundoff (~1e-5 absolute here) is far
+    * below 0.5, so rounding RᵀR recovers the exact integer Gram matrix —
+    * which IS SQL-expressible from the shared LCG. This turns the former
+    * rows-only gate row into a hash-matched oracle; the R factor itself
+    * stays exactness-checked against Breeze in LinAlgSpec. */
+  def tsqrGram(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val a = DMatrix.randInt(s, 4096, 64, 64, 23L)
     val r = LinAlg.tsqr(a)
-    val rows = for { i <- 0 until r.rows; j <- 0 until r.cols }
-      yield (i.toLong, j.toLong, BigDecimal(r(i, j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val g = r.t * r
+    val rows = for { i <- 0 until g.rows; j <- 0 until g.cols }
+      yield (i.toLong, j.toLong, math.round(g(i, j)))
     s.createDataset(rows).toDF("i", "j", "v")
   }
 
@@ -81,13 +86,31 @@ object ArrayQueries {
     }).toDF("k", "sigma")
   }
 
-  /** Blocked Cholesky of an SPD matrix (diag-dominant 96×96, chunks 32).
-    * Rows-only gate; L·Lᵀ = A checked in LinAlgSpec. */
-  def choleskyFactor(s: SparkSession, d: String): DataFrame = {
+  /** Blocked Cholesky of an SPD matrix (diag-dominant 96×96, chunks 32),
+    * validated through its reconstruction invariant: L·Lᵀ = A. The SPD
+    * input is exact-integer (BᵀB + 960·I with B integer-valued) and the
+    * factorization roundoff (~1e-10) is far below 0.5, so rounding L·Lᵀ
+    * recovers the exact integer input — SQL-expressible from the shared
+    * LCG, upgrading the former rows-only row to a hash-matched oracle.
+    * The L factor itself stays exactness-checked in LinAlgSpec. */
+  def choleskyRecon(s: SparkSession, d: String): DataFrame = {
     val base = DMatrix.randInt(s, 96, 96, 32, 37L, mod = 10L)
     val spd = base.transpose.multiply(base) + (DMatrix.eye(s, 96, 32) * 960.0)
-    LinAlg.choleskyLower(spd).toCoords
-      .select(col("i"), col("j"), round(col("v"), 6).as("v"))
+    val l = LinAlg.choleskyLower(spd)
+    l.multiply(l.transpose).toCoords
+      .select(col("i"), col("j"), round(col("v")).cast("long").as("v"))
+  }
+
+  /** Axis broadcasting (dask `x - x.mean(axis=1)[:, None]` plus a
+    * col-vector broadcast — reference tests/test_collections.py:90-95):
+    * center rows by the row mean, then add back the column mean. Both
+    * axis vectors join blocks on their block index (never collected).
+    * Exact-oracle: integer entries make every axis sum exact, and
+    * `(v - rowMean) + colMean` is a fixed IEEE expression shape mirrored
+    * in the SQL. */
+  def axisBroadcast(s: SparkSession, d: String): DataFrame = {
+    val a = matA(s)
+    a.zipRowVec(a.rowMeanVec)(_ - _).zipColVec(a.colMeanVec)(_ + _).toCoords
   }
 
   /** Bench-scale GEMM: 1024×1024 · 1024×1024, chunks 128 (~2.1 GFLOP) —
@@ -114,11 +137,12 @@ object ArrayQueries {
     "a03_gram"           -> (gram _),
     "a04_tril"           -> (tril _),
     "a05_elementwise"    -> (elementwise _),
-    "a06_tsqr_r"         -> (tsqrR _),
+    "a06_tsqr_gram"      -> (tsqrGram _),
     "a07_svd_values"     -> (svdValues _),
-    "a08_cholesky"       -> (choleskyFactor _),
+    "a08_cholesky_recon" -> (choleskyRecon _),
     "a09_svd_compressed" -> (svdCompressedValues _),
     "a10_gemm_bench"     -> (gemmBench _),
+    "a11_axis_broadcast" -> (axisBroadcast _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -142,5 +166,20 @@ object ArrayQueries {
       s"""WITH ${matSql("a", 64, 48, 7)}, ${matSql("e", 64, 48, 19)}
           SELECT a.i AS i, a.j AS j, a.v * e.v + 2 * a.v AS v
           FROM a JOIN e ON a.i = e.i AND a.j = e.j""",
+    "a06_tsqr_gram" ->
+      s"""WITH ${matSql("a", 4096, 64, 23)}
+          SELECT a1.j AS i, a2.j AS j, CAST(round(sum(a1.v * a2.v)) AS BIGINT) AS v
+          FROM a a1 JOIN a a2 ON a1.i = a2.i GROUP BY 1, 2""",
+    "a08_cholesky_recon" ->
+      s"""WITH ${matSql("b", 96, 96, 37, 10)}
+          SELECT b1.j AS i, b2.j AS j,
+                 CAST(round(sum(b1.v * b2.v)) + (CASE WHEN b1.j = b2.j THEN 960 ELSE 0 END) AS BIGINT) AS v
+          FROM b b1 JOIN b b2 ON b1.i = b2.i GROUP BY 1, 2""",
+    "a11_axis_broadcast" ->
+      s"""WITH ${matSql("a", 64, 48, 7)},
+          rm AS (SELECT i, sum(v) / 48.0 AS rmean FROM a GROUP BY i),
+          cm AS (SELECT j, sum(v) / 64.0 AS cmean FROM a GROUP BY j)
+          SELECT a.i AS i, a.j AS j, (a.v - rm.rmean) + cm.cmean AS v
+          FROM a JOIN rm ON a.i = rm.i JOIN cm ON a.j = cm.j""",
   )
 }

@@ -179,6 +179,78 @@ class DMatrix(
       .toDF("j", "col_sum")
   }
 
+  /** Per-block-row row means, keyed by block-row index — the joinable
+    * form of `x.mean(axis=1)` feeding [[zipRowVec]]. Shuffles only nb
+    * small vectors (reduceByKey with map-side combine), never blocks. */
+  def rowMeanVec: RDD[(Int, Array[Double])] = {
+    val nc = nCols
+    blocks.rdd.map { b =>
+      val partial = new Array[Double](b.rows)
+      var j = 0
+      while (j < b.cols) {
+        var i = 0
+        while (i < b.rows) { partial(i) += b.data(i + j * b.rows); i += 1 }
+        j += 1
+      }
+      (b.bi, partial)
+    }.reduceByKey(addInto _).mapValues(_.map(_ / nc.toDouble))
+  }
+
+  /** Per-block-col column means keyed by block-col index (`x.mean(axis=0)`
+    * in joinable form, feeding [[zipColVec]]). */
+  def colMeanVec: RDD[(Int, Array[Double])] = {
+    val nr = nRows
+    blocks.rdd.map { b =>
+      val partial = new Array[Double](b.cols)
+      var j = 0
+      while (j < b.cols) {
+        var i = 0
+        while (i < b.rows) { partial(j) += b.data(i + j * b.rows); i += 1 }
+        j += 1
+      }
+      (b.bj, partial)
+    }.reduceByKey(addInto _).mapValues(_.map(_ / nr.toDouble))
+  }
+
+  /** Row-vector broadcast (dask `x op v[:, None]`, e.g.
+    * `x - x.mean(axis=1)[:, None]` — reference
+    * tests/test_collections.py:90-95): combine every element with a
+    * per-row scalar. The vector arrives as per-block-row arrays keyed by
+    * bi and JOINS blocks on bi — it is never collected to the driver, so
+    * the shape survives a tall matrix whose row count alone outgrows
+    * driver memory. */
+  def zipRowVec(vec: RDD[(Int, Array[Double])])(f: (Double, Double) => Double): DMatrix = {
+    import blocks.sparkSession.implicits._
+    val joined = blocks.rdd.map(b => (b.bi, b)).join(vec).map { case (_, (b, v)) =>
+      val out = new Array[Double](b.data.length)
+      var j = 0
+      while (j < b.cols) {
+        var i = 0
+        while (i < b.rows) { out(i + j * b.rows) = f(b.data(i + j * b.rows), v(i)); i += 1 }
+        j += 1
+      }
+      b.copy(data = out)
+    }
+    new DMatrix(spark.createDataset(joined), nRows, nCols, blockSize)
+  }
+
+  /** Column-vector broadcast (dask `x op v[None, :]`): per-column scalar
+    * joined on the block-col index. */
+  def zipColVec(vec: RDD[(Int, Array[Double])])(f: (Double, Double) => Double): DMatrix = {
+    import blocks.sparkSession.implicits._
+    val joined = blocks.rdd.map(b => (b.bj, b)).join(vec).map { case (_, (b, v)) =>
+      val out = new Array[Double](b.data.length)
+      var j = 0
+      while (j < b.cols) {
+        var i = 0
+        while (i < b.rows) { out(i + j * b.rows) = f(b.data(i + j * b.rows), v(j)); i += 1 }
+        j += 1
+      }
+      b.copy(data = out)
+    }
+    new DMatrix(spark.createDataset(joined), nRows, nCols, blockSize)
+  }
+
   /** Full reductions (dask `x.sum()`, `x.mean()`, `x.std()`):
     * single treeAggregate pass over blocks. */
   def stats: (Long, Double, Double, Double, Double) = {

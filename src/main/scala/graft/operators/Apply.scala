@@ -74,9 +74,29 @@ object Apply {
       .toDF("o_orderpriority", "n_orders", "sum_cents")
   }
 
+  /** Bag surface (dask `db.range(n).groupby(key)` — reference
+    * SS/wukong/tests/test_collections.py:107-111): an unordered
+    * collection built from a generator, grouped by an arbitrary Scala
+    * key function with per-group imperative folds. Same Spark shape as
+    * groupby-apply — `groupByKey` owns the shuffle, the fold sees one
+    * group at a time — demonstrated here on a generated range rather
+    * than a table. */
+  def bagGroupby(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.range(100000L).as[Long]
+      .groupByKey(_ % 7)
+      .mapGroups { (k, it) =>
+        var n = 0L; var sum = 0L; var mx = Long.MinValue
+        it.foreach { v => n += 1; sum += v; if (v > mx) mx = v }
+        (k, n, sum, mx)
+      }
+      .toDF("k", "n", "total", "max_v")
+  }
+
   val queries: Map[String, Q] = Map(
     "g01_groupby_apply" -> (secondHighestOrder _),
     "g02_typed_agg"     -> (typedSpendStats _),
+    "b01_bag_groupby"   -> (bagGroupby _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -91,5 +111,9 @@ object Apply {
       """SELECT o_orderpriority, count(*) AS n_orders,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM orders GROUP BY o_orderpriority""",
+    "b01_bag_groupby" ->
+      """SELECT range % 7 AS k, count(*) AS n,
+                CAST(sum(range) AS BIGINT) AS total, max(range) AS max_v
+         FROM range(100000) GROUP BY 1""",
   )
 }

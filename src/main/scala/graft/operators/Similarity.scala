@@ -98,8 +98,8 @@ object Similarity {
   /** Bucketed ANN: nearest same-bucket neighbor per vector by cosine.
     * One map stage (bucket), one equi-join on bucket, per-bucket ranking.
     * The (vec, bucket) frame feeds both join sides, so it is pinned —
-    * otherwise the quantize + 8-hyperplane bucket pipeline recomputes
-    * (and recompiles) per branch. */
+    * otherwise the quantize + numPlanes-hyperplane bucket pipeline
+    * recomputes (and recompiles) per branch. */
   def annTopK(emb: DataFrame, k: Int, numPlanes: Int = DefaultPlanes): DataFrame = {
     val withB = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .join(lshBuckets(emb, numPlanes), "vec_id")
@@ -120,6 +120,67 @@ object Similarity {
     out
   }
 
+  /** Banded sign-bit LSH: `numBands` independent buckets per vector, each
+    * from `planesPerBand` hyperplane signs — the cosine analog of the
+    * minhash band trick. A single 2^planes bucket table trades recall for
+    * precision; banding recovers recall (pair collides if ANY band
+    * matches) while keeping every candidate an equi-join output. `band`
+    * is exploded from a FOLDABLE sequence and the plane index is
+    * `band·planesPerBand + i` as a column — exploding a computed array
+    * here would let InferFiltersFromGenerate duplicate the whole
+    * bucket pipeline into a pushed-down filter (the t06 lesson). */
+  def bandedLsh(emb: DataFrame, planesPerBand: Int = 4, numBands: Int = 4): DataFrame = {
+    val dims = sequence(lit(0), lit(63))
+    val bucket = (0 until planesPerBand).map { i =>
+      val p = col("band") * planesPerBand + i
+      val dot = aggregate(
+        zip_with(dims, col("qv"), (d, x) => planeWeight(p, d) * x),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("qv"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .select(col("vec_id"), col("band"), bucket.as("bucket"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: banded-LSH candidates
+    * (equi-join on (band, bucket) — never all pairs), distinct'd BEFORE
+    * the exact cosine so a hot bucket's pair list re-partitions across
+    * the cluster, then verified with the exact quantized cosine and kept
+    * at `cos >= minCos`. The candidate join moves only (band, bucket,
+    * vec_id); the 64-dim vectors ship once per side, joined back on
+    * vec_id. Same staging discipline as TextSim.nearDupPairs: shared
+    * frames pinned and materialized, small pair output checkpointed,
+    * pins released. */
+  def embedNearDups(emb: DataFrame, minCos: Double,
+                    planesPerBand: Int = 4, numBands: Int = 4): DataFrame = {
+    val withQ = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandedLsh(emb, planesPerBand, numBands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bands.count()   // materialize both pins before the multi-branch joins
+    val cand = bands.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(bands.select(col("band").as("band2"), col("bucket").as("bucket2"),
+                         col("vec_id").as("vec_b")),
+            col("band") === col("band2") && col("bucket") === col("bucket2") &&
+              col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    val cos = dotInt(col("qa"), col("qb")).cast("double") /
+      (sqrt(dotInt(col("qa"), col("qa")).cast("double")) *
+       sqrt(dotInt(col("qb"), col("qb")).cast("double")))
+    val out = cand
+      .join(withQ.select(col("vec_id").as("vec_a"), col("qv").as("qa")), "vec_a")
+      .join(withQ.select(col("vec_id").as("vec_b"), col("qv").as("qb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cos.as("cos"))
+      .filter(col("cos") >= minCos)
+      .localCheckpoint(true)   // small: the surviving near-dup pairs
+    withQ.unpersist(false)
+    bands.unpersist(false)
+    out
+  }
+
   // ---- driver-gate queries ----
 
   /** e01: exact top-3 cosine neighbors for every 50th vector. */
@@ -136,10 +197,18 @@ object Similarity {
   def annQuery(s: SparkSession, d: String): DataFrame =
     annTopK(TextSim.spread(Tables.embeddings(s, d)), 1)
 
+  /** e04: embedding-cosine near-dup pairs via banded LSH. The synthetic
+    * embeddings are mean-centered (max pairwise cosine ≈ 0.46), so the
+    * gate threshold 0.3 plays the role a ~0.95 threshold would on a real
+    * near-dup corpus — the pipeline shape is identical. */
+  def embedNearDupQuery(s: SparkSession, d: String): DataFrame =
+    embedNearDups(TextSim.spread(Tables.embeddings(s, d)), 0.3)
+
   val queries: Map[String, Q] = Map(
     "e01_knn_cosine"  -> (knnQuery _),
     "e02_lsh_buckets" -> (bucketsQuery _),
     "e03_ann_bucket"  -> (annQuery _),
+    "e04_embed_neardup" -> (embedNearDupQuery _),
   )
 
   private val quantSql =
@@ -187,5 +256,23 @@ object Similarity {
                    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
             FROM pairs) t
           WHERE rank <= 1""",
+    "e04_embed_neardup" ->
+      s"""WITH $quantSql,
+          bb AS (SELECT vec_id, bd.range AS band,
+                   CAST(list_sum([CASE WHEN list_sum([((((bd.range*4 + ib)*64 + d)*1103515245 + 17) % 2147483647 % 2001 - 1000) * qv[d+1]
+                                                      for d in generate_series(0,63)]) > 0
+                                  THEN (1::BIGINT << ib) ELSE 0 END
+                                  for ib in generate_series(0,3)]) AS BIGINT) AS bucket
+                 FROM q, range(4) bd),
+          cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+                   FROM bb a JOIN bb b2
+                     ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+          scored AS (SELECT vec_a, vec_b,
+                       CAST(list_dot_product(qa.qv, qb.qv) AS DOUBLE)
+                       / (sqrt(CAST(list_dot_product(qa.qv, qa.qv) AS DOUBLE))
+                          * sqrt(CAST(list_dot_product(qb.qv, qb.qv) AS DOUBLE))) AS cos
+                     FROM cand JOIN q qa ON qa.vec_id = cand.vec_a
+                               JOIN q qb ON qb.vec_id = cand.vec_b)
+          SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.3""",
   )
 }

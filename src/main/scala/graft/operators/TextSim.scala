@@ -87,19 +87,28 @@ object TextSim {
 
   /** (band, bucket) groups holding >= 2 docs — the near-dup candidates.
     *
-    * The signature frame is materialized (localCheckpoint) before the
-    * band-key expansion: bandKeys reads `sig` 16 times, and without a
-    * hard barrier Catalyst inlines the whole 16-hash-min signature
+    * The signature frame is pinned (persist) before the band-key
+    * expansion: bandKeys reads `sig` 16 times, and without a plan
+    * barrier Catalyst inlines the whole 16-hash-min signature
     * expression into every read (256 array-min lambdas of generated
     * code — measured >3× the staged cost; the same duplication
-    * nearDupPairs avoids by pinning). The checkpoint holds only
-    * (doc_id, 16 longs) — negligible vs the corpus at any scale. */
-  def lshBuckets(docs: DataFrame): DataFrame =
-    minhashSignatures(docs).localCheckpoint(true)
+    * nearDupPairs avoids by pinning). The small bucket aggregate is
+    * checkpointed eagerly so the signature cache can be released before
+    * returning — no per-call pins survive for the JVM lifetime (the
+    * round-3 shape checkpointed the signatures and never released
+    * them). Cost: the aggregation job runs at construction time. */
+  def lshBuckets(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = sig
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .filter(col("n_docs") >= 2)
+      .localCheckpoint(true)   // small: one row per colliding bucket
+    sig.unpersist(false)
+    out
+  }
 
   /** Candidate pairs (a < b) sharing >= 1 LSH band, verified with exact
     * 3-gram-set Jaccard counts. The join key is the band bucket — the

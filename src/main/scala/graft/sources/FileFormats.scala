@@ -27,13 +27,28 @@ object FileFormats {
            sum(col("o_orderkey")).as("sum_keys"),
            countDistinct(col("o_custkey")).as("n_cust"))
 
-  /** Fixed per-format scratch path, overwritten on every call — repeated
+  /** Per-format scratch path, overwritten on every call — repeated
     * bench/verify runs reuse the same directory instead of leaking one
-    * temp copy of the projection per invocation. Driver-local /tmp is a
-    * single-JVM (local-mode) convenience; on a real cluster this would
+    * temp copy of the projection per invocation. The path carries the
+    * JVM pid so concurrent runs (parallel sbt suites, bench + verify)
+    * never race on one directory or read a half-overwritten copy; the
+    * whole per-process tree is removed on JVM exit. Driver-local /tmp is
+    * a single-JVM (local-mode) convenience; on a real cluster this would
     * be a shared-FS / object-store staging path. */
-  private def scratch(kind: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_scratch/$kind"
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_scratch_${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.Files
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }))
+    p
+  }
+
+  private def scratch(kind: String): String = s"$scratchRoot/$kind"
 
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val tmp = scratch("csv")

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface — SURVEY.md §2.B6 stretch capability
   * (the reference has no streaming subsystem; its closest constructs are
@@ -64,4 +64,49 @@ object Streams {
 
   /** Streaming append-mode output mode used by the window pipeline. */
   val AppendMode: OutputMode = OutputMode.Append()
+
+  // ---- driver-gate query ----
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** st01: the streaming path end-to-end against the events fixture —
+    * `readStream` (file source) → watermark + tumbling day windows →
+    * memory sink, drained with Trigger.AvailableNow, checked against the
+    * same SQL as the batch q17 pipeline. Complete output mode because a
+    * finite fixture never advances the watermark past its last window
+    * (append mode would hold the tail windows back forever); on an
+    * unbounded production stream the same plan runs in append mode with
+    * watermark-driven state eviction. */
+  def streamedEventCounts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val src = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    // same nanos→micros conversion as Tables.events (integer-domain div)
+    val events =
+      if (src.schema("ts").dataType == LongType)
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src
+    val counts = windowedCounts(events)
+      .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+              col("event_type"), col("n_events"), col("sum_value"))
+    val sink = s"graft_st01_sink_${sinkSeq.incrementAndGet()}"
+    val q = counts.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "st01_stream_window" -> (streamedEventCounts _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st01_stream_window" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+  )
 }
