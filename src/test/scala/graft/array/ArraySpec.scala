@@ -60,4 +60,20 @@ class ArraySpec extends SparkSpec {
     assert(math.abs(a.sum - bsum(local)) < 1e-9)
     assert(math.abs(a.mean - bsum(local) / (17 * 13)) < 1e-9)
   }
+
+  test("axis broadcast: x - x.mean(axis=1)[:,None] and col-vector add") {
+    // non-divisible shape exercises the ragged edge blocks
+    val a = DMatrix.randInt(spark, 21, 13, 8, 43L)
+    val local = a.toLocal
+    val centered = a.zipRowVec(a.rowMeanVec)(_ - _).toLocal
+    for (i <- 0 until 21; j <- 0 until 13) {
+      val rowMean = bsum(local(i, ::).t) / 13.0
+      assert(math.abs(centered(i, j) - (local(i, j) - rowMean)) < 1e-9)
+    }
+    val colShift = a.zipColVec(a.colMeanVec)(_ + _).toLocal
+    for (i <- 0 until 21; j <- 0 until 13) {
+      val colMean = bsum(local(::, j)) / 21.0
+      assert(math.abs(colShift(i, j) - (local(i, j) + colMean)) < 1e-9)
+    }
+  }
 }

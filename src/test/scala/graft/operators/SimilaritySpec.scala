@@ -116,4 +116,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall { case (q, nc) => q / 6 == nc },
       s"cross-cluster neighbor at 12 planes: $ann")
   }
+
+  test("embedding near-dup: planted near-identical pair found, distinct vectors filtered") {
+    val dim = 64
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => (graft.array.DMatrix.mixedUniform(seed, i, dim, 21L) - 0.5).toFloat)
+    val base = vec(1)
+    val nearDup = base.clone(); nearDup(0) += 0.005f
+    val emb = (Seq((1L, base), (2L, nearDup)) ++
+      (3 to 30).map(i => (i.toLong, vec(i * 7)))).toDF("vec_id", "embedding")
+    val pairs = Similarity.embedNearDups(emb, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      "near-identical embeddings must collide in a band and pass the cosine gate")
+    // unrelated mixed-hash vectors are near-orthogonal: none may pass 0.9
+    assert(pairs == Set((1L, 2L)), s"false near-dups: ${pairs - ((1L, 2L))}")
+  }
 }
