@@ -113,6 +113,16 @@ object ArrayQueries {
     a.zipRowVec(a.rowMeanVec)(_ - _).zipColVec(a.colMeanVec)(_ + _).toCoords
   }
 
+  /** Sparse×sparse matmul over COO frames (scipy.sparse parity —
+    * reference SS/wukong/protocol/sparse.py): both operands are the LCG
+    * matrices sparsified by a deterministic predicate (~20% density),
+    * multiplied without ever densifying. Exact-integer oracle: the same
+    * filter + join + group-by runs verbatim in DuckDB. */
+  def sparseMatmul(s: SparkSession, d: String): DataFrame =
+    Sparse.spmm(
+      matA(s).toCoords.filter(col("v") % 5 === 0),
+      matB(s).toCoords.filter(col("v") % 5 === 0))
+
   /** Bench-scale GEMM: 1024×1024 · 1024×1024, chunks 128 (~2.1 GFLOP) —
     * the throughput probe for BENCH, full-table checksum output. */
   def gemmBench(s: SparkSession, d: String): DataFrame = {
@@ -143,6 +153,7 @@ object ArrayQueries {
     "a09_svd_compressed" -> (svdCompressedValues _),
     "a10_gemm_bench"     -> (gemmBench _),
     "a11_axis_broadcast" -> (axisBroadcast _),
+    "a12_sparse_matmul"  -> (sparseMatmul _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -181,5 +192,11 @@ object ArrayQueries {
           cm AS (SELECT j, sum(v) / 64.0 AS cmean FROM a GROUP BY j)
           SELECT a.i AS i, a.j AS j, (a.v - rm.rmean) + cm.cmean AS v
           FROM a JOIN rm ON a.i = rm.i JOIN cm ON a.j = cm.j""",
+    "a12_sparse_matmul" ->
+      s"""WITH ${matSql("a", 64, 48, 7)}, ${matSql("b", 48, 32, 11)},
+          sa AS (SELECT * FROM a WHERE v % 5 = 0),
+          sb AS (SELECT * FROM b WHERE v % 5 = 0)
+          SELECT sa.i AS i, sb.j AS j, sum(sa.v * sb.v) AS v
+          FROM sa JOIN sb ON sa.j = sb.i GROUP BY 1, 2""",
   )
 }

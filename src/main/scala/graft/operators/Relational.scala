@@ -260,6 +260,24 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
   }
 
+  /** Skew-safe two-stage aggregation (the salting pattern for hot keys):
+    * events grouped by event_type — 5 values, so at warehouse scale a
+    * plain groupBy funnels ~20% of the table through one reducer. Stage
+    * one salts the key with `pmod(user_id, 16)` and combines per
+    * (type, salt) across the cluster; stage two combines the ≤16 partial
+    * rows per type. Exact in the integer-cents domain, so the result is
+    * bit-identical to the direct single-stage oracle regardless of
+    * combine order. AQE's skew handling covers joins; salted partial
+    * aggregation is the matching discipline for low-cardinality groupBy. */
+  def saltedAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), pmod(col("user_id"), lit(16)).as("salt"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("n_part"), sum(col("cents")).as("c_part"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_part")).as("n_events"), sum(col("c_part")).as("sum_cents"))
+
   /** Set op: INTERSECT — customers in both segments' key ranges (the
     * remaining §2.B2.12 member; hash-agg + shuffle like except). */
   def intersectSegments(s: SparkSession, d: String): DataFrame = {
@@ -319,6 +337,7 @@ object Relational {
     "q22_full_outer"        -> (fullOuterCounts _),
     "q23_left_join_agg"     -> (leftJoinSpend _),
     "q24_range_window"      -> (rangeWindowPerUser _),
+    "q25_salted_agg"        -> (saltedAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -468,5 +487,11 @@ object Relational {
                FROM events) t
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+    // single-stage direct aggregate: the salted two-stage plan must be
+    // bit-identical (exact integer domain ⇒ combine-order independent)
+    "q25_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY event_type""",
   )
 }

@@ -67,6 +67,39 @@ object TextOps {
       when(ntok > 0, round(alpha.cast("double") / ntok, 6)).as("avg_token_len"))
   }
 
+  /** Function-word inventories for the n-gram-heuristic language
+    * identifier — the classic cheap lang-ID signal (stopword hit counts)
+    * used to route web-scrape documents before expensive model-based ID.
+    * Order is the deterministic tie-break priority. */
+  private val langSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "y", "las", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** Language identification by function-word hits: count stopword
+    * occurrences per candidate language over the normalized token array
+    * (one codegen'd pass per language, fused into the scan — map-only at
+    * any corpus size), then argmax with a fixed priority tie-break.
+    * Emits the per-language scores alongside the guess so the gate
+    * checks the evidence, not just the decision. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val withWs = Tables.documents(s, d)
+      .select(col("doc_id"), TextSim.words(col("text")).as("ws"))
+    val hitCols = langSets.map { case (l, sw) =>
+      size(filter(col("ws"), w => w.isin(sw: _*))).as(s"hits_$l")
+    }
+    val guess =
+      when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_es") &&
+             col("hits_en") >= col("hits_fr"), "en")
+        .when(col("hits_de") >= col("hits_es") && col("hits_de") >= col("hits_fr"), "de")
+        .when(col("hits_es") >= col("hits_fr"), "es")
+        .otherwise("fr")
+    withWs.select(col("doc_id") +: hitCols: _*)
+      .select(col("doc_id"), col("hits_en"), col("hits_de"), col("hits_es"),
+              col("hits_fr"), guess.as("lang_guess"))
+  }
+
   /** Content fingerprint per document (md5 of normalized text). */
   def fingerprints(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -88,6 +121,7 @@ object TextOps {
     "t03_quality"      -> (qualityScore _),
     "t04_fingerprint"  -> (fingerprints _),
     "t05_dedup_exact"  -> (dedupExact _),
+    "t10_lang_id"      -> (langId _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -120,5 +154,22 @@ object TextOps {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
                 min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",
+    "t10_lang_id" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+                  len(list_filter(ws, w -> w IN ('the','a','and','of','in'))) AS hits_en,
+                  len(list_filter(ws, w -> w IN ('der','die','und','das','ist'))) AS hits_de,
+                  len(list_filter(ws, w -> w IN ('el','los','y','las','una'))) AS hits_es,
+                  len(list_filter(ws, w -> w IN ('le','la','et','les','des'))) AS hits_fr
+           FROM d)
+         SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+                CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+                     WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                     WHEN hits_es >= hits_fr THEN 'es'
+                     ELSE 'fr' END AS lang_guess
+         FROM h""",
   )
 }

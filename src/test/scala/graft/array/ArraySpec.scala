@@ -61,6 +61,19 @@ class ArraySpec extends SparkSpec {
     assert(math.abs(a.mean - bsum(local) / (17 * 13)) < 1e-9)
   }
 
+  test("sparse COO: spmm matches dense multiply, toDense round-trips") {
+    import org.apache.spark.sql.functions.col
+    val a = DMatrix.randInt(spark, 30, 22, 8, 3L)
+    val b = DMatrix.randInt(spark, 22, 18, 8, 5L)
+    val sa = a.toCoords.filter(col("v") % 3 === 0)
+    val sb = b.toCoords.filter(col("v") % 3 === 0)
+    val got = Sparse.toDense(Sparse.spmm(sa, sb), 30, 18, 8).toLocal
+    val want = Sparse.toDense(sa, 30, 22, 8).toLocal * Sparse.toDense(sb, 22, 18, 8).toLocal
+    assert(approxEqual(got, want))
+    assert(Sparse.toDense(a.toCoords, 30, 22, 8).toLocal == a.toLocal,
+      "COO -> dense round-trip must be lossless")
+  }
+
   test("axis broadcast: x - x.mean(axis=1)[:,None] and col-vector add") {
     // non-divisible shape exercises the ragged edge blocks
     val a = DMatrix.randInt(spark, 21, 13, 8, 43L)
