@@ -78,6 +78,27 @@ object MultiModal {
       .toDF("asset_id", "frame_idx", "checksum")
   }
 
+  /** STUB resize (image resampler stand-in): halve both header dims and
+    * keep every 2nd body byte. Same batched mapPartitions shape as
+    * decode — map-only over the asset rows, no blob shuffle; the gate
+    * emits dims + body checksum (scalars) rather than the new payload. */
+  def resizeAssets(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          def u(b: Byte): Int = b & 0xff
+          val w = u(bytes(0)) * 256 + u(bytes(1))
+          val h = u(bytes(2)) * 256 + u(bytes(3))
+          var sum = 0L; var n = 0; var t = 4
+          while (t < bytes.length) { sum += u(bytes(t)); n += 1; t += 2 }
+          (id, w / 2, h / 2, n, sum)
+        }
+      }
+      .toDF("asset_id", "new_width", "new_height", "n_body", "body_sum")
+  }
+
   /** Byte-histogram feature vector (16 coarse bins, L1-normalized to
     * integer permille) — a real feature extractor over binary data whose
     * output plugs into Similarity.bruteKnn/annTopK. */
@@ -105,9 +126,24 @@ object MultiModal {
   def framesQuery(s: SparkSession, d: String): DataFrame =
     sampleFrames(synthesizeAssets(s, 200))
 
+  def resizeQuery(s: SparkSession, d: String): DataFrame =
+    resizeAssets(synthesizeAssets(s, 200))
+
+  /** mm04: the multimodal→similarity pipeline end-to-end — binary
+    * payloads → histogram features → exact cosine kNN (every 20th asset
+    * queries the corpus). Integer-permille features make the whole chain
+    * exact-oracle checkable. */
+  def histKnnQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = byteHistogram(synthesizeAssets(s, 200))
+      .select(col("asset_id").as("vec_id"), col("embedding"))
+    Similarity.bruteKnn(emb, emb.filter(col("vec_id") % 20 === 0), 1)
+  }
+
   val queries: Map[String, Q] = Map(
     "mm01_decode_meta"  -> (decodeQuery _),
     "mm02_frame_sample" -> (framesQuery _),
+    "mm03_resize"       -> (resizeQuery _),
+    "mm04_hist_knn"     -> (histKnnQuery _),
   )
 
   private val byteSql = "(((B)*1103515245+99)%2147483647)%256"
@@ -131,5 +167,35 @@ object MultiModal {
                  CAST((SELECT sum(${byteSql.replace("B", "asset_id*64 + frame_idx*16 + t.range")})
                        FROM range(16) t) AS BIGINT) AS checksum
           FROM frames""",
+    "mm03_resize" ->
+      s"""SELECT r.range AS asset_id,
+             CAST((${byteSql.replace("B", "r.range*64+0")} * 256
+                 + ${byteSql.replace("B", "r.range*64+1")}) // 2 AS INT) AS new_width,
+             CAST((${byteSql.replace("B", "r.range*64+2")} * 256
+                 + ${byteSql.replace("B", "r.range*64+3")}) // 2 AS INT) AS new_height,
+             CAST((64 + r.range % 32 - 3) // 2 AS INT) AS n_body,
+             CAST((SELECT sum(${byteSql.replace("B", "r.range*64 + 4 + 2*t.range")})
+                   FROM range(46) t WHERE t.range < (64 + r.range % 32 - 3) // 2) AS BIGINT) AS body_sum
+          FROM range(200) r""",
+    "mm04_hist_knn" ->
+      s"""WITH h AS (
+            SELECT r.range AS vec_id,
+                   [CAST((1000 * len([x for x in generate_series(0, 64 + r.range % 32 - 1)
+                                      if (${byteSql.replace("B", "r.range*64+x")}) // 16 = b]))
+                         // (64 + r.range % 32) AS BIGINT)
+                    for b in generate_series(0, 15)] AS hv
+            FROM range(200) r),
+          q AS (SELECT vec_id, list_transform(hv, x -> x * 1000) AS qv FROM h),
+          pairs AS (
+            SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                   CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+                   / (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE))
+                      * sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE))) AS cos
+            FROM q a JOIN q b ON a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id)
+          SELECT q_id, n_id, rank FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM pairs) t
+          WHERE rank <= 1""",
   )
 }

@@ -105,6 +105,33 @@ object TextOps {
     Tables.documents(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** BPE-ish subword piece counting: the pre-tokenizer regex families
+    * (letter runs / digit runs / punctuation runs) used by byte-pair
+    * tokenizers to segment text before merges — the cheap, codegen'd
+    * estimate of tokenizer load per document (RE2-compatible, so the
+    * oracle runs the identical pattern). Map-only at any corpus size. */
+  def tokenPieces(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"), lit(0))).as("n_pieces"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+"), lit(0))).as("n_word"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"),
+      size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]+"), lit(0))).as("n_other"))
+
+  /** Rolling (polynomial) document fingerprint over word-hash sequences:
+    * fold (acc·31 + h_w) mod 1e9+7 across the normalized token stream —
+    * order-sensitive (unlike the md5 set fingerprint), so reordered
+    * near-dups hash apart while byte-identical bodies collide. Pure
+    * integer arithmetic → bit-equal in the DuckDB oracle. */
+  def rollingFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(TextSim.words(col("text")), w => TextSim.h64(w) % TextSim.P).as("hs"))
+      .select(col("doc_id"),
+        aggregate(col("hs"), lit(0L),
+          (acc, h) => (acc * 31L + h) % 1000000007L).as("roll_fp"))
+
   /** Exact deduplication: group by content fingerprint, keep the lowest
     * doc_id per group. One hash shuffle on the 128-bit fingerprint —
     * the canonical exact-dedup shape at 100 TB (the text itself is never
@@ -122,6 +149,8 @@ object TextOps {
     "t04_fingerprint"  -> (fingerprints _),
     "t05_dedup_exact"  -> (dedupExact _),
     "t10_lang_id"      -> (langId _),
+    "t11_token_pieces" -> (tokenPieces _),
+    "t12_rolling_fp"   -> (rollingFingerprint _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -171,5 +200,22 @@ object TextOps {
                      WHEN hits_es >= hits_fr THEN 'es'
                      ELSE 'fr' END AS lang_guess
          FROM h""",
+    "t11_token_pieces" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS n_pieces,
+                len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_word,
+                len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+                len(regexp_extract_all(text, '[^a-zA-Z0-9\s]+')) AS n_other
+         FROM documents""",
+    "t12_rolling_fp" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+           FROM documents)
+         SELECT doc_id,
+                list_reduce(
+                  list_prepend(0, list_transform(ws,
+                    w -> ('0x'||substr(md5(w),1,15))::BIGINT % 2147483647)),
+                  (acc, h) -> (acc*31 + h) % 1000000007) AS roll_fp
+         FROM d""",
   )
 }
