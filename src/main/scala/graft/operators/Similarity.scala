@@ -78,14 +78,17 @@ object Similarity {
   }
 
   /** Exact cosine top-k for a set of query vectors against the corpus.
-    * Queries broadcast; ranking by (cosine desc, vec_id) per query. */
+    * Queries broadcast; ranking by (cosine desc, vec_id) per query.
+    * Norms are computed ONCE per vector before the pairing (each pair
+    * then costs a single dot product, not three — the n·k dominant term
+    * at any scale); same-bits cosine since sqrt(norm) is unchanged. */
   def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", dotInt(col("qv"), col("qv")))
     val c = corpus.select(col("vec_id").as("n_id"), quantize(col("embedding")).as("nv"))
-    val dot = dotInt(col("qv"), col("nv"))
-    val cos = dot.cast("double") /
-      (sqrt(dotInt(col("qv"), col("qv")).cast("double")) *
-       sqrt(dotInt(col("nv"), col("nv")).cast("double")))
+      .withColumn("nn", dotInt(col("nv"), col("nv")))
+    val cos = dotInt(col("qv"), col("nv")).cast("double") /
+      (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
@@ -102,13 +105,14 @@ object Similarity {
     * recomputes (and recompiles) per branch. */
   def annTopK(emb: DataFrame, k: Int, numPlanes: Int = DefaultPlanes): DataFrame = {
     val withB = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", dotInt(col("qv"), col("qv")))   // norm once per vector
       .join(lshBuckets(emb, numPlanes), "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = withB.select(col("bucket"), col("vec_id").as("q_id"), col("qv"))
-    val b = withB.select(col("bucket").as("b2"), col("vec_id").as("n_id"), col("qv").as("nv"))
+    val a = withB.select(col("bucket"), col("vec_id").as("q_id"), col("qv"), col("qn"))
+    val b = withB.select(col("bucket").as("b2"), col("vec_id").as("n_id"),
+                         col("qv").as("nv"), col("qn").as("nn"))
     val cos = dotInt(col("qv"), col("nv")).cast("double") /
-      (sqrt(dotInt(col("qv"), col("qv")).cast("double")) *
-       sqrt(dotInt(col("nv"), col("nv")).cast("double")))
+      (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     val out = a.join(b, col("bucket") === col("b2") && col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), cos.as("cos"))
@@ -156,6 +160,7 @@ object Similarity {
   def embedNearDups(emb: DataFrame, minCos: Double,
                     planesPerBand: Int = 4, numBands: Int = 4): DataFrame = {
     val withQ = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", dotInt(col("qv"), col("qv")))   // norm once per vector
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandedLsh(emb, planesPerBand, numBands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -168,16 +173,74 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"))
       .distinct()
     val cos = dotInt(col("qa"), col("qb")).cast("double") /
-      (sqrt(dotInt(col("qa"), col("qa")).cast("double")) *
-       sqrt(dotInt(col("qb"), col("qb")).cast("double")))
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
     val out = cand
-      .join(withQ.select(col("vec_id").as("vec_a"), col("qv").as("qa")), "vec_a")
-      .join(withQ.select(col("vec_id").as("vec_b"), col("qv").as("qb")), "vec_b")
+      .join(withQ.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+                         col("qn").as("na")), "vec_a")
+      .join(withQ.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+                         col("qn").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"), cos.as("cos"))
       .filter(col("cos") >= minCos)
       .localCheckpoint(true)   // small: the surviving near-dup pairs
     withQ.unpersist(false)
     bands.unpersist(false)
+    out
+  }
+
+  /** IVF coarse assignment: each vector goes to its nearest of `k`
+    * centroids by exact squared L2 (integer domain). Centroids here are
+    * the k lowest-id corpus vectors — a deterministic stand-in for a
+    * k-means-trained codebook (training is a small offline job; swapping
+    * the codebook changes no plan shape). The centroid set is broadcast
+    * (tiny by construction), assignment is map-side — the corpus never
+    * shuffles to be indexed. Argmin ties break toward the lower centroid
+    * id via a packed `dist·16 + id` key, bit-identical cross-engine. */
+  /** IVF cell count scaled to corpus size (same scale law as
+    * [[numPlanesFor]]): per-cell candidate work is O(occupancy²), so
+    * cells grow linearly with N to keep occupancy ≈ target. Floored at 8
+    * (what the sf-fixture oracle pins) and capped at 256 (the packed
+    * argmin key reserves 8 bits for the centroid id). */
+  def numCellsFor(n: Long, targetOccupancy: Long = 256L): Int =
+    math.min(256, math.max(8, ((n + targetOccupancy - 1) / targetOccupancy).toInt))
+
+  def ivfCells(emb: DataFrame, k: Int = 8): DataFrame = {
+    require(k <= 256, "packed argmin key reserves 8 bits for the centroid id")
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), quantize(col("embedding")).as("cv"))
+    val d2 = col("qn") - lit(2L) * dotInt(col("qv"), col("cv")) +
+      dotInt(col("cv"), col("cv"))
+    emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", dotInt(col("qv"), col("qv")))
+      .join(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(min(d2 * 256L + col("cent_id")).as("key"))
+      .select(col("vec_id"), (col("key") % 256L).as("cell"))
+  }
+
+  /** IVF-bucketed ANN (the inverted-file counterpart of [[annTopK]]):
+    * nearest same-cell neighbor per vector by exact cosine. One
+    * broadcast-assign stage, one equi-join on the cell id — at warehouse
+    * scale candidates come from the query's cell list only (real IVF
+    * probes the nprobe nearest cells; nprobe=1 here keeps the oracle
+    * one equi-join). Same staging discipline as annTopK. */
+  def ivfTopK(emb: DataFrame, topK: Int, k: Int = 8): DataFrame = {
+    val withCell = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", dotInt(col("qv"), col("qv")))   // norm once per vector
+      .join(ivfCells(emb, k), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = withCell.select(col("cell"), col("vec_id").as("q_id"), col("qv"), col("qn"))
+    val b = withCell.select(col("cell").as("c2"), col("vec_id").as("n_id"),
+                            col("qv").as("nv"), col("qn").as("nn"))
+    val cos = dotInt(col("qv"), col("nv")).cast("double") /
+      (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val out = a.join(b, col("cell") === col("c2") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("rank"))
+      .localCheckpoint(true)
+    withCell.unpersist(false)
     out
   }
 
@@ -204,11 +267,20 @@ object Similarity {
   def embedNearDupQuery(s: SparkSession, d: String): DataFrame =
     embedNearDups(TextSim.spread(Tables.embeddings(s, d)), 0.3)
 
+  /** e05: IVF-bucketed nearest same-cell neighbor (exact oracle). The
+    * cell count scales with the corpus (numCellsFor); at the sf0.01
+    * oracle scale it floors to the 8 cells the SQL pins. */
+  def ivfQuery(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    ivfTopK(TextSim.spread(Tables.embeddings(s, d)), 1, numCellsFor(n))
+  }
+
   val queries: Map[String, Q] = Map(
     "e01_knn_cosine"  -> (knnQuery _),
     "e02_lsh_buckets" -> (bucketsQuery _),
     "e03_ann_bucket"  -> (annQuery _),
     "e04_embed_neardup" -> (embedNearDupQuery _),
+    "e05_ivf_ann"     -> (ivfQuery _),
   )
 
   private val quantSql =
@@ -274,5 +346,28 @@ object Similarity {
                      FROM cand JOIN q qa ON qa.vec_id = cand.vec_a
                                JOIN q qb ON qb.vec_id = cand.vec_b)
           SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.3""",
+    "e05_ivf_ann" ->
+      s"""WITH $quantSql,
+          assign AS (
+            SELECT v.vec_id,
+                   CAST(min((list_dot_product(v.qv, v.qv)
+                             - 2*list_dot_product(v.qv, c.qv)
+                             + list_dot_product(c.qv, c.qv)) * 256 + c.vec_id) % 256
+                        AS BIGINT) AS cell
+            FROM q v, q c WHERE c.vec_id < 8 GROUP BY v.vec_id),
+          pairs AS (
+            SELECT qa.vec_id AS q_id, qb.vec_id AS n_id,
+                   CAST(list_dot_product(qa.qv, qb.qv) AS DOUBLE)
+                   / (sqrt(CAST(list_dot_product(qa.qv, qa.qv) AS DOUBLE))
+                      * sqrt(CAST(list_dot_product(qb.qv, qb.qv) AS DOUBLE))) AS cos
+            FROM assign aa JOIN assign ab
+              ON aa.cell = ab.cell AND aa.vec_id <> ab.vec_id
+            JOIN q qa ON qa.vec_id = aa.vec_id
+            JOIN q qb ON qb.vec_id = ab.vec_id)
+          SELECT q_id, n_id, rank FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM pairs) t
+          WHERE rank <= 1""",
   )
 }
