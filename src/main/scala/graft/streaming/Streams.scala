@@ -65,6 +65,47 @@ object Streams {
   /** Streaming append-mode output mode used by the window pipeline. */
   val AppendMode: OutputMode = OutputMode.Append()
 
+  final case class SessionState(start: Long, lastTs: Long, nEvents: Long)
+  final case class ClosedSession(userId: Long, startTs: Long, endTs: Long,
+                                 nEvents: Long, durationSec: Long)
+
+  /** Event-time sessionization via `flatMapGroupsWithState` — the
+    * 0..n-rows-per-group shape `mapGroupsWithState` cannot express: a
+    * user's events extend one session while inter-event gaps stay under
+    * `gapSec`; an event past the gap EMITS the closed session row and
+    * opens a new one. State per key is one (start, last, count) triple —
+    * bounded regardless of stream length. Closure here is data-driven
+    * (the next event closes the previous session); production deploys
+    * add an event-time timeout so idle users' last sessions also flush,
+    * which changes the timeout config, not the fold. */
+  def sessionize(events: Dataset[(Long, Long)],
+                 gapSec: Long = 1800L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          // micro-batch arrival order is not time order: fold in ts order
+          val tss = batch.map(_._2).toArray.sorted
+          var closed = List.empty[ClosedSession]
+          var st = state.getOption.orNull
+          tss.foreach { t =>
+            st match {
+              case null =>
+                st = SessionState(t, t, 1L)
+              case s if t - s.lastTs <= gapSec =>
+                st = s.copy(lastTs = math.max(s.lastTs, t), nEvents = s.nEvents + 1)
+              case s =>
+                closed ::= ClosedSession(userId, s.start, s.lastTs, s.nEvents,
+                                         s.lastTs - s.start)
+                st = SessionState(t, t, 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.reverse.iterator
+      }
+  }
+
   // ---- driver-gate query ----
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -97,10 +138,37 @@ object Streams {
     s.table(sink)
   }
 
+  /** st02: sessionization end-to-end on the streaming path — the events
+    * fixture drained through `flatMapGroupsWithState`, emitting every
+    * gap-closed session. The oracle reconstructs sessions in SQL (lag >
+    * gap marks a boundary, running sum numbers the sessions) and drops
+    * each user's final session, which the stream correctly holds open. */
+  def streamedSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.LongType
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val src = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val events =
+      if (src.schema("ts").dataType == LongType)
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src
+    val ev = events.select(col("user_id"),
+        unix_timestamp(col("ts")).cast("long")).as[(Long, Long)]
+    val sink = s"graft_st02_sink_${sinkSeq.incrementAndGet()}"
+    val q = sessionize(ev, 1800L)
+      .toDF("user_id", "start_ts", "end_ts", "n_events", "duration_sec")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "st01_stream_window" -> (streamedEventCounts _),
+    "st02_sessions"      -> (streamedSessions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -108,5 +176,24 @@ object Streams {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                 count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "st02_sessions" ->
+      """WITH e AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+         m AS (
+           SELECT user_id, t,
+                  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         sess AS (
+           SELECT user_id, t,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m),
+         agg AS (
+           SELECT user_id, sid, min(t) AS start_ts, max(t) AS end_ts,
+                  count(*) AS n_events, max(t) - min(t) AS duration_sec
+           FROM sess GROUP BY 1, 2)
+         SELECT user_id, start_ts, end_ts, n_events, duration_sec
+         FROM agg QUALIFY sid < max(sid) OVER (PARTITION BY user_id)""",
   )
 }

@@ -61,4 +61,29 @@ class StreamingSpec extends SparkSpec {
       assert(latest(2L) == ((1L, 1.0)))
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.sessionize(input.toDS(), gapSec = 60L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 100L), (1L, 130L), (2L, 100L))
+      q.processAllAvailable()
+      assert(spark.table("sessions").isEmpty, "open sessions must not emit")
+      // user 1's event past the 60s gap closes [100,130]; user 2 stays open
+      input.addData((1L, 1000L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .as[Streams.ClosedSession].collect().toSet
+      assert(rows == Set(Streams.ClosedSession(1L, 100L, 130L, 2L, 30L)), s"got $rows")
+      // a second gap closes the session the previous batch opened
+      input.addData((1L, 5000L))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[Streams.ClosedSession].collect().toSet
+      assert(all.contains(Streams.ClosedSession(1L, 1000L, 1000L, 1L, 0L)), s"got $all")
+    } finally q.stop()
+  }
 }
