@@ -63,9 +63,36 @@ object FileFormats {
     profile(s.read.schema("o_orderkey LONG, o_custkey LONG, cents LONG").json(tmp))
   }
 
+  /** Bucketed co-located join — the "shuffle once at write time, join
+    * shuffle-free forever after" discipline for repeatedly-joined fact
+    * tables: both sides are written bucketed on the join key (8 buckets
+    * here; thousands at warehouse scale), so the sort-merge join matches
+    * buckets 1:1 with NO exchange on either side (asserted in
+    * BucketedJoinSpec; the only shuffle left in this query is the final
+    * small aggregation). The `merge` hint keeps the demo honest at
+    * fixture scale, where the optimizer would otherwise broadcast the
+    * projected orders side and never exercise the bucket layout. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").saveAsTable("graft_orders_bkt")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+              round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").saveAsTable("graft_lineitem_bkt")
+    s.table("graft_lineitem_bkt")
+      .join(s.table("graft_orders_bkt").hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "src01_csv_roundtrip"  -> (csvRoundtrip _),
     "src02_json_roundtrip" -> (jsonRoundtrip _),
+    "src03_bucketed_join"  -> (bucketedJoin _),
   )
 
   private val oracle =
@@ -78,5 +105,10 @@ object FileFormats {
   val oracles: Map[String, String] = Map(
     "src01_csv_roundtrip"  -> oracle,
     "src02_json_roundtrip" -> oracle,
+    "src03_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
   )
 }
