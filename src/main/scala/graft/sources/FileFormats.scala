@@ -72,7 +72,25 @@ object FileFormats {
     * small aggregation). The `merge` hint keeps the demo honest at
     * fixture scale, where the optimizer would otherwise broadcast the
     * projected orders side and never exercise the bucket layout. */
+  /** saveAsTable(overwrite) still refuses a managed-table location left
+    * by a PREVIOUS JVM: the fresh in-memory catalog has no table entry,
+    * but the warehouse directory survives on disk. Drop both the catalog
+    * entry and any stale location before writing. */
+  def dropTableAndLocation(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val whPath =
+      if (wh.contains(":/")) java.nio.file.Paths.get(new java.net.URI(wh))
+      else java.nio.file.Paths.get(wh)
+    val dir = whPath.resolve(name)
+    if (java.nio.file.Files.exists(dir))
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    dropTableAndLocation(s, "graft_orders_bkt")
+    dropTableAndLocation(s, "graft_lineitem_bkt")
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .write.mode("overwrite").format("parquet")

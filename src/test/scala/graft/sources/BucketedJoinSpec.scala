@@ -10,6 +10,8 @@ class BucketedJoinSpec extends SparkSpec {
 
   test("bucketed sort-merge join runs with no exchange on either side") {
     import spark.implicits._
+    FileFormats.dropTableAndLocation(spark, "spec_orders_bkt")
+    FileFormats.dropTableAndLocation(spark, "spec_lineitem_bkt")
     (1L to 1000L).map(k => (k, s"p${k % 5}")).toDF("o_orderkey", "prio")
       .write.mode("overwrite").format("parquet")
       .bucketBy(4, "o_orderkey").saveAsTable("spec_orders_bkt")
