@@ -18,7 +18,7 @@ object GraftSession {
   def builder(master: String, cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
-      .withExtensions(graft.functions.ArrayDotLong.register)
+      .withExtensions(graft.plans.GraftExtensions.register)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,16 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Single registration point for every Catalyst extension the library
+  * ships (`SparkSession.builder.withExtensions(GraftExtensions.register)`):
+  * the fused [[graft.functions.ArrayDotLong]] kernel, and the
+  * [[RewriteRankFilterToTopK]] rule + [[TopKPerKeyStrategy]] planner
+  * strategy that turn rank-filter windows into shuffle-light top-k. */
+object GraftExtensions {
+  def register(ext: SparkSessionExtensions): Unit = {
+    graft.functions.ArrayDotLong.register(ext)
+    ext.injectOptimizerRule(_ => RewriteRankFilterToTopK)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
+}
