@@ -58,20 +58,20 @@ object Similarity {
   private def dotInt(a: Column, b: Column): Column =
     graft.functions.ArrayDotLong.dotLong(a, b)
 
-  /** Deterministic hyperplane weight: lcg over (plane, dim) in
-    * [-1000, 1000] — identical formula in the oracle SQL. */
-  private def planeWeight(p: Column, dim: Column): Column =
-    ((p * 64 + dim) * 1103515245L + 17L) % 2147483647L % 2001L - 1000L
+  /** Deterministic hyperplane weights: lcg over (plane, dim) in
+    * [-1000, 1000] — identical formula in the oracle SQL. Precomputed on
+    * the driver into a LITERAL array per plane, so a plane dot is one
+    * fused `array_dot_long` codegen loop over constants instead of
+    * per-element modular arithmetic re-evaluated for every row. */
+  private def planeWeightsLit(p: Int): Column =
+    lit(Array.tabulate(64)(d =>
+      ((p.toLong * 64L + d) * 1103515245L + 17L) % 2147483647L % 2001L - 1000L))
 
   /** Sign-bit LSH bucket (0..2^numPlanes-1) for each vector: map-only. */
   def lshBuckets(emb: DataFrame, numPlanes: Int = DefaultPlanes): DataFrame = {
     val q = quantize(col("embedding"))
     val bucket = (0 until numPlanes).map { p =>
-      // dot(w_p, q) over the 64 dims via an indexed transform
-      val dims = sequence(lit(0), lit(63))
-      val dot = aggregate(
-        zip_with(dims, q, (d, x) => planeWeight(lit(p), d) * x),
-        lit(0L), (acc, v) => acc + v)
+      val dot = dotInt(planeWeightsLit(p), q)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     emb.select(col("vec_id"), bucket.as("bucket"))
@@ -134,12 +134,13 @@ object Similarity {
     * here would let InferFiltersFromGenerate duplicate the whole
     * bucket pipeline into a pushed-down filter (the t06 lesson). */
   def bandedLsh(emb: DataFrame, planesPerBand: Int = 4, numBands: Int = 4): DataFrame = {
-    val dims = sequence(lit(0), lit(63))
     val bucket = (0 until planesPerBand).map { i =>
-      val p = col("band") * planesPerBand + i
-      val dot = aggregate(
-        zip_with(dims, col("qv"), (d, x) => planeWeight(p, d) * x),
-        lit(0L), (acc, v) => acc + v)
+      // plane index is band·planesPerBand + i with `band` a column, so
+      // the literal per-plane weight arrays are indexed by band at
+      // runtime (a constant array-of-arrays lookup, then one fused dot)
+      val weightsByBand =
+        array((0 until numBands).map(b => planeWeightsLit(b * planesPerBand + i)): _*)
+      val dot = dotInt(element_at(weightsByBand, col("band") + 1), col("qv"))
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
