@@ -278,6 +278,36 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(sum(col("n_part")).as("n_events"), sum(col("c_part")).as("sum_cents"))
 
+  /** As-of join (the time-series align operator Spark has no built-in
+    * for): each event picks the latest order of the same customer at or
+    * before the event time. Implemented the scale-correct way — tag both
+    * sides, UNION, one window per key ordered by (time, side) carrying
+    * the last seen order forward — so the whole join is ONE shuffle on
+    * the key with bounded window state, never a per-key range join or
+    * an inequality-join explosion. Orders are pre-collapsed to one row
+    * per (key, time) (max order key) so the as-of winner is unambiguous
+    * on both engines; `side` orders the match inclusively (an order at
+    * exactly the event time is visible). Oracle: DuckDB's native
+    * ASOF JOIN. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("k"),
+               unix_timestamp(col("o_orderdate")).as("t"))
+      .agg(max(col("o_orderkey")).as("okey"))
+      .select(col("k"), col("t"), col("okey"), lit(0).as("side"),
+              lit(null).cast("long").as("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("user_id").as("k"), unix_timestamp(col("ts")).as("t"),
+              lit(null).cast("long").as("okey"), lit(1).as("side"),
+              col("event_id"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("asof_orderkey", last(col("okey"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("k"), col("t"), col("asof_orderkey"))
+  }
+
   /** Set op: INTERSECT — customers in both segments' key ranges (the
     * remaining §2.B2.12 member; hash-agg + shuffle like except). */
   def intersectSegments(s: SparkSession, d: String): DataFrame = {
@@ -338,6 +368,7 @@ object Relational {
     "q23_left_join_agg"     -> (leftJoinSpend _),
     "q24_range_window"      -> (rangeWindowPerUser _),
     "q25_salted_agg"        -> (saltedAgg _),
+    "q26_asof_join"         -> (asofJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -493,5 +524,15 @@ object Relational {
       """SELECT event_type, count(*) AS n_events,
                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY event_type""",
+    "q26_asof_join" ->
+      """WITH o AS (
+           SELECT o_custkey AS k, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS t,
+                  max(o_orderkey) AS okey
+           FROM orders GROUP BY 1, 2),
+         e AS (
+           SELECT event_id, user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events)
+         SELECT e.event_id, e.k, e.t, o.okey AS asof_orderkey
+         FROM e ASOF JOIN o ON e.k = o.k AND e.t >= o.t""",
   )
 }
