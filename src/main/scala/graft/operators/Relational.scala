@@ -308,6 +308,31 @@ object Relational {
       .select(col("event_id"), col("k"), col("t"), col("asof_orderkey"))
   }
 
+  /** Range join (interval join): every order of the same customer within
+    * the 7 days before each event. A raw inequality join degenerates to
+    * a per-key nested loop in Spark; the scale shape is TIME BANDING —
+    * both sides bucket time by the window width, orders replicate into
+    * their own and the following bucket (exploded from a 2-literal
+    * array), the join becomes an equi-join on (key, bucket), and the
+    * exact range predicate filters the ~2× candidates. Output aggregated
+    * per event (count + latest order) so the result is deterministic.
+    * Oracle: the plain inequality join, feasible at fixture scale. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val W = 604800L   // 7 days in seconds
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey").as("k"),
+              unix_timestamp(col("o_orderdate")).as("ot"), col("o_orderkey"))
+      .withColumn("jb", explode(array(expr(s"ot div $W"), expr(s"ot div $W") + 1)))
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id").as("k2"),
+              unix_timestamp(col("ts")).as("et"))
+      .withColumn("eb", expr(s"et div $W"))
+    e.join(o, col("k2") === col("k") && col("eb") === col("jb") &&
+              col("ot") <= col("et") && col("et") - col("ot") < W)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_orders_7d"), max(col("o_orderkey")).as("last_okey"))
+  }
+
   /** Set op: INTERSECT — customers in both segments' key ranges (the
     * remaining §2.B2.12 member; hash-agg + shuffle like except). */
   def intersectSegments(s: SparkSession, d: String): DataFrame = {
@@ -369,6 +394,7 @@ object Relational {
     "q24_range_window"      -> (rangeWindowPerUser _),
     "q25_salted_agg"        -> (saltedAgg _),
     "q26_asof_join"         -> (asofJoin _),
+    "q27_range_join"        -> (rangeJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -534,5 +560,16 @@ object Relational {
            FROM events)
          SELECT e.event_id, e.k, e.t, o.okey AS asof_orderkey
          FROM e ASOF JOIN o ON e.k = o.k AND e.t >= o.t""",
+    "q27_range_join" ->
+      """WITH o AS (
+           SELECT o_custkey AS k, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ot,
+                  o_orderkey
+           FROM orders),
+         e AS (
+           SELECT event_id, user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS et
+           FROM events)
+         SELECT e.event_id, count(*) AS n_orders_7d, max(o.o_orderkey) AS last_okey
+         FROM e JOIN o ON e.k = o.k AND o.ot <= e.et AND e.et - o.ot < 604800
+         GROUP BY 1""",
   )
 }
