@@ -30,6 +30,12 @@ object Bench {
     val errors = scala.collection.mutable.Map[String, String]()
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.err.println(s"[bench] running $name")
+      // GC OUTSIDE the timed region: ~70 queries leave unreferenced
+      // checkpoint blocks / broadcasts that only the ContextCleaner can
+      // reclaim, and it only runs on driver GC — without this, queries
+      // late in the run pay accumulated cleanup debt (measured ~10×
+      // inflation on the final queries vs their isolated cost).
+      System.gc()
       val t0 = System.nanoTime()
       try runNoop(spark, fn, sfDir)
       catch { case e: Throwable =>
