@@ -192,6 +192,18 @@ object ArrayQueries {
           cm AS (SELECT j, sum(v) / 64.0 AS cmean FROM a GROUP BY j)
           SELECT a.i AS i, a.j AS j, (a.v - rm.rmean) + cm.cmean AS v
           FROM a JOIN rm ON a.i = rm.i JOIN cm ON a.j = cm.j""",
+    // sum(A·B) = Σ_k colsumA(k)·rowsumB(k): every partial is an exact
+    // integer below 2^53, so the distributed treeAggregate checksum is
+    // order-independent and equals this closed form bit-for-bit.
+    "a10_gemm_bench" ->
+      """WITH ac AS (SELECT j.range AS k,
+                sum(CAST(((i.range*1024+j.range)*1103515245+41)%2147483647%100 AS DOUBLE)) AS s
+              FROM range(1024) i, range(1024) j GROUP BY 1),
+            br AS (SELECT i.range AS k,
+                sum(CAST(((i.range*1024+j.range)*1103515245+43)%2147483647%100 AS DOUBLE)) AS s
+              FROM range(1024) i, range(1024) j GROUP BY 1)
+         SELECT CAST(sum(ac.s * br.s) AS DOUBLE) AS checksum
+         FROM ac JOIN br ON ac.k = br.k""",
     "a12_sparse_matmul" ->
       s"""WITH ${matSql("a", 64, 48, 7)}, ${matSql("b", 48, 32, 11)},
           sa AS (SELECT * FROM a WHERE v % 5 = 0),

@@ -179,6 +179,38 @@ class DMatrix(
       .toDF("j", "col_sum")
   }
 
+  /** Per-column standard deviation (dask `x.std(axis=0)`, used in the
+    * reference's `x.dot(y).std(axis=0)` — tests/test_collections.py:93):
+    * one pass of per-block (sum, sumsq) partials reduced on the
+    * block-col index, std closed-form on the tiny reduced vectors. */
+  def stdAxis0: DataFrame = {
+    import blocks.sparkSession.implicits._
+    val bs = blockSize
+    val nr = nRows
+    blocks.rdd.map { b =>
+      val s = new Array[Double](b.cols)
+      val s2 = new Array[Double](b.cols)
+      var j = 0
+      while (j < b.cols) {
+        var i = 0
+        while (i < b.rows) {
+          val v = b.data(i + j * b.rows)
+          s(j) += v; s2(j) += v * v
+          i += 1
+        }
+        j += 1
+      }
+      (b.bj, (s, s2))
+    }.reduceByKey((a, b) => (addInto(a._1, b._1), addInto(a._2, b._2)))
+      .flatMap { case (bj, (s, s2)) =>
+        s.indices.map { j =>
+          val m = s(j) / nr
+          (bj.toLong * bs + j, math.sqrt(math.max(0.0, s2(j) / nr - m * m)))
+        }
+      }
+      .toDF("j", "col_std")
+  }
+
   /** Per-block-row row means, keyed by block-row index — the joinable
     * form of `x.mean(axis=1)` feeding [[zipRowVec]]. Shuffles only nb
     * small vectors (reduceByKey with map-side combine), never blocks. */

@@ -61,6 +61,20 @@ class ArraySpec extends SparkSpec {
     assert(math.abs(a.mean - bsum(local) / (17 * 13)) < 1e-9)
   }
 
+  test("x.dot(y).std(axis=0) composition matches Breeze") {
+    val x = DMatrix.randInt(spark, 24, 18, 8, 3L)
+    val y = DMatrix.randInt(spark, 18, 12, 8, 5L)
+    val got = x.multiply(y).stdAxis0.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val c = x.toLocal * y.toLocal
+    for (j <- 0 until 12) {
+      val col = (0 until 24).map(i => c(i, j))
+      val m = col.sum / 24.0
+      val want = math.sqrt(col.map(v => v * v).sum / 24.0 - m * m)
+      assert(math.abs(got(j) - want) < 1e-6, s"col $j: ${got(j)} vs $want")
+    }
+  }
+
   test("sparse COO: spmm matches dense multiply, toDense round-trips") {
     import org.apache.spark.sql.functions.col
     val a = DMatrix.randInt(spark, 30, 22, 8, 3L)
