@@ -317,6 +317,45 @@ object Relational {
     * exact range predicate filters the ~2× candidates. Output aggregated
     * per event (count + latest order) so the result is deterministic.
     * Oracle: the plain inequality join, feasible at fixture scale. */
+  /** lag/shift (dask `df.shift` / `diff`): per-user delta of consecutive
+    * event values — one window per key with a total (ts, event_id)
+    * order, integer-cents domain for exact cross-engine equality. */
+  def lagDelta(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .select(col("event_id"), col("user_id"),
+              (col("cents") - coalesce(col("prev_cents"), lit(0L))).as("delta_cents"))
+  }
+
+  /** pivot_table: monthly event counts pivoted by type. Pivot values are
+    * pinned (no extra distinct pass over the data to discover them —
+    * the 100 TB form always enumerates); counts coalesced to 0 so a
+    * month missing a type matches the oracle's FILTER counts. */
+  def pivotCounts(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("month") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** quantile (dask `df.quantile`): exact interpolated percentiles of
+    * line-item cents per return flag. Rounded to 4 decimals: both
+    * engines interpolate linearly on the same exact integers, rounding
+    * absorbs the final-operation ulp. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+              round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(cents, 0.25)"), 4).as("p25"),
+           round(expr("percentile(cents, 0.5)"), 4).as("p50"),
+           round(expr("percentile(cents, 0.75)"), 4).as("p75"))
+
   def rangeJoin(s: SparkSession, d: String): DataFrame = {
     val W = 604800L   // 7 days in seconds
     val o = Tables.orders(s, d)
@@ -395,6 +434,9 @@ object Relational {
     "q25_salted_agg"        -> (saltedAgg _),
     "q26_asof_join"         -> (asofJoin _),
     "q27_range_join"        -> (rangeJoin _),
+    "q28_lag_delta"         -> (lagDelta _),
+    "q29_pivot"             -> (pivotCounts _),
+    "q30_percentiles"       -> (percentiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -570,6 +612,30 @@ object Relational {
            FROM events)
          SELECT e.event_id, count(*) AS n_orders_7d, max(o.o_orderkey) AS last_okey
          FROM e JOIN o ON e.k = o.k AND o.ot <= e.et AND e.et - o.ot < 604800
+         GROUP BY 1""",
+    "q28_lag_delta" ->
+      """SELECT event_id, user_id,
+                cents - coalesce(lag(cents) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id), 0) AS delta_cents
+         FROM (SELECT event_id, user_id, ts,
+                      CAST(round(value*100) AS BIGINT) AS cents
+               FROM events) t""",
+    "q29_pivot" ->
+      """SELECT strftime(ts, '%Y-%m') AS month,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'error') AS error,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY 1""",
+    "q30_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(cents, 0.25), 4) AS p25,
+                round(quantile_cont(cents, 0.5), 4) AS p50,
+                round(quantile_cont(cents, 0.75), 4) AS p75
+         FROM (SELECT l_returnflag,
+                      CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+               FROM lineitem) t
          GROUP BY 1""",
   )
 }
