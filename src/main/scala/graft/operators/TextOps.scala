@@ -142,6 +142,54 @@ object TextOps {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** KMV (k-minimum-values) distinct-count sketch over the corpus
+    * vocabulary: the k smallest md5-derived token hashes. Unlike HLL,
+    * the sketch is DETERMINISTIC — identical bit-for-bit on any engine
+    * sharing the hash — so both the sketch rows and the derived
+    * estimate ((k−1)·2^60 / kth-min) are exact-oracle checkable. The
+    * distributed shape is distinct (one shuffle on the 8-byte hash) +
+    * global top-k (per-partition k-min, then k-way driver merge — Spark
+    * TakeOrderedAndProject), never a full sort. */
+  def kmvSketch(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val hashes = Tables.documents(s, d)
+      .select(explode(TextSim.words(col("text"))).as("tok"))
+      .select(TextSim.h64(col("tok")).as("h"))
+      .distinct()
+      .orderBy(col("h")).limit(k)
+    val kth = hashes.agg(max(col("h")).as("kth"))
+    hashes.crossJoin(broadcast(kth))
+      .select(col("h"),
+        round(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+          col("kth").cast("double"), 2).as("est_distinct"))
+  }
+
+  /** The composed corpus-cleaning pipeline a training-data run actually
+    * executes: quality gate (alphabetic ratio ≥ 0.6, ≥ 20 tokens) →
+    * exact dedup (keep lowest doc_id per fingerprint) → per-language
+    * survivor profile. One scan, one dedup shuffle, one small
+    * aggregation — the whole chain stays map-side until the 16-byte
+    * fingerprint shuffle. */
+  def cleanCorpusProfile(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val len = length(col("text"))
+    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    val kept = docs
+      .filter(len > 0 && alpha.cast("double") / len >= 0.6 &&
+              tokenCount(col("text")) >= 20)
+      .select(col("doc_id"), col("lang"), fingerprint(col("text")).as("fp"),
+              tokenCount(col("text")).as("n_tokens"))
+    // argmin via struct-min: the SURVIVING (lowest-doc_id) copy's fields
+    // — `first()` would be nondeterministic when duplicate fingerprints
+    // carry different lang labels
+    val deduped = kept
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"))).as("m"))
+      .select(col("m.lang").as("lang"), col("m.n_tokens").as("n_tokens"))
+    deduped.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
@@ -151,6 +199,8 @@ object TextOps {
     "t10_lang_id"      -> (langId _),
     "t11_token_pieces" -> (tokenPieces _),
     "t12_rolling_fp"   -> (rollingFingerprint _),
+    "t13_kmv_sketch"   -> (kmvSketch _),
+    "t14_clean_corpus" -> (cleanCorpusProfile _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -217,5 +267,27 @@ object TextOps {
                     w -> ('0x'||substr(md5(w),1,15))::BIGINT % 2147483647)),
                   (acc, h) -> (acc*31 + h) % 1000000007) AS roll_fp
          FROM d""",
+    "t13_kmv_sketch" ->
+      """WITH hashes AS (
+           SELECT DISTINCT ('0x'||substr(md5(tok),1,15))::BIGINT AS h
+           FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS tok
+                 FROM documents)),
+         ks AS (SELECT h FROM hashes ORDER BY h LIMIT 64),
+         kth AS (SELECT max(h) AS kth FROM ks)
+         SELECT ks.h, round(63.0 * 1152921504606846976.0 / CAST(kth.kth AS DOUBLE), 2) AS est_distinct
+         FROM ks, kth""",
+    "t14_clean_corpus" ->
+      """WITH kept AS (
+           SELECT doc_id, lang,
+                  md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp,
+                  len(regexp_extract_all(text,'\S+')) AS n_tokens
+           FROM documents
+           WHERE length(text) > 0
+             AND length(regexp_replace(text,'[^a-zA-Z]','','g')) * 1.0 / length(text) >= 0.6
+             AND len(regexp_extract_all(text,'\S+')) >= 20),
+         dd AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp),
+         sel AS (SELECT k.lang, k.n_tokens FROM dd JOIN kept k ON k.doc_id = dd.doc_id)
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM sel GROUP BY lang""",
   )
 }
