@@ -344,17 +344,23 @@ object Relational {
   }
 
   /** quantile (dask `df.quantile`): exact interpolated percentiles of
-    * line-item cents per return flag. Rounded to 4 decimals: both
-    * engines interpolate linearly on the same exact integers, rounding
-    * absorbs the final-operation ulp. */
+    * line-item cents per return flag. Values are pre-aggregated to
+    * (value, count) first — the percentile buffer is then bounded by
+    * DISTINCT values (with map-side combine) instead of holding every
+    * row, which is the difference between a bounded aggregate and an
+    * OOM at warehouse row counts; `percentile(..., freq)` interpolates
+    * identically. Rounded to 4 decimals: both engines interpolate
+    * linearly on the same exact integers, rounding absorbs the
+    * final-operation ulp. */
   def percentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(col("l_returnflag"),
               round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("l_returnflag"), col("cents")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("l_returnflag"))
-      .agg(round(expr("percentile(cents, 0.25)"), 4).as("p25"),
-           round(expr("percentile(cents, 0.5)"), 4).as("p50"),
-           round(expr("percentile(cents, 0.75)"), 4).as("p75"))
+      .agg(round(expr("percentile(cents, 0.25, cnt)"), 4).as("p25"),
+           round(expr("percentile(cents, 0.5, cnt)"), 4).as("p50"),
+           round(expr("percentile(cents, 0.75, cnt)"), 4).as("p75"))
 
   def rangeJoin(s: SparkSession, d: String): DataFrame = {
     val W = 604800L   // 7 days in seconds
