@@ -65,25 +65,46 @@ object ArrayQueries {
     s.createDataset(rows).toDF("i", "j", "v")
   }
 
-  /** Tall-skinny SVD singular values (2048×64). Rows-only gate. */
+  /** Tall-skinny SVD (2048×64, the reference `da.linalg.svd(X)` shape,
+    * README.md:220-224) validated through two exact invariants on an
+    * integer-valued A (cond(A) ≈ 48 — the double-mod LCG is far from
+    * rank-deficient, checked empirically):
+    *   - UᵀU = I, computed as a *distributed* Gram of the distributed U
+    *     (exercises the A·V·Σ⁻¹ map): orthonormality roundoff is
+    *     ~ε·‖A‖/σ_min ≈ 5e-15 ≪ 0.5, so round() recovers the identity;
+    *   - Σσᵢ² = ‖A‖²_F (exact integer, ≈4.4e10 ≪ 2⁵³; SVD roundoff
+    *     ~1e-3 absolute ≪ 0.5).
+    * Both sides are SQL-expressible → hash-matched oracle (the σ values
+    * themselves stay tolerance-checked against Breeze in LinAlgSpec). */
   def svdValues(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val a = DMatrix.rand(s, 2048, 64, 128, 29L)
-    val (_, sv, _) = LinAlg.svdTallSkinny(a)
-    s.createDataset(sv.toArray.zipWithIndex.toSeq.map { case (v, i) =>
-      (i.toLong, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }).toDF("k", "sigma")
+    val a = DMatrix.randInt(s, 2048, 64, 128, 29L)
+    val (u, sv, _) = LinAlg.svdTallSkinny(a)
+    val frob = math.round(sv.toArray.map(x => x * x).sum)
+    val uu = u.transpose.multiply(u).toCoords
+      .select(col("i"), col("j"), round(col("v")).cast("long").as("v"))
+    uu.union(Seq((-1L, -1L, frob)).toDF("i", "j", "v"))
   }
 
-  /** Randomized SVD top-5 singular values of a 512×512 square matrix
-    * (the reference's svd_compressed shape scaled down). Rows-only. */
+  /** Randomized SVD (the reference's `svd_compressed`, README.md:243-247)
+    * on an *exactly rank-15* integer matrix A = X(512×15)·Y(15×512):
+    * with k = l = 15 the sketch captures the whole 15-dimensional range,
+    * so U·Σ·Vᵀ must reconstruct A exactly (recon roundoff ~2e-12 ≪ 0.5,
+    * measured) — and A itself is SQL-expressible as the X·Y join from the
+    * shared LCG. round() of the reconstruction upgrades the former
+    * rows-only gate to a hash-matched oracle covering the full pipeline:
+    * sketch, power iterations, distributed QR, B = QᵀA shuffle, local
+    * SVD, and the distributed U·(ΣVᵀ) product. */
   def svdCompressedValues(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val a = DMatrix.rand(s, 512, 512, 128, 31L)
-    val (_, sv, _) = LinAlg.svdCompressed(a, k = 5, seed = 99L)
-    s.createDataset(sv.toArray.zipWithIndex.toSeq.map { case (v, i) =>
-      (i.toLong, BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }).toDF("k", "sigma")
+    val x = DMatrix.randInt(s, 512, 15, 128, 101L, mod = 10L)
+    val y = DMatrix.randInt(s, 15, 512, 128, 103L, mod = 10L)
+    val a = x.multiply(y)
+    val (u, sv, v) = LinAlg.svdCompressed(a, k = 15, oversample = 0, seed = 99L)
+    val svt = v.t.copy                       // 15×512 = Vᵀ, rows scaled by σᵢ
+    var i = 0
+    while (i < sv.length) { svt(i, ::) :*= sv(i); i += 1 }
+    val recon = u.multiply(DMatrix.fromLocal(s, svt, 128))
+    recon.toCoords.select(col("i"), col("j"), round(col("v")).cast("long").as("v"))
   }
 
   /** Blocked Cholesky of an SPD matrix (diag-dominant 96×96, chunks 32),
@@ -181,6 +202,24 @@ object ArrayQueries {
       s"""WITH ${matSql("a", 4096, 64, 23)}
           SELECT a1.j AS i, a2.j AS j, CAST(round(sum(a1.v * a2.v)) AS BIGINT) AS v
           FROM a a1 JOIN a a2 ON a1.i = a2.i GROUP BY 1, 2""",
+    "a07_svd_values" ->
+      s"""WITH fr AS (SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+                 CAST(sum(v*v) AS BIGINT) AS v
+            FROM (SELECT ((ri.range*64+rj.range)*1103515245+29)%2147483647%1000 AS v
+                  FROM range(2048) ri, range(64) rj) t)
+          SELECT ri.range AS i, rj.range AS j,
+                 CAST(CASE WHEN ri.range = rj.range THEN 1 ELSE 0 END AS BIGINT) AS v
+          FROM range(64) ri, range(64) rj
+          UNION ALL SELECT * FROM fr""",
+    "a09_svd_compressed" ->
+      s"""WITH x AS (SELECT i.range AS i, k.range AS k,
+                 ((i.range*15+k.range)*1103515245+101)%2147483647%10 AS v
+               FROM range(512) i, range(15) k),
+          y AS (SELECT k.range AS k, j.range AS j,
+                 ((k.range*512+j.range)*1103515245+103)%2147483647%10 AS v
+               FROM range(15) k, range(512) j)
+          SELECT x.i AS i, y.j AS j, CAST(sum(x.v * y.v) AS BIGINT) AS v
+          FROM x JOIN y ON x.k = y.k GROUP BY 1, 2""",
     "a08_cholesky_recon" ->
       s"""WITH ${matSql("b", 96, 96, 37, 10)}
           SELECT b1.j AS i, b2.j AS j,

@@ -70,21 +70,25 @@ object Predict {
 
   /** ml02: the reference's headline predict scale — 800k generated
     * samples, broadcast linear scorer, one aggregated profile row.
-    * Rows-only gate (mixed-hash features are not SQL-expressible);
-    * exactness covered by MlSpec. */
+    * Integer-domain throughout (LCG features, LCG scoring weights with a
+    * *different* salt than the ground truth, so the confusion counts are
+    * nontrivial): every dot product is an exact 64-bit integer, making
+    * the (n, n_correct, n_pos) profile bit-reproducible in SQL — this
+    * upgrades the former rows-only gate to a hash-matched oracle. The
+    * broadcast-scorer mapPartitions shape (the point of B4) is unchanged. */
   def predictGenerated(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val data = Generators.makeClassification(s, 800000L, 20, seed = 5L)
-    val w = Array.tabulate(20)(j => graft.array.DMatrix.mixedUniform(9999L, j, 20, 5L) - 0.5)
-    val bc = s.sparkContext.broadcast(w)
+    val data = Generators.makeClassificationLcg(s, 800000L, 20, seed = 5L)
+    val ws = Array.tabulate(20)(j => ((8888L * 20 + j) * 1103515245L + 5L) % 2147483647L % 1000L - 500L)
+    val bc = s.sparkContext.broadcast(ws)
     data.select(col("row_id"), col("features"), col("label"))
-      .as[(Long, Array[Double], Double)]
+      .as[(Long, Array[Long], Long)]
       .mapPartitions { it =>
-        val ww = bc.value
+        val w = bc.value
         it.map { case (_, x, label) =>
-          var dot = 0.0; var j = 0
-          while (j < ww.length) { dot += ww(j) * x(j); j += 1 }
-          val pred = if (dot > 0) 1.0 else 0.0
+          var dot = 0L; var j = 0
+          while (j < w.length) { dot += w(j) * x(j); j += 1 }
+          val pred = if (dot > 0L) 1L else 0L
           (pred, label, if (pred == label) 1L else 0L)
         }
       }
@@ -114,5 +118,22 @@ object Predict {
          SELECT c.l_orderkey, c.l_linenumber,
                 m.intercept + m.slope * CAST(c.x AS DOUBLE) AS pred_cents
          FROM c, m""",
+    "ml02_predict_bench" ->
+      """WITH w AS (
+           SELECT j.range AS j,
+                  ((9999*20 + j.range)*1103515245 + 5) % 2147483647 % 1000 - 500 AS wg,
+                  ((8888*20 + j.range)*1103515245 + 5) % 2147483647 % 1000 - 500 AS ws
+           FROM range(20) j),
+         d AS (
+           SELECT i.range AS i,
+                  sum(w.wg * (((i.range*20 + w.j)*1103515245 + 5) % 2147483647 % 1000 - 500)) AS dg,
+                  sum(w.ws * (((i.range*20 + w.j)*1103515245 + 5) % 2147483647 % 1000 - 500)) AS ds
+           FROM range(800000) i, w GROUP BY 1),
+         s AS (SELECT CASE WHEN dg > 0 THEN 1 ELSE 0 END AS label,
+                      CASE WHEN ds > 0 THEN 1 ELSE 0 END AS pred FROM d)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                CAST(sum(pred) AS BIGINT) AS n_pos
+         FROM s""",
   )
 }

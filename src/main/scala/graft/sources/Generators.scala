@@ -47,6 +47,24 @@ object Generators {
     }.toDF("row_id", "features", "label")
   }
 
+  /** Integer-domain make_classification: features are centered LCG
+    * integers in [-500, 499] and the ground truth is label = sign(wg·x)
+    * with wg from the same LCG family — every dot product is an exact
+    * 64-bit integer (|dot| ≤ 5e6), so the full confusion matrix is
+    * SQL-expressible and hash-matchable cross-engine. The mixed-hash
+    * variant above stays for numerically-shaped specs. */
+  def makeClassificationLcg(s: SparkSession, n: Long, d: Int, seed: Long): DataFrame = {
+    import s.implicits._
+    val dd = d
+    s.range(n).map { i =>
+      val x = Array.tabulate(dd)(j => ((i * dd + j) * 1103515245L + seed) % 2147483647L % 1000L - 500L)
+      val wg = Array.tabulate(dd)(j => ((9999L * dd + j) * 1103515245L + seed) % 2147483647L % 1000L - 500L)
+      var dot = 0L; var j = 0
+      while (j < dd) { dot += wg(j) * x(j); j += 1 }
+      (i, x, if (dot > 0L) 1L else 0L)
+    }.toDF("row_id", "features", "label")
+  }
+
   /** s01: timeseries generator profile — 20,000 2-hourly rows from
     * 2000-01-01, grouped by name (the reference make_timeseries shape). */
   def timeseriesProfile(s: SparkSession, d: String): DataFrame =
