@@ -78,14 +78,21 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
 
 /** Physical top-k per key. `rankAttr = None` is the partial (pre-shuffle)
   * pass: no required distribution, emits ≤ limit rows per key per input
-  * partition, no rank. `rankAttr = Some(_)` is the final pass: requires
-  * co-location by key, emits each key's rows in order with their rank.
+  * partition (plus streamed-through overflow), no rank. `rankAttr =
+  * Some(_)` is the final pass: requires co-location by key AND
+  * (key, order) child ordering, so Spark plans a stock *external
+  * spillable* SortExec over the already-partial-reduced shuffle output,
+  * and the final pass is a streaming group scan with O(1) state.
   *
-  * Per-partition state is one k-heap per distinct key seen (≤ k·keys
-  * rows). The partial pass caps its key map at [[TopKPerKeyExec.MaxPartialKeys]]
-  * and passes overflow rows straight through — emitting extra rows is
-  * always CORRECT (the final pass re-selects exactly k), so the cap
-  * bounds memory without a spill path. */
+  * Memory story (the reason this beats WindowExec at scale):
+  *   - partial pass: at most [[TopKPerKeyExec.MaxPartialKeys]] heaps of
+  *     ≤ k rows; once the key map is full, rows of NEW keys are emitted
+  *     lazily the moment they arrive (never accumulated) — emitting
+  *     extra rows is always CORRECT because the final pass re-selects
+  *     exactly k per key;
+  *   - exchange+sort: operates on the reduced stream and spills via the
+  *     stock UnsafeExternalSorter;
+  *   - final pass: one counter + one grouping key, no per-key state. */
 case class TopKPerKeyExec(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
@@ -101,7 +108,18 @@ case class TopKPerKeyExec(
     else if (partitionSpec.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(partitionSpec))
 
+  /** Final pass consumes (key, order)-sorted input — EnsureRequirements
+    * plans a stock external (spilling) sort over the partial-reduced
+    * stream, keeping this operator itself O(1)-state. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (rankAttr.isEmpty) Seq(Nil)
+    else Seq(partitionSpec.map(SortOrder(_, Ascending)) ++ orderSpec)
+
   override def outputPartitioning = child.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (rankAttr.isEmpty) Nil
+    else partitionSpec.map(SortOrder(_, Ascending)) ++ orderSpec
 
   protected override def doExecute(): RDD[InternalRow] = {
     val isFinal = rankAttr.isDefined
@@ -110,52 +128,63 @@ case class TopKPerKeyExec(
     val os = orderSpec
     val childOutput = child.output
     val outAttrs = output
-    child.execute().mapPartitions({ it =>
-      val keyProj = UnsafeProjection.create(ps, childOutput)
-      val rowProj = UnsafeProjection.create(childOutput, childOutput)
-      val ord = GenerateOrdering.generate(os, childOutput)
-      // head of each queue = the WORST retained row (max under ord)
-      val worstFirst = new java.util.Comparator[InternalRow] {
-        def compare(x: InternalRow, y: InternalRow): Int = -ord.compare(x, y)
-      }
-      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      val overflow = new scala.collection.mutable.ArrayBuffer[InternalRow]()
-      while (it.hasNext) {
-        val row = it.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          if (!isFinal && heaps.size() >= TopKPerKeyExec.MaxPartialKeys) {
-            overflow += rowProj(row).copy()   // pass through; final re-selects
-          } else {
-            heap = new java.util.PriorityQueue[InternalRow](k, worstFirst)
-            heaps.put(key.copy(), heap)
-            heap.add(rowProj(row).copy())
-          }
-        } else if (heap.size() < k) {
-          heap.add(rowProj(row).copy())
-        } else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(rowProj(row).copy())
+    if (!isFinal) {
+      child.execute().mapPartitions({ it =>
+        val keyProj = UnsafeProjection.create(ps, childOutput)
+        val rowProj = UnsafeProjection.create(childOutput, childOutput)
+        val ord = GenerateOrdering.generate(os, childOutput)
+        // head of each queue = the WORST retained row (max under ord)
+        val worstFirst = new java.util.Comparator[InternalRow] {
+          def compare(x: InternalRow, y: InternalRow): Int = -ord.compare(x, y)
         }
-      }
-      import scala.jdk.CollectionConverters._
-      if (!isFinal) {
-        heaps.values().iterator().asScala.flatMap(_.iterator().asScala) ++ overflow.iterator
-      } else {
+        val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        val maxKeys = TopKPerKeyExec.MaxPartialKeys
+        // Reduce in-flight; rows of keys past the cap stream out the
+        // moment they arrive (never buffered). Iterator.++ is by-name,
+        // so the heap drain below runs only after the input is exhausted.
+        val reduced = it.flatMap { row =>
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            if (heaps.size() >= maxKeys) {
+              Iterator.single[InternalRow](rowProj(row)) // lazy pass-through
+            } else {
+              heap = new java.util.PriorityQueue[InternalRow](k, worstFirst)
+              heaps.put(key.copy(), heap)
+              heap.add(rowProj(row).copy())
+              Iterator.empty
+            }
+          } else if (heap.size() < k) {
+            heap.add(rowProj(row).copy())
+            Iterator.empty
+          } else if (ord.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(rowProj(row).copy())
+            Iterator.empty
+          } else Iterator.empty
+        }
+        import scala.jdk.CollectionConverters._
+        reduced ++ heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      }, preservesPartitioning = true)
+    } else {
+      child.execute().mapPartitions({ it =>
+        val keyProj = UnsafeProjection.create(ps, childOutput)
         val rankRow = new GenericInternalRow(1)
         val joined = new JoinedRow
         val outProj = UnsafeProjection.create(outAttrs, outAttrs)
-        heaps.values().iterator().asScala.flatMap { heap =>
-          val rows = heap.toArray(new Array[InternalRow](heap.size()))
-          java.util.Arrays.sort(rows, ord)
-          rows.iterator.zipWithIndex.map { case (r, i) =>
-            rankRow.setInt(0, i + 1)
-            outProj(joined(r, rankRow)).copy()
-          }
+        var curKey: UnsafeRow = null
+        var curCount = 0
+        it.flatMap { row =>
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) { curKey = key.copy(); curCount = 0 }
+          curCount += 1
+          if (curCount <= k) {
+            rankRow.setInt(0, curCount)
+            Iterator.single[InternalRow](outProj(joined(row, rankRow)))
+          } else Iterator.empty
         }
-      }
-    }, preservesPartitioning = true)
+      }, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
@@ -164,8 +193,11 @@ case class TopKPerKeyExec(
 
 object TopKPerKeyExec {
   /** Partial-pass key-map cap: ~128k keys × k rows retained per map
-    * partition before new keys flow through unreduced. */
-  val MaxPartialKeys = 1 << 17
+    * partition; rows of keys beyond the cap stream through unreduced
+    * (lazily — never buffered). System-property override exists for
+    * exercising the overflow path in specs. */
+  def MaxPartialKeys: Int =
+    Integer.getInteger("graft.topk.maxPartialKeys", 1 << 17)
 }
 
 object TopKPerKeyStrategy extends SparkStrategy {
