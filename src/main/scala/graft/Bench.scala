@@ -23,7 +23,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local()
-    val qs = SparkEntry.queries
+    // optional args: entry names — restricts the run for local iteration
+    // (the driver always invokes with no args = full suite).
+    val qs0 = SparkEntry.queries
+    val qs = if (args.isEmpty) qs0
+             else qs0.filter { case (n, _) => args.contains(n) }
     // warmup: exercise scan+join+agg+window+regex codegen paths once
     Seq("q03_revenue_by_nation", "q08_rolling_avg_user", "t05_dedup_exact")
       .foreach(k => qs.get(k).foreach(fn => try runNoop(spark, fn, sfDir) catch { case _: Throwable => () }))
