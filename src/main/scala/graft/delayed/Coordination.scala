@@ -1,7 +1,8 @@
 package graft.delayed
 
-import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, LinkedBlockingQueue, Semaphore, TimeUnit}
+import java.util.concurrent.{ConcurrentHashMap, CopyOnWriteArrayList, CountDownLatch, LinkedBlockingQueue, Semaphore, TimeUnit}
 import scala.concurrent.duration.Duration
+import scala.concurrent.{Future, Promise}
 
 /** Client-side coordination primitives — the rebuild of the reference's
   * shared-state surface (`Queue`/`Variable`/`Lock`,
@@ -59,10 +60,93 @@ object Coordination {
     def withLock[T](f: => T): T = { acquire(); try f finally release() }
   }
 
-  /** Named registries (the reference addresses all three by name). */
+  /** distributed.Pub/Sub analog (the reference's control plane —
+    * `SS/wukong/__init__.py:23` re-exports `Pub`/`Sub` from
+    * distributed.pubsub; the Lambda executors coordinate over the same
+    * publish/subscribe shape through Redis channels): named broadcast
+    * channels with multi-subscriber fan-out. Each subscriber owns a
+    * private unbounded queue; `put` enqueues into every queue registered
+    * at publish time, so — dask semantics — a LATE subscriber sees only
+    * messages published after it subscribed, and a channel with no
+    * subscribers drops messages. */
+  final class GPub[T] private[delayed] (channel: String) {
+    def put(v: T): Unit = {
+      val subs = Coordination.subscribers.get(channel)
+      if (subs != null) subs.forEach(s => s.q.put(v.asInstanceOf[Any]))
+    }
+  }
+
+  final class GSub[T] private[delayed] (channel: String) {
+    private[delayed] val q = new LinkedBlockingQueue[Any]()
+    /** Blocking next message (the reference's `sub.get()` / iteration). */
+    def get(atMost: Duration = Duration.Inf): T =
+      if (atMost.isFinite) {
+        val v = q.poll(atMost.toMillis, TimeUnit.MILLISECONDS)
+        if (v == null) throw new java.util.concurrent.TimeoutException("GSub.get timed out")
+        v.asInstanceOf[T]
+      } else q.take().asInstanceOf[T]
+    /** Non-blocking drain of everything already delivered. */
+    def drain(): Seq[T] = {
+      val out = new java.util.ArrayList[Any]()
+      q.drainTo(out)
+      scala.jdk.CollectionConverters.ListHasAsScala(out).asScala.toSeq.map(_.asInstanceOf[T])
+    }
+    def unsubscribe(): Unit = {
+      val subs = Coordination.subscribers.get(channel)
+      if (subs != null) subs.remove(this)
+    }
+  }
+
+  /** distributed.Actor analog (`SS/wukong/__init__.py:5` re-exports
+    * `Actor`/`ActorFuture`): a named stateful handler whose messages are
+    * processed strictly sequentially by a dedicated daemon mailbox
+    * thread — the actor guarantee that state is never touched
+    * concurrently. `ask` returns a future of the handler's reply
+    * (ActorFuture); `tell` is fire-and-forget. Handler exceptions fail
+    * that message's future and leave state untouched; the mailbox keeps
+    * processing (reference error-path fidelity: an actor method raising
+    * does not kill the actor). */
+  final class GActor[S, M, R] private[delayed] (name: String, initial: S,
+                                               handler: (S, M) => (S, R)) {
+    private val mailbox = new LinkedBlockingQueue[(M, Promise[R])]()
+    @volatile private var running = true
+    private val thread = new Thread(() => {
+      var state = initial                       // confined to this thread
+      while (running || !mailbox.isEmpty) {
+        val msg = mailbox.poll(50, TimeUnit.MILLISECONDS)
+        if (msg != null) {
+          val (m, p) = msg
+          try {
+            val (s2, r) = handler(state, m)
+            state = s2
+            p.success(r)
+          } catch { case e: Throwable => p.failure(e) }
+        }
+      }
+    }, s"graft-actor-$name")
+    thread.setDaemon(true)
+    thread.start()
+
+    /** ask/tell — the proxy-method call of the reference Actor. */
+    def ask(m: M): Future[R] = {
+      val p = Promise[R]()
+      mailbox.put((m, p))
+      p.future
+    }
+    def askResult(m: M, atMost: Duration = Duration.Inf): R =
+      scala.concurrent.Await.result(ask(m), atMost)
+    def tell(m: M): Unit = { ask(m); () }
+    /** Drain the mailbox and stop the thread; the registry drops it. */
+    def stop(): Unit = { running = false; Coordination.actors.remove(name); () }
+  }
+
+  /** Named registries (the reference addresses all of these by name).
+    * Driver-scoped, like Queue/Variable/Lock above (see the scope note). */
   private val queues = new ConcurrentHashMap[String, GQueue[Any]]()
   private val variables = new ConcurrentHashMap[String, GVariable[Any]]()
   private val locks = new ConcurrentHashMap[String, GLock]()
+  private[delayed] val subscribers = new ConcurrentHashMap[String, CopyOnWriteArrayList[GSub[Any]]]()
+  private[delayed] val actors = new ConcurrentHashMap[String, GActor[_, _, _]]()
 
   def queue[T](name: String): GQueue[T] =
     queues.computeIfAbsent(name, _ => new GQueue[Any]()).asInstanceOf[GQueue[T]]
@@ -70,4 +154,16 @@ object Coordination {
     variables.computeIfAbsent(name, _ => new GVariable[Any]()).asInstanceOf[GVariable[T]]
   def lock(name: String): GLock =
     locks.computeIfAbsent(name, _ => new GLock())
+  def pub[T](channel: String): GPub[T] = new GPub[T](channel)
+  def sub[T](channel: String): GSub[T] = {
+    val s = new GSub[Any](channel)
+    subscribers.computeIfAbsent(channel, _ => new CopyOnWriteArrayList[GSub[Any]]()).add(s)
+    s.asInstanceOf[GSub[T]]
+  }
+  /** Create-or-get a named actor; `initial`/`handler` only apply on
+    * first creation (reference: Actors are created once on a worker and
+    * then addressed by handle). */
+  def actor[S, M, R](name: String, initial: S)(handler: (S, M) => (S, R)): GActor[S, M, R] =
+    actors.computeIfAbsent(name, _ => new GActor[S, M, R](name, initial, handler))
+      .asInstanceOf[GActor[S, M, R]]
 }
