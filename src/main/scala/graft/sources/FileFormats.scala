@@ -48,7 +48,7 @@ object FileFormats {
     p
   }
 
-  private def scratch(kind: String): String = s"$scratchRoot/$kind"
+  private[graft] def scratch(kind: String): String = s"$scratchRoot/$kind"
 
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val tmp = scratch("csv")
@@ -88,20 +88,37 @@ object FileFormats {
         .forEach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
+  /** Bucketed table names carry the JVM pid (like [[scratchRoot]]): two
+    * concurrent JVMs (bench + verify) sharing one warehouse directory
+    * must never drop/rewrite each other's table location mid-read. The
+    * per-process tables are dropped (catalog + location) on JVM exit. */
+  private lazy val bktNames: (String, String) = {
+    val pid = ProcessHandle.current().pid()
+    val names = (s"graft_orders_bkt_$pid", s"graft_lineitem_bkt_$pid")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val s = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        s.foreach { sp => dropTableAndLocation(sp, names._1); dropTableAndLocation(sp, names._2) }
+      } catch { case _: Throwable => () }))
+    names
+  }
+
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    dropTableAndLocation(s, "graft_orders_bkt")
-    dropTableAndLocation(s, "graft_lineitem_bkt")
+    val (ordersBkt, lineitemBkt) = bktNames
+    dropTableAndLocation(s, ordersBkt)
+    dropTableAndLocation(s, lineitemBkt)
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "o_orderkey").saveAsTable("graft_orders_bkt")
+      .bucketBy(8, "o_orderkey").saveAsTable(ordersBkt)
     Tables.lineitem(s, d)
       .select(col("l_orderkey"),
               round(col("l_extendedprice") * 100).cast("long").as("cents"))
       .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "l_orderkey").saveAsTable("graft_lineitem_bkt")
-    s.table("graft_lineitem_bkt")
-      .join(s.table("graft_orders_bkt").hint("merge"),
+      .bucketBy(8, "l_orderkey").saveAsTable(lineitemBkt)
+    s.table(lineitemBkt)
+      .join(s.table(ordersBkt).hint("merge"),
             col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"))

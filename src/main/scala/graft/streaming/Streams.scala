@@ -74,10 +74,19 @@ object Streams {
     * user's events extend one session while inter-event gaps stay under
     * `gapSec`; an event past the gap EMITS the closed session row and
     * opens a new one. State per key is one (start, last, count) triple —
-    * bounded regardless of stream length. Closure here is data-driven
-    * (the next event closes the previous session); production deploys
-    * add an event-time timeout so idle users' last sessions also flush,
-    * which changes the timeout config, not the fold. */
+    * bounded regardless of stream length.
+    *
+    * Ordering contract: events are folded in ts order WITHIN each
+    * micro-batch (one hot user's per-batch events materialize for the
+    * sort — bound the batch with `maxFilesPerTrigger`/rate limits on a
+    * backfill; the per-key state itself stays one triple). ACROSS
+    * batches a straggler older than the folded frontier cannot reorder
+    * history: it is counted into the open session when it falls inside
+    * that session's reach (≥ start − gap) and dropped otherwise — the
+    * explicit watermark-style late policy, asserted in StreamingSpec.
+    * For fully watermark-driven closure (idle sessions flushing without
+    * a successor event) see [[sessionWindows]], the native-operator
+    * production shape. */
   def sessionize(events: Dataset[(Long, Long)],
                  gapSec: Long = 1800L): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
@@ -93,8 +102,13 @@ object Streams {
             st match {
               case null =>
                 st = SessionState(t, t, 1L)
+              case s if t < s.lastTs =>
+                // cross-batch straggler: never rewind start/lastTs; count
+                // it into the open session iff it's within the session's
+                // reach, else drop (late-data policy)
+                if (t >= s.start - gapSec) st = s.copy(nEvents = s.nEvents + 1)
               case s if t - s.lastTs <= gapSec =>
-                st = s.copy(lastTs = math.max(s.lastTs, t), nEvents = s.nEvents + 1)
+                st = s.copy(lastTs = t, nEvents = s.nEvents + 1)
               case s =>
                 closed ::= ClosedSession(userId, s.start, s.lastTs, s.nEvents,
                                          s.lastTs - s.start)
@@ -105,6 +119,29 @@ object Streams {
           closed.reverse.iterator
       }
   }
+
+  /** Production-shape sessionization: Spark's NATIVE `session_window`
+    * aggregation — per-session state lives in the state store (no
+    * per-user event buffering anywhere), merges are watermark-driven,
+    * and append-mode emission happens exactly when the watermark passes
+    * a session's close boundary — including each user's FINAL session,
+    * which [[sessionize]]'s data-driven closure necessarily holds open.
+    * Late events beyond the watermark are dropped by the engine. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermarkDelay: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      // NOTE: no pre-aggregation sentinel filter here — a predicate that
+      // doesn't touch the event-time column gets PUSHED BELOW the
+      // EventTimeWatermark node, silently excluding sentinel heartbeats
+      // from watermark tracking; filter sentinel *sessions* from the
+      // output instead (they group under their own key).
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+           min(unix_timestamp(col("ts"))).as("start_ts"),
+           max(unix_timestamp(col("ts"))).as("end_ts"))
+      .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"),
+              (col("end_ts") - col("start_ts")).as("duration_sec"))
 
   // ---- driver-gate query ----
 
@@ -164,11 +201,49 @@ object Streams {
     s.table(sink)
   }
 
+  /** st03: native-session_window sessionization end-to-end, with every
+    * session FLUSHED — the watermark-driven closure st02's oracle must
+    * exclude. A finite fixture never advances the watermark past its
+    * last event on its own, so the staging step appends one far-future
+    * sentinel heartbeat event (user_id = −1, ts = max + gap + margin) —
+    * the standard backfill-flush trick: the sentinel advances the
+    * watermark past every real session's close boundary, the engine
+    * emits them all in the trailing no-data batch, and the sentinel
+    * itself is filtered out after the watermark node. Oracle: full
+    * session reconstruction INCLUDING each user's final session. */
+  def streamedSessionsFlushed(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val batch =
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    // floor to whole seconds: the oracle sessionizes over floor(epoch(ts)),
+    // and native session_window merges on raw event time — grain must match
+    val ev = batch.select(col("user_id").cast("long").as("user_id"),
+      timestamp_seconds(unix_timestamp(col("ts"))).as("ts"))
+    val dir = graft.sources.FileFormats.scratch(s"st03_src_${sinkSeq.incrementAndGet()}")
+    ev.write.mode("overwrite").parquet(dir)
+    val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    ev.sparkSession.range(1)
+      .select(lit(-1L).as("user_id"),
+              timestamp_seconds(lit(maxTs + 1800L + 600L)).as("ts"))
+      .write.mode("append").parquet(dir)
+    val src = s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(dir)
+    val sink = s"graft_st03_sink_${sinkSeq.incrementAndGet()}"
+    val q = sessionWindows(src, "30 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink).filter(col("user_id") >= 0)   // drop the sentinel's own session
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "st01_stream_window" -> (streamedEventCounts _),
     "st02_sessions"      -> (streamedSessions _),
+    "st03_sessions_flush" -> (streamedSessionsFlushed _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -195,5 +270,23 @@ object Streams {
            FROM sess GROUP BY 1, 2)
          SELECT user_id, start_ts, end_ts, n_events, duration_sec
          FROM agg QUALIFY sid < max(sid) OVER (PARTITION BY user_id)""",
+    "st03_sessions_flush" ->
+      """WITH e AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+         m AS (
+           SELECT user_id, t,
+                  -- native session_window splits at diff >= gap (a session
+                  -- window is [start, last+gap), half-open)
+                  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         sess AS (
+           SELECT user_id, t,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT user_id, min(t) AS start_ts, max(t) AS end_ts,
+                count(*) AS n_events, max(t) - min(t) AS duration_sec
+         FROM sess GROUP BY user_id, sid""",
   )
 }

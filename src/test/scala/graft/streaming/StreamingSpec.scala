@@ -86,4 +86,51 @@ class StreamingSpec extends SparkSpec {
       assert(all.contains(Streams.ClosedSession(1L, 1000L, 1000L, 1L, 0L)), s"got $all")
     } finally q.stop()
   }
+
+  test("sessionize cross-batch stragglers: in-reach counts, too-late drops, no rewind") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.sessionize(input.toDS(), gapSec = 60L)
+      .writeStream.format("memory").queryName("straggler_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1000L), (1L, 1040L))     // open session [1000, 1040]
+      q.processAllAvailable()
+      // batch 2: a straggler INSIDE the open session's reach (counts, no
+      // rewind of start/lastTs) and one far older than start-gap (drops)
+      input.addData((1L, 1010L), (1L, 100L))
+      q.processAllAvailable()
+      // close the session; its bounds must be untouched by the stragglers
+      input.addData((1L, 9000L))
+      q.processAllAvailable()
+      val rows = spark.table("straggler_sessions")
+        .as[Streams.ClosedSession].collect().toSet
+      assert(rows == Set(Streams.ClosedSession(1L, 1000L, 1040L, 3L, 40L)),
+        s"straggler policy violated: $rows")
+    } finally q.stop()
+  }
+
+  test("native session_window flushes final sessions once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val q = Streams.sessionWindows(events, "10 minutes")
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0)), (1L, ts(5)), (2L, ts(3)))
+      q.processAllAvailable()
+      // heartbeat far past every session's close boundary — the backfill
+      // flush trick st03 uses: all sessions emit WITHOUT successor events
+      input.addData((-1L, ts(30)))
+      q.processAllAvailable()
+      val rows = spark.table("native_sessions")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("n_events"), col("duration_sec")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 2L, 300L), (2L, 1L, 0L)), s"got $rows")
+    } finally q.stop()
+  }
 }
