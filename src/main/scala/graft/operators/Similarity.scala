@@ -269,12 +269,14 @@ object Similarity {
     embedNearDups(TextSim.spread(Tables.embeddings(s, d)), 0.3)
 
   /** e05: IVF-bucketed nearest same-cell neighbor (exact oracle). The
-    * cell count scales with the corpus (numCellsFor); at the sf0.01
-    * oracle scale it floors to the 8 cells the SQL pins. */
-  def ivfQuery(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.embeddings(s, d).count()
-    ivfTopK(TextSim.spread(Tables.embeddings(s, d)), 1, numCellsFor(n))
-  }
+    * gate PINS 8 cells — the constant the oracle SQL hardcodes — the
+    * same way e02/e03 pin DefaultPlanes, so the entry stays correct at
+    * any sf (a scaled cell count on one side only would be an
+    * oracle/parameter skew, not a wrong answer). Production callers
+    * size cells via [[numCellsFor]] from a corpus count or catalog
+    * stats; the scale law is spec-covered in SimilaritySpec. */
+  def ivfQuery(s: SparkSession, d: String): DataFrame =
+    ivfTopK(TextSim.spread(Tables.embeddings(s, d)), 1, k = 8)
 
   val queries: Map[String, Q] = Map(
     "e01_knn_cosine"  -> (knnQuery _),

@@ -33,10 +33,33 @@ object TextSim {
     * splits than cores — the hash/signature work below is CPU-bound per
     * row, and a small-file corpus (one parquet split) would otherwise
     * pin it to one core. At warehouse scale the input has thousands of
-    * splits and this is a no-op (no shuffle added). */
+    * splits and this is a no-op (no shuffle added).
+    *
+    * The split count is estimated PLAN-NATIVELY from the file index the
+    * relation already listed (Spark's own maxSplitBytes formula over
+    * total bytes + file count) — never via `df.rdd`, which would force
+    * logical→RDD conversion and a second physical planning of every
+    * query that stages through here. Non-file sources (in-memory test
+    * frames) pass through unchanged. */
   def spread(df: DataFrame): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val estSplits = df.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val rel = lr.relation.asInstanceOf[HadoopFsRelation]
+        val totalBytes = math.max(1L, rel.location.sizeInBytes)
+        val nFiles = math.max(1, rel.location.inputFiles.length)
+        val conf = spark.sessionState.conf
+        val maxSplit = math.min(conf.filesMaxPartitionBytes,
+          math.max(conf.filesOpenCostInBytes,
+            (totalBytes + nFiles * conf.filesOpenCostInBytes) / math.max(1, parallelism)))
+        math.max(1L, (totalBytes + maxSplit - 1) / maxSplit)
+    }
+    estSplits match {
+      case Some(n) if n < parallelism => df.repartition(parallelism)
+      case _ => df
+    }
   }
 
   /** Normalized word array (lowercase, collapsed whitespace). */

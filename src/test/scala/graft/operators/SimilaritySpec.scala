@@ -96,6 +96,14 @@ class SimilaritySpec extends SparkSpec {
     val pts = Seq(1L, 1000L, 1_000_000L, 1_000_000_000L, 1_000_000_000_000L)
       .map(Similarity.numPlanesFor(_))
     assert(pts == pts.sorted)
+    // IVF cells: linear growth with N, floored at the oracle-pinned 8,
+    // capped at 256 (packed-argmin id budget)
+    assert(Similarity.numCellsFor(500L) == 8)
+    assert(Similarity.numCellsFor(2048L) == 8)
+    assert(Similarity.numCellsFor(25_600L) == 100)
+    assert(Similarity.numCellsFor(1_000_000L) == 256)
+    val cells = Seq(1L, 2048L, 100_000L, 10_000_000L).map(Similarity.numCellsFor(_))
+    assert(cells == cells.sorted)
   }
 
   test("ANN with a larger plane count still recalls clustered neighbors") {
