@@ -97,9 +97,37 @@ object Predict {
            sum(col("pred")).as("n_pos"))
   }
 
+  /** ml03: `spark.ml` LinearSVC variant of the broadcast-predict shape —
+    * the rebuild of the reference's `ParallelPostFit(SVC(gamma='scale'))`
+    * demo (reference README.md:277-295): fit a hinge-loss linear model
+    * on a small train slice (the "cheap fit" half of ParallelPostFit),
+    * then score the full corpus embarrassingly parallel through the
+    * model's `transform` — coefficients ship to executors inside the
+    * predict closure, no shuffle of the scored data. Rows-only gate by
+    * design (round-4 advice #7): iterative solver coefficients are not
+    * SQL-expressible; the accuracy-vs-ground-truth bound lives in
+    * MlSpec, and the exact-integer oracle discipline stays on ml01/ml02. */
+  def predictSvc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.classification.LinearSVC
+    import org.apache.spark.ml.functions.array_to_vector
+    // deliberately NOT persisted: regenerating the seeded features is a
+    // cheap map, and measured end-to-end the persist+eager-checkpoint
+    // staging costs more than the two regeneration passes it saves
+    val data = Generators.makeClassification(s, 100000L, 20, seed = 11L)
+      .withColumn("features_v", array_to_vector(col("features")))
+    val model = new LinearSVC().setMaxIter(8).setRegParam(0.01)
+      .setFeaturesCol("features_v").setLabelCol("label")
+      .fit(data.filter(col("row_id") % 20 === 0))       // 5% train slice
+    model.transform(data)
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("prediction") === col("label"), 1L).otherwise(0L)).as("n_correct"),
+           sum(col("prediction")).cast("long").as("n_pos"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ml01_predict"       -> (predictLineitem _),
     "ml02_predict_bench" -> (predictGenerated _),
+    "ml03_predict_svc"   -> (predictSvc _),
   )
 
   val oracles: Map[String, String] = Map(

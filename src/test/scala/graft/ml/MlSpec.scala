@@ -52,6 +52,42 @@ class MlSpec extends SparkSpec {
     assert(nCorrect == 20000L)
   }
 
+  test("ml02 integer domain: LCG scorer confusion counts are exact and stable") {
+    import spark.implicits._
+    val data = Generators.makeClassificationLcg(spark, 20000, 20, seed = 5L)
+    // scoring with the GROUND-TRUTH weights must give 100% accuracy;
+    // the gate's ml02 scorer uses a different salt on purpose
+    val wg = Array.tabulate(20)(j => ((9999L * 20 + j) * 1103515245L + 5L) % 2147483647L % 1000L - 500L)
+    val bc = spark.sparkContext.broadcast(wg)
+    val nCorrect = data.select(col("features"), col("label"))
+      .as[(Array[Long], Long)]
+      .mapPartitions { it =>
+        val w = bc.value
+        it.map { case (x, label) =>
+          var dot = 0L; var j = 0
+          while (j < w.length) { dot += w(j) * x(j); j += 1 }
+          if ((if (dot > 0L) 1L else 0L) == label) 1L else 0L
+        }
+      }.reduce(_ + _)
+    assert(nCorrect == 20000L)
+  }
+
+  test("ml03: LinearSVC fit on a slice scores the full set near ground truth") {
+    import org.apache.spark.ml.classification.LinearSVC
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = Generators.makeClassification(spark, 10000, 20, seed = 11L)
+      .withColumn("features_v", array_to_vector(col("features")))
+    val model = new LinearSVC().setMaxIter(20).setRegParam(0.01)
+      .setFeaturesCol("features_v").setLabelCol("label")
+      .fit(data.filter(col("row_id") % 20 === 0))
+    val scored = model.transform(data)
+    val acc = scored.select(avg(when(col("prediction") === col("label"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    // linearly-separable ground truth: a hinge-loss linear model fit on
+    // 5% must generalize well above chance
+    assert(acc >= 0.9, s"LinearSVC accuracy too low: $acc")
+  }
+
   test("timeseries generator: bounds, frequency and value domain") {
     val ts = Generators.makeTimeseries(spark, 500, 946684800L, 7200L, 1L)
     assert(ts.count() == 500)
