@@ -190,6 +190,57 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
   }
 
+  /** Deterministic stratified sampling — the corpus-curation primitive
+    * for rebalancing language/source mixes before training: keep a
+    * per-stratum fraction decided by a HASH of the row key, never by
+    * rand(). Map-only (fused into the scan, zero shuffle), idempotent
+    * under task retries and re-runs, and the same row set falls out on
+    * any engine sharing the hash — which is what makes it exact-oracle
+    * checkable. Here: English docs at 50%, everything else at 20%. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    val rate = when(col("lang") === "en", lit(50L)).otherwise(lit(20L))
+    Tables.documents(s, d)
+      .filter(h % 100L < rate)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Global vocabulary top-k: explode normalized tokens, count, keep the
+    * 100 most frequent with a total (count desc, token) order. The
+    * rank-filter spelling hits the TopKPerKey rewrite with an EMPTY
+    * partition spec: each map partition is pre-cut to ≤k rows before the
+    * single-partition final pass — a global top-k whose shuffle carries
+    * k·partitions rows, never the full vocabulary. Counts are exact
+    * integers; the order is total → exact oracle. */
+  def vocabulary(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok"))
+    Tables.documents(s, d)
+      .select(explode(TextSim.words(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 100)
+  }
+
+  /** Fixed-window sequence chunking — sharding long documents into
+    * 512-char windows before tokenization (the map-only precursor of
+    * LLM context packing). The chunk count derives from `length(text)`
+    * (a plain column function — cheap under InferFiltersFromGenerate's
+    * pushdown duplication, unlike a computed signature: the t06 lesson
+    * does not bite here), each chunk is verified by content via its md5
+    * fingerprint. Scales as a pure map: no shuffle, no state. */
+  def sequenceChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), expr("(length(text) + 511) div 512") - 1L)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr("substring(text, CAST(chunk_id*512 + 1 AS INT), 512)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        length(col("chunk")).cast("long").as("n_chars_chunk"),
+        md5(col("chunk")).as("chunk_fp"))
+
   val queries: Map[String, Q] = Map(
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
@@ -201,6 +252,9 @@ object TextOps {
     "t12_rolling_fp"   -> (rollingFingerprint _),
     "t13_kmv_sketch"   -> (kmvSketch _),
     "t14_clean_corpus" -> (cleanCorpusProfile _),
+    "t15_stratified_sample" -> (stratifiedSample _),
+    "t16_vocab_topk"   -> (vocabulary _),
+    "t17_seq_chunks"   -> (sequenceChunks _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -289,5 +343,29 @@ object TextOps {
          sel AS (SELECT k.lang, k.n_tokens FROM dd JOIN kept k ON k.doc_id = dd.doc_id)
          SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM sel GROUP BY lang""",
+    "t15_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+               < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""",
+    "t16_vocab_topk" ->
+      """WITH toks AS (
+           SELECT UNNEST(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS tok
+           FROM documents),
+         counts AS (
+           SELECT tok, count(*) AS n FROM toks WHERE tok <> '' GROUP BY tok)
+         SELECT tok, CAST(n AS BIGINT) AS n,
+                CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+         FROM counts QUALIFY rank <= 100""",
+    "t17_seq_chunks" ->
+      """WITH c AS (
+           SELECT doc_id, text, (length(text) + 511) // 512 AS nch
+           FROM documents WHERE length(text) > 0),
+         e AS (
+           SELECT doc_id, text, UNNEST(generate_series(0, nch - 1)) AS chunk_id FROM c)
+         SELECT doc_id, chunk_id,
+                CAST(length(substring(text, CAST(chunk_id*512 + 1 AS INT), 512)) AS BIGINT)
+                  AS n_chars_chunk,
+                md5(substring(text, CAST(chunk_id*512 + 1 AS INT), 512)) AS chunk_fp
+         FROM e""",
   )
 }
