@@ -128,25 +128,26 @@ object Similarity {
     * from `planesPerBand` hyperplane signs — the cosine analog of the
     * minhash band trick. A single 2^planes bucket table trades recall for
     * precision; banding recovers recall (pair collides if ANY band
-    * matches) while keeping every candidate an equi-join output. `band`
-    * is exploded from a FOLDABLE sequence and the plane index is
-    * `band·planesPerBand + i` as a column — exploding a computed array
-    * here would let InferFiltersFromGenerate duplicate the whole
-    * bucket pipeline into a pushed-down filter (the t06 lesson). */
+    * matches) while keeping every candidate an equi-join output.
+    *
+    * Every band's bucket is its own column over FULLY CONSTANT literal
+    * weights (one fused codegen dot per plane — nothing is indexed by a
+    * runtime band value), then `stack` unpivots the numBands columns to
+    * (band, bucket) rows. stack is a generator but NOT an Explode, so
+    * InferFiltersFromGenerate cannot re-derive a pushed-down copy of the
+    * bucket pipeline (the t06 lesson); the quantize+dot work stays
+    * computed once, in one projection. */
   def bandedLsh(emb: DataFrame, planesPerBand: Int = 4, numBands: Int = 4): DataFrame = {
-    val bucket = (0 until planesPerBand).map { i =>
-      // plane index is band·planesPerBand + i with `band` a column, so
-      // the literal per-plane weight arrays are indexed by band at
-      // runtime (a constant array-of-arrays lookup, then one fused dot)
-      val weightsByBand =
-        array((0 until numBands).map(b => planeWeightsLit(b * planesPerBand + i)): _*)
-      val dot = dotInt(element_at(weightsByBand, col("band") + 1), col("qv"))
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val bucketCols = (0 until numBands).map { b =>
+      (0 until planesPerBand).map { i =>
+        val dot = dotInt(planeWeightsLit(b * planesPerBand + i), col("qv"))
+        when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"b$b")
+    }
+    val stackArgs = (0 until numBands).map(b => s"${b}L, b$b").mkString(", ")
     emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-      .select(col("vec_id"), col("qv"),
-        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
-      .select(col("vec_id"), col("band"), bucket.as("bucket"))
+      .select(col("vec_id") +: bucketCols: _*)
+      .selectExpr("vec_id", s"stack($numBands, $stackArgs) AS (band, bucket)")
   }
 
   /** Embedding-cosine near-duplicate pairs: banded-LSH candidates
