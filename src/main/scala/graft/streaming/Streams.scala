@@ -238,12 +238,37 @@ object Streams {
     s.table(sink).filter(col("user_id") >= 0)   // drop the sentinel's own session
   }
 
+  /** st04: streaming ingestion-dedup — the streaming form of the t05
+    * exact-dedup pipeline: fingerprint each arriving document, keep the
+    * first occurrence of every fingerprint across ALL micro-batches
+    * (state = seen 16-byte digests, exactly the production shape of
+    * dedup-at-ingest). Emitted SET of fingerprints is deterministic
+    * regardless of arrival order, so it oracle-checks as DISTINCT md5.
+    * Unbounded-history dedup holds state forever by design here; a
+    * time-bounded production variant swaps in
+    * `dropDuplicatesWithinWatermark` — same plan shape, evictable
+    * state. */
+  def streamedDedup(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/documents.parquet")
+    val src = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val sink = s"graft_st04_sink_${sinkSeq.incrementAndGet()}"
+    val q = src
+      .select(graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      .dropDuplicates("fp")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "st01_stream_window" -> (streamedEventCounts _),
     "st02_sessions"      -> (streamedSessions _),
     "st03_sessions_flush" -> (streamedSessionsFlushed _),
+    "st04_stream_dedup"  -> (streamedDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -288,5 +313,8 @@ object Streams {
          SELECT user_id, min(t) AS start_ts, max(t) AS end_ts,
                 count(*) AS n_events, max(t) - min(t) AS duration_sec
          FROM sess GROUP BY user_id, sid""",
+    "st04_stream_dedup" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp
+         FROM documents""",
   )
 }
