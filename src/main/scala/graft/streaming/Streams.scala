@@ -300,9 +300,12 @@ object Streams {
            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
          m AS (
            SELECT user_id, t,
-                  -- native session_window splits at diff >= gap (a session
-                  -- window is [start, last+gap), half-open)
-                  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 1800
+                  -- native session_window MERGES adjacent windows (its
+                  -- merge test is start <= currentEnd, inclusive), so a
+                  -- gap of exactly 1800s continues the session; splits
+                  -- happen only at diff > gap — verified at sf0.1, where
+                  -- an exact-1800 pair exists (user 511)
+                  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
                        THEN 1 ELSE 0 END AS new_s
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
          sess AS (
