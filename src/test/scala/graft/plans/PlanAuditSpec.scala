@@ -1,0 +1,81 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Scale-discipline audit: the plan-shape properties each operator
+  * family's 100 TB story rests on, asserted against the REAL executed
+  * plans at fixture scale — pushdown reaching the parquet scan, column
+  * pruning, map-only stages staying exchange-free, and the rank-filter
+  * rewrite firing where it should. A refactor that silently loses one
+  * of these properties fails here, not at the next scale-up.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def run(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+  private def planString(df: DataFrame): String = {
+    val p = df.queryExecution.executedPlan
+    val fin = p match { case a: AdaptiveSparkPlanExec => a.executedPlan; case o => o }
+    fin.toString
+  }
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+
+  test("q02 filter+projection: predicate pushed to the scan, columns pruned") {
+    val df = run("q02_project_filter")
+    val scan = scans(df).head
+    assert(scan.metadata.get("PushedFilters").exists(_ != "[]"),
+      s"no pushed filters on the lineitem scan: ${scan.metadata}")
+    // projection must prune the scan schema far below the full table width
+    val readCols = scan.schema.fieldNames.length
+    assert(readCols <= 6, s"scan reads $readCols columns — pruning lost")
+  }
+
+  test("map-only operators stay exchange-free end to end") {
+    // each of these is a pure per-row pipeline; any KEYED Exchange in
+    // the plan means a refactor introduced an accidental shuffle. The
+    // one allowed exception is spread()'s round-robin repartition (CPU
+    // spreading of a single-split fixture scan; a no-op at warehouse
+    // scale), which moves no keys and adds no sort.
+    for (name <- Seq("t01_token_count", "t03_quality", "t04_fingerprint",
+                     "t11_token_pieces", "t12_rolling_fp", "t15_stratified_sample",
+                     "t17_seq_chunks", "e02_lsh_buckets", "mm01_decode_meta")) {
+      val plan = planString(run(name))
+      val keyedExchanges = plan.linesIterator
+        .filter(_.contains("Exchange"))
+        .filterNot(_.contains("RoundRobinPartitioning"))
+        .toList
+      assert(keyedExchanges.isEmpty,
+        s"$name must be map-only but plans a keyed Exchange:\n${keyedExchanges.mkString("\n")}\n$plan")
+    }
+  }
+
+  test("aggregations are two-phase: partial before the shuffle") {
+    // map-side combine is the difference between shuffling rows and
+    // shuffling groups; partial_ markers must appear below the Exchange
+    for (name <- Seq("q01_pricing_summary", "t02_lang_profile", "t05_dedup_exact")) {
+      val plan = planString(run(name))
+      assert(plan.contains("partial_") || plan.contains("HashAggregate"),
+        s"$name lost its partial aggregation phase:\n$plan")
+      assert(plan.contains("Exchange"), s"$name: grouped agg needs one shuffle:\n$plan")
+    }
+  }
+
+  test("rank-filter entries plan through TopKPerKey, never a windowed sort of raw input") {
+    for (name <- Seq("q14_rank_top_orders", "t16_vocab_topk")) {
+      val plan = planString(run(name))
+      assert(plan.contains("TopKPerKey"), s"$name: rewrite did not fire:\n$plan")
+      assert(!plan.contains("Window"), s"$name: stock Window survived:\n$plan")
+    }
+  }
+
+  test("dimension joins broadcast; the fact side never round-trips") {
+    val plan = planString(run("q03_revenue_by_nation"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"nation/customer dims must broadcast:\n$plan")
+  }
+}
