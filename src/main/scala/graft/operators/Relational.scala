@@ -412,6 +412,26 @@ object Relational {
            count(lit(1)).as("n_rows"),
            sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
 
+  /** Grouping sets (ROLLUP): the (flag, status) pricing summary at
+    * detail, per-flag subtotal, and grand-total levels in ONE pass —
+    * Catalyst's Expand emits each row once per grouping set feeding a
+    * single hash aggregate, vs three separate scans of a 100 TB fact
+    * table. `grouping_id()` disambiguates levels (NULL-valued group
+    * keys are coalesced to a sentinel so rolled-up rows compare
+    * cross-engine without NULL-rendering skew); both engines put the
+    * first rollup column in the high bit. Integer cents domain. */
+  def rollupSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+           count(lit(1)).as("n_rows"),
+           sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+              col("gid").cast("long").as("gid"),
+              col("n_rows"), col("sum_qty"), col("sum_cents"))
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_project_filter"    -> (projectFilter _),
@@ -443,6 +463,7 @@ object Relational {
     "q28_lag_delta"         -> (lagDelta _),
     "q29_pivot"             -> (pivotCounts _),
     "q30_percentiles"       -> (percentiles _),
+    "q31_rollup"            -> (rollupSummary _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -643,5 +664,14 @@ object Relational {
                       CAST(round(l_extendedprice*100) AS BIGINT) AS cents
                FROM lineitem) t
          GROUP BY 1""",
+    "q31_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                count(*) AS n_rows,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
   )
 }

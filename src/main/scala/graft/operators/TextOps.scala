@@ -241,6 +241,53 @@ object TextOps {
         length(col("chunk")).cast("long").as("n_chars_chunk"),
         md5(col("chunk")).as("chunk_fp"))
 
+  /** Domain/language mix balancing — the data-mixing step that follows
+    * stratified sampling in a training-corpus build: downsample every
+    * language to (at most) the size of the SMALLEST language, producing
+    * a balanced mix. The per-stratum rates are not fixtures like t15's
+    * but DERIVED from the corpus itself: one tiny groupBy computes the
+    * counts, the global min crosses as a 1-row broadcast, and the
+    * basis-point rate `min·10⁴ div cnt` joins back as a broadcast dim —
+    * the full corpus is touched by exactly one map-only pass whose
+    * filter is the same deterministic md5 keep-hash as t15 (idempotent
+    * under retries, identical row set on any engine). */
+  def domainMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val floorCnt = counts.agg(min(col("cnt")).as("mn"))
+    val rates = counts.crossJoin(broadcast(floorCnt))
+      .select(col("lang"), expr("mn * 10000 div cnt").as("rate_bp"))
+    val keepHash = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 10000L
+    docs.join(broadcast(rates), "lang")
+      .filter(keepHash < col("rate_bp"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** TF-IDF term salience: the top-3 most distinctive terms per document,
+    * ranked by tf/df (monotone in tf·idf for a fixed corpus — and unlike
+    * log-weighted scores, the ratio of two small ints divides identically
+    * on any IEEE engine, so the rank is exact-oracle checkable; emitted
+    * columns are all integers). Distributed shape: one explode+groupBy
+    * for term frequencies, one groupBy over the (doc, term)-distinct
+    * frame for document frequencies — vocabulary-sized, NOT corpus-sized
+    * — joined back on the term key, then a per-doc top-k window that the
+    * TopKPerKey rewrite cuts to k rows per partition before the shuffle. */
+  def tfidfTop(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextSim.words(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
@@ -255,6 +302,8 @@ object TextOps {
     "t15_stratified_sample" -> (stratifiedSample _),
     "t16_vocab_topk"   -> (vocabulary _),
     "t17_seq_chunks"   -> (sequenceChunks _),
+    "t18_domain_mix"   -> (domainMix _),
+    "t19_tfidf"        -> (tfidfTop _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -367,5 +416,30 @@ object TextOps {
                   AS n_chars_chunk,
                 md5(substring(text, CAST(chunk_id*512 + 1 AS INT), 512)) AS chunk_fp
          FROM e""",
+    "t18_domain_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         m AS (SELECT min(cnt) AS mn FROM counts),
+         rates AS (SELECT lang, (mn * 10000) // cnt AS rate_bp FROM counts, m)
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN rates r ON d.lang = r.lang
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+               < r.rate_bp""",
+    "t19_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  UNNEST(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> ''
+           GROUP BY doc_id, tok),
+         df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+         SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                CAST(rank AS INT) AS rank
+         FROM (
+           SELECT tf.doc_id, tf.tok, tf.tf AS tf, df.df AS df,
+                  row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tok) AS rank
+           FROM tf JOIN df USING (tok)) t
+         WHERE rank <= 3""",
   )
 }

@@ -64,6 +64,45 @@ class OperatorsSpec extends SparkSpec {
     assert(!rows(3L).isNullAt(2) && !rows(3L).isNullAt(5))
   }
 
+  test("q31 rollup: levels reconcile and grouping ids are {0,1,3}") {
+    val rows = Relational.rollupSummary(spark, sfDir).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 3L))
+    val detail = byGid(0L).map(_.getAs[Long]("sum_cents")).sum
+    val sub = byGid(1L).map(_.getAs[Long]("sum_cents")).sum
+    val total = byGid(3L).map(_.getAs[Long]("sum_cents")).sum
+    assert(detail == total && sub == total, "rollup levels must reconcile")
+    assert(byGid(3L).length == 1)
+  }
+
+  test("t18 domain mix balances to the smallest language") {
+    import spark.implicits._
+    // 40 en / 10 de: de's rate is 10000 bp (keep all), en's 2500 bp
+    val docs = ((1L to 40L).map(i => (i, "en")) ++ (41L to 50L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("graftt18").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val kept = TextOps.domainMix(spark, tmp).collect()
+    val byLang = kept.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    assert(byLang("de") == 10, "smallest stratum keeps every row")
+    // md5 sampling is approximate at n=40, but the rate cap is exact:
+    // nobody can exceed their stratum's population and en is downsampled
+    assert(byLang("en") < 40 && byLang("en") > 0)
+  }
+
+  test("t19 tfidf ranks distinctive terms above common ones") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple apple shared"), (2L, "banana shared"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftt19").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val top = TextOps.tfidfTop(spark, tmp).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("tok")).toMap
+    assert(top == Map(1L -> "apple", 2L -> "banana"),
+      "doc-unique terms (df=1) must outrank the shared term (df=2)")
+  }
+
   test("exact dedup groups identical normalized text") {
     import spark.implicits._
     val df = Seq((10L, "Hello  World"), (11L, "hello world"), (12L, "different"))
