@@ -124,10 +124,38 @@ object FileFormats {
       .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"))
   }
 
+  /** Hive-style partitioned layout + partition-pruned read — the other
+    * half of the write-time-layout discipline next to [[bucketedJoin]]:
+    * facts land partitioned by a low-cardinality routing column, and a
+    * predicate on that column prunes whole directories at PLANNING time
+    * (the scan's PartitionFilters; asserted in PartitionPruneSpec) — at
+    * 100 TB a one-type query reads one partition's files, not the table.
+    * The aggregate runs over the pruned scan; its oracle is the same
+    * aggregate with a WHERE on the unpartitioned source, so equality
+    * proves the layout round-trip is lossless AND complete. */
+  def partitionedPrune(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("evpart")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    prunedAggregate(s.read.parquet(tmp))
+  }
+
+  /** The post-layout query, split out so the spec can assert pruning on
+    * the executed plan. */
+  private[graft] def prunedAggregate(parts: DataFrame): DataFrame =
+    parts.filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"),
+           sum(col("cents")).as("sum_cents"),
+           sum(col("event_id")).as("sum_ids"),
+           countDistinct(col("user_id")).as("n_users"))
+
   val queries: Map[String, Q] = Map(
     "src01_csv_roundtrip"  -> (csvRoundtrip _),
     "src02_json_roundtrip" -> (jsonRoundtrip _),
     "src03_bucketed_join"  -> (bucketedJoin _),
+    "src04_partition_prune" -> (partitionedPrune _),
   )
 
   private val oracle =
@@ -145,5 +173,11 @@ object FileFormats {
                 CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
+    "src04_partition_prune" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(sum(event_id) AS BIGINT) AS sum_ids,
+                count(DISTINCT user_id) AS n_users
+         FROM events WHERE event_type = 'purchase'""",
   )
 }

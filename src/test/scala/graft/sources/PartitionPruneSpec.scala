@@ -1,0 +1,38 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The point of a partitioned layout is planning-time pruning: a filter
+  * on the partition column must become a PartitionFilter on the scan
+  * (directories never listed into the plan), not a post-scan Filter. */
+class PartitionPruneSpec extends SparkSpec {
+
+  test("partition-column predicate prunes directories at plan time") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graftsrc04").toString
+    (1L to 300L).map(i => (i, s"t${i % 3}", i * 10L))
+      .toDF("event_id", "event_type", "cents")
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+
+    val pruned = spark.read.parquet(tmp).filter(col("event_type") === "t1")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("t1"),
+      s"expected the type predicate as a PartitionFilter on the scan:\n$scan")
+    // one of three directories survives pruning
+    assert(pruned.count() == 100L)
+    val files = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.forall(_.contains("event_type=t1")),
+      s"pruned scan must only read the t1 partition, got: ${files.mkString(", ")}")
+  }
+
+  test("src04 pruned aggregate matches the unpartitioned equivalent") {
+    val got = FileFormats.partitionedPrune(spark, sfDir).collect().head
+    val want = graft.core.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)), sum(round(col("value") * 100).cast("long")),
+           sum(col("event_id")), countDistinct(col("user_id")))
+      .collect().head
+    assert(got == want)
+  }
+}
