@@ -5,7 +5,7 @@ import graft.operators.{Relational, TextOps, TextSim, Similarity, Apply, MultiMo
 import graft.core.IterativeQueries
 import graft.sources.{Generators, FileFormats}
 import graft.streaming.Streams
-import graft.ml.Predict
+import graft.ml.{Cluster, Predict}
 import graft.array.ArrayQueries
 import graft.delayed.DelayedQueries
 
@@ -25,7 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ TextSim.queries ++
       Similarity.queries ++ ArrayQueries.queries ++ DelayedQueries.queries ++
-      Apply.queries ++ Generators.queries ++ Predict.queries ++
+      Apply.queries ++ Generators.queries ++ Predict.queries ++ Cluster.queries ++
       IterativeQueries.queries ++ MultiModal.queries ++ FileFormats.queries ++
       Streams.queries
 
@@ -34,7 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ TextSim.oracles ++
       Similarity.oracles ++ ArrayQueries.oracles ++ DelayedQueries.oracles ++
-      Apply.oracles ++ Generators.oracles ++ Predict.oracles ++
+      Apply.oracles ++ Generators.oracles ++ Predict.oracles ++ Cluster.oracles ++
       IterativeQueries.oracles ++ MultiModal.oracles ++ FileFormats.oracles ++
       Streams.oracles
 }

@@ -1,0 +1,161 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.Tables
+import graft.functions.ArrayDotLong
+import graft.operators.{Similarity, TextSim}
+
+/** Distributed Lloyd k-means over the embeddings table — the clustering
+  * primitive a training-data pipeline uses to structure a corpus (topic
+  * balancing, diversity sampling, IVF codebook training for
+  * [[graft.operators.Similarity.ivfTopK]]). Reference analog: the
+  * iterative dask-ml jobs the reference runs over its futures facade
+  * (`/root/reference/README.md:277-295` trains an estimator, and
+  * Wukong's paper workloads include iterative ML); re-expressed
+  * Spark-first.
+  *
+  * Distributed shape per iteration — the canonical scalable k-means:
+  *  - ASSIGN is map-only: the k×64 codebook rides in the closure as
+  *    literal arrays; each row evaluates k fused [[ArrayDotLong]] dots
+  *    and a `least()` packed argmin (`d²·8 + id`, the e05 trick — exact
+  *    integers, deterministic ties toward the lower cell id). The corpus
+  *    is never shuffled to be assigned.
+  *  - UPDATE is one partial-aggregated shuffle: posexplode to
+  *    (cell, dim, v) rows, map-side-combined `sum/count` per (cell, dim)
+  *    — at most k·64 groups regardless of corpus size — then a k·64-row
+  *    collect builds the next codebook on the driver (the same
+  *    small-model residency as [[Predict]]'s broadcast-score contract).
+  *  - Centroid components are FLOORED integer means (`floor(sum/cnt)`):
+  *    sums of quantized ints are < 2^53, so the double division is
+  *    correctly rounded and bit-equal on any IEEE engine — which is what
+  *    makes a 2-iteration clustering exact-oracle checkable end to end.
+  *
+  * Empty cells simply drop out of the codebook (their id is not
+  * reassigned — the packed key keeps ORIGINAL cell ids), matching the
+  * oracle's GROUP BY semantics.
+  */
+object Cluster {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val KPack = 8L
+
+  /** Map-only assignment against a driver-resident codebook: packed
+    * argmin over `d²(q, C_j)·8 + j` — requires staged (qv, qn) columns. */
+  private def cellOf(cents: Seq[(Long, Array[Long])]): Column = {
+    require(cents.nonEmpty && cents.forall(_._1 < KPack))
+    val keys = cents.map { case (id, cv) =>
+      val cn = cv.map(x => x * x).sum // ≤ 64·(10^4)² ≈ 6.4e9 — packs safely
+      (col("qn") - lit(2L) * ArrayDotLong.dotLong(col("qv"), lit(cv)) + lit(cn)) *
+        lit(KPack) + lit(id)
+    }
+    (if (keys.size == 1) keys.head else least(keys: _*)) % lit(KPack)
+  }
+
+  /** One codebook update: partial-aggregated (cell, dim) sums — k·64
+    * groups — collected to the driver as floored integer means. */
+  private def updateCents(assigned: DataFrame): Seq[(Long, Array[Long])] =
+    assigned
+      .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getAs[Long]("cell"))
+      .toSeq
+      .map { case (cell, rows) =>
+        val cv = new Array[Long](64)
+        rows.foreach { r =>
+          cv(r.getAs[Int]("dim")) =
+            math.floor(r.getAs[Long]("s").toDouble / r.getAs[Long]("c")).toLong
+        }
+        cell -> cv
+      }
+      .sortBy(_._1)
+
+  /** `iters` Lloyd iterations from the deterministic `vec_id < k` seed;
+    * returns per-cell membership stats of the LAST assignment plus the
+    * final codebook's component-sum checksum — every column an exact
+    * integer. */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k <= KPack, s"packed argmin reserves ${KPack} cell ids")
+    val spark = emb.sparkSession
+    val staged = emb
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("qn", ArrayDotLong.dotLong(col("qv"), col("qv")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seed: Seq[(Long, Array[Long])] = staged
+      .filter(col("vec_id") < k)
+      .select(col("vec_id"), col("qv"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+      .toSeq
+
+    // iters-1 full (assign + update) rounds, then the final assignment
+    // is both aggregated for the result and used for the last update.
+    val cents = (1 until iters).foldLeft(seed) { (c, _) =>
+      updateCents(staged.withColumn("cell", cellOf(c)))
+    }
+    val lastAssign = staged.withColumn("cell", cellOf(cents))
+    val finalCents = updateCents(lastAssign)
+
+    import spark.implicits._
+    val centSums = finalCents.map { case (id, cv) => (id, cv.sum) }
+      .toDF("cell", "cent_sum")
+    val out = lastAssign
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_vec_id"))
+      .join(broadcast(centSums), "cell")
+      .select(col("cell"), col("n_members"), col("sum_vec_id"), col("cent_sum"))
+      .localCheckpoint(true)
+    staged.unpersist(false)
+    out
+  }
+
+  def kmeansQuery(s: SparkSession, d: String): DataFrame =
+    kmeans(TextSim.spread(Tables.embeddings(s, d)), k = 8, iters = 2)
+
+  val queries: Map[String, Q] = Map(
+    "ml04_kmeans" -> (kmeansQuery _),
+  )
+
+  /** Unrolled 2-iteration Lloyd in SQL: same quantization, same packed
+    * argmin, same floored integer means (`//`-free: floor of a correctly
+    * rounded double division, identical to Spark's). */
+  val oracles: Map[String, String] = Map(
+    "ml04_kmeans" ->
+      """WITH q AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+            FROM embeddings),
+          dims AS (SELECT UNNEST(generate_series(1, 64)) AS i),
+          c0 AS (SELECT vec_id AS cell, qv AS cv FROM q WHERE vec_id < 8),
+          a1 AS (SELECT v.vec_id, v.qv,
+                   CAST(min((list_dot_product(v.qv, v.qv)
+                             - 2*list_dot_product(v.qv, c.cv)
+                             + list_dot_product(c.cv, c.cv)) * 8 + c.cell) % 8
+                        AS BIGINT) AS cell
+                 FROM q v, c0 c GROUP BY v.vec_id, v.qv),
+          c1 AS (SELECT cell, list(comp ORDER BY i) AS cv FROM (
+                   SELECT a1.cell, d.i,
+                          CAST(floor(CAST(sum(a1.qv[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS comp
+                   FROM a1, dims d GROUP BY a1.cell, d.i) t
+                 GROUP BY cell),
+          a2 AS (SELECT v.vec_id, v.qv,
+                   CAST(min((list_dot_product(v.qv, v.qv)
+                             - 2*list_dot_product(v.qv, c.cv)
+                             + list_dot_product(c.cv, c.cv)) * 8 + c.cell) % 8
+                        AS BIGINT) AS cell
+                 FROM q v, c1 c GROUP BY v.vec_id, v.qv),
+          c2 AS (SELECT cell, list(comp ORDER BY i) AS cv FROM (
+                   SELECT a2.cell, d.i,
+                          CAST(floor(CAST(sum(a2.qv[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS comp
+                   FROM a2, dims d GROUP BY a2.cell, d.i) t
+                 GROUP BY cell)
+          SELECT a2.cell, count(*) AS n_members,
+                 CAST(sum(a2.vec_id) AS BIGINT) AS sum_vec_id,
+                 CAST(max(list_sum(c2.cv)) AS BIGINT) AS cent_sum
+          FROM a2 JOIN c2 USING (cell)
+          GROUP BY a2.cell""",
+  )
+}
