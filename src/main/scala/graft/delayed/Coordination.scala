@@ -65,19 +65,37 @@ object Coordination {
     * distributed.pubsub; the Lambda executors coordinate over the same
     * publish/subscribe shape through Redis channels): named broadcast
     * channels with multi-subscriber fan-out. Each subscriber owns a
-    * private unbounded queue; `put` enqueues into every queue registered
+    * private queue; `put` enqueues into every queue registered
     * at publish time, so — dask semantics — a LATE subscriber sees only
     * messages published after it subscribed, and a channel with no
-    * subscribers drops messages. */
+    * subscribers drops messages.
+    *
+    * Backpressure policy: each subscriber queue is bounded (default
+    * 65,536 pending messages). A subscriber that stops consuming without
+    * [[GSub.unsubscribe]] does NOT grow driver memory without bound —
+    * once its queue is full the OLDEST pending message is dropped per
+    * publish (`dropped` counts them), matching the lossy-broadcast
+    * contract of the reference's Redis pub/sub (a slow Redis subscriber
+    * loses messages; publishers are never blocked by one stuck
+    * consumer). Pass `maxPending` to [[Coordination.sub]] to widen or
+    * tighten the bound per subscriber. */
   final class GPub[T] private[delayed] (channel: String) {
     def put(v: T): Unit = {
       val subs = Coordination.subscribers.get(channel)
-      if (subs != null) subs.forEach(s => s.q.put(v.asInstanceOf[Any]))
+      if (subs != null) subs.forEach(_.offerDroppingOldest(v.asInstanceOf[Any]))
     }
   }
 
-  final class GSub[T] private[delayed] (channel: String) {
-    private[delayed] val q = new LinkedBlockingQueue[Any]()
+  final class GSub[T] private[delayed] (channel: String, maxPending: Int = 1 << 16) {
+    private[delayed] val q = new LinkedBlockingQueue[Any](maxPending)
+    private val droppedCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    /** Messages discarded because this subscriber's queue was full. */
+    def dropped: Long = droppedCount.get()
+    private[delayed] def offerDroppingOldest(v: Any): Unit = {
+      while (!q.offer(v)) {
+        if (q.poll() != null) droppedCount.incrementAndGet()
+      }
+    }
     /** Blocking next message (the reference's `sub.get()` / iteration). */
     def get(atMost: Duration = Duration.Inf): T =
       if (atMost.isFinite) {
@@ -91,9 +109,16 @@ object Coordination {
       q.drainTo(out)
       scala.jdk.CollectionConverters.ListHasAsScala(out).asScala.toSeq.map(_.asInstanceOf[T])
     }
+    /** Deregister; also drops the channel's registry entry once its last
+      * subscriber leaves, so short-lived channels don't accumulate
+      * forever. Removal + emptiness check run atomically against the
+      * registration in [[Coordination.sub]]. */
     def unsubscribe(): Unit = {
-      val subs = Coordination.subscribers.get(channel)
-      if (subs != null) subs.remove(this)
+      Coordination.subscribers.computeIfPresent(channel, (_, l) => {
+        l.remove(this)
+        if (l.isEmpty) null else l
+      })
+      ()
     }
   }
 
@@ -123,21 +148,47 @@ object Coordination {
           } catch { case e: Throwable => p.failure(e) }
         }
       }
+      // Exit drain: a message can slip into the mailbox between the
+      // loop's final emptiness check and here (ask racing stop). Fail
+      // its promise rather than leaving the caller blocked forever.
+      var leftover = mailbox.poll()
+      while (leftover != null) {
+        leftover._2.failure(new IllegalStateException(s"actor '$name' is stopped"))
+        leftover = mailbox.poll()
+      }
     }, s"graft-actor-$name")
     thread.setDaemon(true)
     thread.start()
 
-    /** ask/tell — the proxy-method call of the reference Actor. */
+    private val lifecycle = new Object
+
+    /** ask/tell — the proxy-method call of the reference Actor. A
+      * stopped actor fails the ask immediately (reference: messaging a
+      * dead actor raises). The lifecycle monitor orders every enqueue
+      * against stop(): a message admitted here is in the mailbox BEFORE
+      * `running` can flip, so the mailbox thread's `!mailbox.isEmpty`
+      * exit check is guaranteed to see it — no ask can slip between the
+      * thread's last poll and its death. The exit drain above is a
+      * belt-and-braces backstop. */
     def ask(m: M): Future[R] = {
       val p = Promise[R]()
-      mailbox.put((m, p))
+      lifecycle.synchronized {
+        if (!running)
+          p.failure(new IllegalStateException(s"actor '$name' is stopped"))
+        else mailbox.put((m, p))
+      }
       p.future
     }
     def askResult(m: M, atMost: Duration = Duration.Inf): R =
       scala.concurrent.Await.result(ask(m), atMost)
     def tell(m: M): Unit = { ask(m); () }
-    /** Drain the mailbox and stop the thread; the registry drops it. */
-    def stop(): Unit = { running = false; Coordination.actors.remove(name); () }
+    /** Stop accepting messages and let the thread drain then exit; the
+      * registry drops it. In-flight promises either complete normally
+      * (already admitted to the mailbox) or — post-stop asks — fail
+      * fast in ask(). */
+    def stop(): Unit = lifecycle.synchronized {
+      running = false; Coordination.actors.remove(name); ()
+    }
   }
 
   /** Named registries (the reference addresses all of these by name).
@@ -155,9 +206,15 @@ object Coordination {
   def lock(name: String): GLock =
     locks.computeIfAbsent(name, _ => new GLock())
   def pub[T](channel: String): GPub[T] = new GPub[T](channel)
-  def sub[T](channel: String): GSub[T] = {
-    val s = new GSub[Any](channel)
-    subscribers.computeIfAbsent(channel, _ => new CopyOnWriteArrayList[GSub[Any]]()).add(s)
+  def sub[T](channel: String, maxPending: Int = 1 << 16): GSub[T] = {
+    val s = new GSub[Any](channel, maxPending)
+    // Registration runs inside compute() so it is atomic with the
+    // empty-channel removal in unsubscribe(): we can never add to a
+    // list that was just unlinked from the registry.
+    subscribers.compute(channel, (_, existing) => {
+      val l = if (existing == null) new CopyOnWriteArrayList[GSub[Any]]() else existing
+      l.add(s); l
+    })
     s.asInstanceOf[GSub[T]]
   }
   /** Create-or-get a named actor; `initial`/`handler` only apply on

@@ -42,14 +42,43 @@ object TextSim {
     * query that stages through here. Non-file sources (in-memory test
     * frames) pass through unchanged. */
   def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val spark = df.sparkSession
     val parallelism = spark.sparkContext.defaultParallelism
-    val estSplits = df.queryExecution.analyzed.collectFirst {
+    val analyzed = df.queryExecution.analyzed
+    val estSplits = analyzed.collectFirst {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         val rel = lr.relation.asInstanceOf[HadoopFsRelation]
-        val totalBytes = math.max(1L, rel.location.sizeInBytes)
-        val nFiles = math.max(1, rel.location.inputFiles.length)
+        // Partition-pruning-aware sizing: a filter on partition columns
+        // means the scan will read only the selected directories, so
+        // estimating from the FULL file index would overestimate splits
+        // and skip the CPU-spreading repartition exactly when the scan
+        // is smallest. Collect partition-column conjuncts from the
+        // analyzed plan and ask the file index for the pruned listing.
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case And(l, r) => conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        val partCols = rel.partitionSchema.fieldNames.toSet
+        val partFilters = analyzed.collect { case f: Filter => f.condition }
+          .flatMap(conjuncts)
+          .filter(p => p.deterministic && p.references.nonEmpty &&
+            p.references.forall(a => partCols.contains(a.name)))
+        val (totalBytes, nFiles) =
+          if (partFilters.nonEmpty) {
+            try {
+              val dirs = rel.location.listFiles(partFilters, Nil)
+              val files = dirs.flatMap(_.files)
+              (math.max(1L, files.map(_.getLen).sum), math.max(1, files.length))
+            } catch { case _: Throwable =>
+              (math.max(1L, rel.location.sizeInBytes),
+               math.max(1, rel.location.inputFiles.length))
+            }
+          } else
+            (math.max(1L, rel.location.sizeInBytes),
+             math.max(1, rel.location.inputFiles.length))
         val conf = spark.sessionState.conf
         val maxSplit = math.min(conf.filesMaxPartitionBytes,
           math.max(conf.filesOpenCostInBytes,

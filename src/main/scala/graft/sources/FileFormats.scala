@@ -38,6 +38,8 @@ object FileFormats {
   private lazy val scratchRoot: java.nio.file.Path = {
     val p = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_scratch_${ProcessHandle.current().pid()}")
+    sweepStale(java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
+      "graft_scratch_(\\d+)".r)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try {
         import java.nio.file.Files
@@ -47,6 +49,30 @@ object FileFormats {
       } catch { case _: Throwable => () }))
     p
   }
+
+  /** Shutdown hooks don't run on `kill -9` / OOM-kill, so per-pid
+    * scratch dirs and bucketed-table warehouse locations from crashed
+    * runs would otherwise accumulate forever in the shared tmp /
+    * warehouse. Before creating our own, delete any sibling whose
+    * embedded pid is no longer alive (the live-pid check makes this
+    * safe against concurrent bench+verify JVMs). */
+  private def sweepStale(root: java.nio.file.Path, pat: scala.util.matching.Regex): Unit =
+    try {
+      import java.nio.file.Files
+      if (Files.isDirectory(root)) {
+        val it = Files.list(root).iterator()
+        while (it.hasNext) {
+          val child = it.next()
+          child.getFileName.toString match {
+            case pat(pid) if !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+              try Files.walk(child).sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => Files.deleteIfExists(f))
+              catch { case _: Throwable => () }
+            case _ => ()
+          }
+        }
+      }
+    } catch { case _: Throwable => () }
 
   private[graft] def scratch(kind: String): String = s"$scratchRoot/$kind"
 
@@ -95,6 +121,18 @@ object FileFormats {
   private lazy val bktNames: (String, String) = {
     val pid = ProcessHandle.current().pid()
     val names = (s"graft_orders_bkt_$pid", s"graft_lineitem_bkt_$pid")
+    // Reap bucketed-table locations abandoned by dead JVMs (see
+    // sweepStale). Catalog entries are in-memory and die with their
+    // JVM; only the warehouse directories persist.
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach { sp =>
+        val wh = sp.conf.get("spark.sql.warehouse.dir")
+        val whPath =
+          if (wh.contains(":/")) java.nio.file.Paths.get(new java.net.URI(wh))
+          else java.nio.file.Paths.get(wh)
+        sweepStale(whPath, "graft_.*_bkt_(\\d+)".r)
+      }
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try {
         val s = org.apache.spark.sql.SparkSession.getActiveSession

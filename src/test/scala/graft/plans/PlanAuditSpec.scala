@@ -56,12 +56,22 @@ class PlanAuditSpec extends SparkSpec {
 
   test("aggregations are two-phase: partial before the shuffle") {
     // map-side combine is the difference between shuffling rows and
-    // shuffling groups; partial_ markers must appear below the Exchange
+    // shuffling groups. Assert the partial_ marker SPECIFICALLY (any
+    // hash aggregate would not prove map-side combine), and that it
+    // sits BELOW the hash-partitioned Exchange in the plan tree (plan
+    // strings print top-down, so the partial phase — which executes
+    // first — must appear on a LATER line than the Exchange it feeds).
     for (name <- Seq("q01_pricing_summary", "t02_lang_profile", "t05_dedup_exact")) {
       val plan = planString(run(name))
-      assert(plan.contains("partial_") || plan.contains("HashAggregate"),
-        s"$name lost its partial aggregation phase:\n$plan")
-      assert(plan.contains("Exchange"), s"$name: grouped agg needs one shuffle:\n$plan")
+      val lines = plan.linesIterator.toVector
+      val partialIdx = lines.indexWhere(_.contains("partial_"))
+      val exchangeIdx = lines.indexWhere(l =>
+        l.contains("Exchange") && l.contains("hashpartitioning"))
+      assert(partialIdx >= 0, s"$name lost its partial aggregation phase:\n$plan")
+      assert(exchangeIdx >= 0, s"$name: grouped agg needs one keyed shuffle:\n$plan")
+      assert(partialIdx > exchangeIdx,
+        s"$name: partial_ aggregate must execute below (print after) the Exchange " +
+          s"(partial at line $partialIdx, Exchange at line $exchangeIdx):\n$plan")
     }
   }
 
