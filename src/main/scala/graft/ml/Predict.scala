@@ -124,10 +124,65 @@ object Predict {
            sum(col("prediction")).cast("long").as("n_pos"))
   }
 
+  /** ml05: NONLINEAR broadcast-score — a polynomial-kernel machine over
+    * exact integers, closing the gap ml03 leaves open (the reference demo
+    * is a kernel SVC, `ParallelPostFit(SVC(gamma='scale'))`, reference
+    * README.md:290-292, but iterative solver coefficients aren't
+    * SQL-expressible, so ml03 is rows-only forever). Here the kernel
+    * machine is fully deterministic: support set = the first 16 data rows,
+    * ŷₛ = ±1 from the ground truth, αₛ ≥ 0 from an LCG with its own salt,
+    * score(x) = Σₛ αₛ·ŷₛ·(1 + xₛᵀx)² — a degree-2 polynomial kernel in
+    * exact 64-bit arithmetic (|xₛᵀx| ≤ 5e6 ⇒ |score| ≤ 2e17 < 2⁶³), so
+    * the full confusion profile hash-matches the DuckDB oracle.
+    * The broadcast-score shape is identical to ml01/ml02: the 16×20
+    * support matrix + alphas ship to executors once; scoring is
+    * mapPartitions, map-only, no shuffle of the scored corpus. */
+  def predictKernel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 200000L; val dim = 20; val m = 16; val seed = 5L
+    // support vectors = data rows 0..15 (same closed-form LCG as the
+    // generator, so nothing is collected — the "fit" is a driver-side
+    // formula, the scale cost is scoring)
+    val sv = Array.tabulate(m, dim)((si, j) =>
+      ((si.toLong * dim + j) * 1103515245L + seed) % 2147483647L % 1000L - 500L)
+    val wg = Array.tabulate(dim)(j =>
+      ((9999L * dim + j) * 1103515245L + seed) % 2147483647L % 1000L - 500L)
+    val ys = sv.map { x =>
+      var dot = 0L; var j = 0
+      while (j < dim) { dot += wg(j) * x(j); j += 1 }
+      if (dot > 0L) 1L else -1L
+    }
+    val alpha = Array.tabulate(m)(si =>
+      ((7777L * m + si) * 1103515245L + seed) % 2147483647L % 500L)
+    val bc = s.sparkContext.broadcast((sv, ys, alpha))
+    Generators.makeClassificationLcg(s, n, dim, seed)
+      .select(col("features"), col("label")).as[(Array[Long], Long)]
+      .mapPartitions { it =>
+        val (svv, yss, al) = bc.value
+        it.map { case (x, label) =>
+          var score = 0L; var si = 0
+          while (si < svv.length) {
+            val sx = svv(si)
+            var dot = 0L; var j = 0
+            while (j < x.length) { dot += sx(j) * x(j); j += 1 }
+            val t = 1L + dot
+            score += al(si) * yss(si) * t * t
+            si += 1
+          }
+          val pred = if (score > 0L) 1L else 0L
+          (pred, label, if (pred == label) 1L else 0L)
+        }
+      }
+      .toDF("pred", "label", "hit")
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("n_correct"),
+           sum(col("pred")).as("n_pos"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ml01_predict"       -> (predictLineitem _),
     "ml02_predict_bench" -> (predictGenerated _),
     "ml03_predict_svc"   -> (predictSvc _),
+    "ml05_predict_kernel" -> (predictKernel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -163,5 +218,39 @@ object Predict {
                 CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
                 CAST(sum(pred) AS BIGINT) AS n_pos
          FROM s""",
+    "ml05_predict_kernel" ->
+      """WITH sup AS (
+           SELECT s.range AS sid,
+                  ((7777*16 + s.range)*1103515245 + 5) % 2147483647 % 500 AS alpha,
+                  CASE WHEN list_sum([
+                         (((9999*20 + j)*1103515245 + 5) % 2147483647 % 1000 - 500)
+                       * (((s.range*20 + j)*1103515245 + 5) % 2147483647 % 1000 - 500)
+                         for j in generate_series(0,19)]) > 0
+                  THEN 1 ELSE -1 END AS ys
+           FROM range(16) s),
+         pairs AS (
+           SELECT i.range AS i, sup.alpha, sup.ys,
+                  list_sum([
+                    (((sup.sid*20 + j)*1103515245 + 5) % 2147483647 % 1000 - 500)
+                  * (((i.range*20 + j)*1103515245 + 5) % 2147483647 % 1000 - 500)
+                    for j in generate_series(0,19)]) AS d
+           FROM range(200000) i, sup),
+         scores AS (
+           SELECT i, sum(alpha * ys * (1+d) * (1+d)) AS score
+           FROM pairs GROUP BY i),
+         labels AS (
+           SELECT i.range AS i,
+                  CASE WHEN list_sum([
+                         (((9999*20 + j)*1103515245 + 5) % 2147483647 % 1000 - 500)
+                       * (((i.range*20 + j)*1103515245 + 5) % 2147483647 % 1000 - 500)
+                         for j in generate_series(0,19)]) > 0
+                  THEN 1 ELSE 0 END AS label
+           FROM range(200000) i),
+         p AS (SELECT sc.i, CASE WHEN sc.score > 0 THEN 1 ELSE 0 END AS pred, l.label
+               FROM scores sc JOIN labels l ON sc.i = l.i)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                CAST(sum(pred) AS BIGINT) AS n_pos
+         FROM p""",
   )
 }

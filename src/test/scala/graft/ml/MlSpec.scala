@@ -88,6 +88,26 @@ class MlSpec extends SparkSpec {
     assert(acc >= 0.9, s"LinearSVC accuracy too low: $acc")
   }
 
+  test("ml05: polynomial-kernel scorer is deterministic and nondegenerate") {
+    val a = Predict.predictKernel(spark, sfDir).head()
+    val b = Predict.predictKernel(spark, sfDir).head()
+    assert(a == b, "kernel scorer must be bit-deterministic across runs")
+    val n = a.getLong(0); val nCorrect = a.getLong(1); val nPos = a.getLong(2)
+    assert(n == 200000L)
+    // a nonlinear scorer over a linear ground truth: must beat chance but
+    // not be degenerate (all-one-class would make the gate entry vacuous)
+    assert(nCorrect > n / 2, s"kernel scorer below chance: $nCorrect / $n")
+    assert(nPos > 0 && nPos < n, s"degenerate prediction balance: $nPos / $n")
+  }
+
+  test("ml05: kernel score magnitude stays within exact int64 bounds") {
+    // worst case per support vector: alpha<500, |1+dot|<=1+20*500*500
+    val maxDot = 1L + 20L * 500L * 500L
+    val maxScore = 16L * 500L * maxDot * maxDot
+    assert(maxScore > 0 && maxScore < Long.MaxValue / 10,
+      s"headroom check failed: $maxScore")
+  }
+
   test("timeseries generator: bounds, frequency and value domain") {
     val ts = Generators.makeTimeseries(spark, 500, 946684800L, 7200L, 1L)
     assert(ts.count() == 500)
