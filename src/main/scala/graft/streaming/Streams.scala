@@ -69,6 +69,47 @@ object Streams {
   final case class ClosedSession(userId: Long, startTs: Long, endTs: Long,
                                  nEvents: Long, durationSec: Long)
 
+  /** Order-independent gap-interval merge: folds a group's events (any
+    * arrival order) into session FRAGMENTS — maximal runs whose internal
+    * inter-event gaps are all ≤ gapSec, pairwise separated by > gapSec.
+    * This is exactly event-level sessionization (sessions are the
+    * connected components of the "within gap" relation on sorted events,
+    * and interval-with-gap merging computes those components regardless
+    * of insertion order), WITHOUT materializing or sorting the batch:
+    * memory is O(#fragments), i.e. one entry per eventual session plus
+    * one per interleaved sorted run — never O(#events). A hot user's
+    * million-event backfill batch costs a TreeMap of its session count.
+    *
+    * (A `sortWithinPartitions` pre-pass is NOT available here: Spark's
+    * UnsupportedOperationChecker rejects any Sort — local included — on
+    * streaming Datasets, and post-shuffle run interleaving would defeat
+    * a map-side sort anyway. Order independence is the stronger fix.)
+    *
+    * Returned map: start → (end, nEvents), keys ascending. */
+  private[streaming] def mergeRuns(events: Iterator[Long], gapSec: Long)
+      : scala.collection.mutable.TreeMap[Long, (Long, Long)] = {
+    val frags = scala.collection.mutable.TreeMap.empty[Long, (Long, Long)]
+    events.foreach { t =>
+      var s = t; var e = t; var n = 1L
+      // connect to the nearest fragment at or before t (ps <= t, so the
+      // backward reach ps >= t - gap is implied by t <= pe + gap or t <= pe)
+      frags.rangeTo(t).lastOption match {
+        case Some((ps, (pe, pn))) if t <= pe + gapSec =>
+          s = ps; e = math.max(pe, t); n = pn + 1L; frags.remove(ps)
+        case _ => ()
+      }
+      // the new/merged fragment may now bridge to the next one; fragments
+      // are pairwise > gap apart, so at most ONE successor can connect
+      frags.minAfter(t + 1L) match {
+        case Some((ss, (se, sn))) if ss <= e + gapSec =>
+          e = math.max(e, se); n += sn; frags.remove(ss)
+        case _ => ()
+      }
+      frags(s) = (e, n)
+    }
+    frags
+  }
+
   /** Event-time sessionization via `flatMapGroupsWithState` — the
     * 0..n-rows-per-group shape `mapGroupsWithState` cannot express: a
     * user's events extend one session while inter-event gaps stay under
@@ -76,17 +117,16 @@ object Streams {
     * opens a new one. State per key is one (start, last, count) triple —
     * bounded regardless of stream length.
     *
-    * Ordering contract: events are folded in ts order WITHIN each
-    * micro-batch (one hot user's per-batch events materialize for the
-    * sort — bound the batch with `maxFilesPerTrigger`/rate limits on a
-    * backfill; the per-key state itself stays one triple). ACROSS
-    * batches a straggler older than the folded frontier cannot reorder
-    * history: it is counted into the open session when it falls inside
-    * that session's reach (≥ start − gap) and dropped otherwise — the
-    * explicit watermark-style late policy, asserted in StreamingSpec.
-    * For fully watermark-driven closure (idle sessions flushing without
-    * a successor event) see [[sessionWindows]], the native-operator
-    * production shape. */
+    * Within a micro-batch, events fold through [[mergeRuns]] — arrival-
+    * order-independent and O(#sessions) memory (no per-group buffer of
+    * the raw batch). ACROSS batches a late RUN older than the folded
+    * frontier cannot reorder history: it merges into the open session
+    * (count only, start/lastTs never rewind below the frontier) when it
+    * reaches the session's span within gap, and drops entirely when its
+    * whole extent lies before start − gap — the watermark-style late
+    * policy, asserted in StreamingSpec. For fully watermark-driven
+    * closure (idle sessions flushing without a successor event) see
+    * [[sessionWindows]], the native-operator production shape. */
   def sessionize(events: Dataset[(Long, Long)],
                  gapSec: Long = 1800L): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
@@ -94,25 +134,24 @@ object Streams {
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
-          // micro-batch arrival order is not time order: fold in ts order
-          val tss = batch.map(_._2).toArray.sorted
+          val frags = mergeRuns(batch.map(_._2), gapSec)
           var closed = List.empty[ClosedSession]
           var st = state.getOption.orNull
-          tss.foreach { t =>
+          frags.foreach { case (fs, (fe, fn)) =>
             st match {
               case null =>
-                st = SessionState(t, t, 1L)
-              case s if t < s.lastTs =>
-                // cross-batch straggler: never rewind start/lastTs; count
-                // it into the open session iff it's within the session's
-                // reach, else drop (late-data policy)
-                if (t >= s.start - gapSec) st = s.copy(nEvents = s.nEvents + 1)
-              case s if t - s.lastTs <= gapSec =>
-                st = s.copy(lastTs = t, nEvents = s.nEvents + 1)
+                st = SessionState(fs, fe, fn)
+              case s if fe < s.start - gapSec =>
+                // whole run is older than the open session's reach: drop
+                ()
+              case s if fs <= s.lastTs + gapSec =>
+                // run connects/overlaps the open session: count its events;
+                // never rewind start below the already-emitted frontier
+                st = SessionState(s.start, math.max(s.lastTs, fe), s.nEvents + fn)
               case s =>
                 closed ::= ClosedSession(userId, s.start, s.lastTs, s.nEvents,
                                          s.lastTs - s.start)
-                st = SessionState(t, t, 1L)
+                st = SessionState(fs, fe, fn)
             }
           }
           if (st != null) state.update(st)
@@ -262,6 +301,68 @@ object Streams {
     s.table(sink)
   }
 
+  /** st05: WATERMARK-BOUNDED streaming dedup — the production variant
+    * st04's unbounded-history design deliberately leaves out:
+    * `dropDuplicatesWithinWatermark` keeps a fingerprint's state only
+    * until the watermark passes its event time + delay, so dedup state is
+    * evictable at any stream length (the 100 TB shape: state ∝ the
+    * horizon's traffic, not all history).
+    *
+    * The fixture drive stages three single-file micro-batches (file
+    * source, maxFilesPerTrigger=1, mod-times pin the order) exercising
+    * BOTH sides of the horizon deterministically:
+    *  - batch 1: every distinct doc fingerprint at T0 → all emit;
+    *  - batch 2: the same fingerprints at T0+700 — the watermark is still
+    *    T0+500−600 < T0, state is live → all DROPPED; plus one heartbeat
+    *    row whose T0+100000 event time advances the watermark past every
+    *    fingerprint's expiry;
+    *  - batch 3: a second heartbeat only. State eviction runs at the END
+    *    of a batch (input rows are matched against pre-eviction state),
+    *    so the expired fingerprints are actually removed while this
+    *    spacer batch runs under the now-advanced watermark;
+    *  - batch 4: the same fingerprints again at T0+200000 — state was
+    *    evicted → all emit AGAIN.
+    * Output: each fingerprint at epoch T0 and T0+200000, heartbeat once —
+    * closed-form from `documents`, so the horizon behavior itself is
+    * hash-checked against the oracle. */
+  def streamedDedupBounded(s: SparkSession, d: String): DataFrame = {
+    val T0 = 1700000000L
+    val fps = s.read.parquet(s"$d/documents.parquet")
+      .select(graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val dir = graft.sources.FileFormats.scratch(s"st05_src_${sinkSeq.incrementAndGet()}")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def stage(df: DataFrame, idx: Int): Unit = {
+      val tmp = graft.sources.FileFormats.scratch(s"st05_stage_$idx")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val target = java.nio.file.Paths.get(dir, f"f$idx%02d.parquet")
+      java.nio.file.Files.move(part.toPath, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the file source orders batches by (modTime, path): pin both
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + idx * 60000L))
+    }
+    stage(fps.select(col("fp"), timestamp_seconds(lit(T0)).as("ts")), 0)
+    stage(fps.select(col("fp"), timestamp_seconds(lit(T0 + 700L)).as("ts"))
+      .unionAll(s.range(1).select(lit("heartbeat").as("fp"),
+        timestamp_seconds(lit(T0 + 100000L)).as("ts"))), 1)
+    stage(s.range(1).select(lit("heartbeat").as("fp"),
+      timestamp_seconds(lit(T0 + 100001L)).as("ts")), 2)
+    stage(fps.select(col("fp"), timestamp_seconds(lit(T0 + 200000L)).as("ts")), 3)
+    val src = s.readStream.schema("fp STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sink = s"graft_st05_sink_${sinkSeq.incrementAndGet()}"
+    val q = src.withWatermark("ts", "600 seconds")
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("fp"), unix_timestamp(col("ts")).as("epoch"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -269,6 +370,7 @@ object Streams {
     "st02_sessions"      -> (streamedSessions _),
     "st03_sessions_flush" -> (streamedSessionsFlushed _),
     "st04_stream_dedup"  -> (streamedDedup _),
+    "st05_dedup_bounded" -> (streamedDedupBounded _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -319,5 +421,14 @@ object Streams {
     "st04_stream_dedup" ->
       """SELECT DISTINCT md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp
          FROM documents""",
+    "st05_dedup_bounded" ->
+      """WITH f AS (
+           SELECT DISTINCT md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp
+           FROM documents)
+         SELECT fp, CAST(1700000000 AS BIGINT) AS epoch FROM f
+         UNION ALL
+         SELECT fp, CAST(1700200000 AS BIGINT) AS epoch FROM f
+         UNION ALL
+         SELECT 'heartbeat' AS fp, CAST(1700100000 AS BIGINT) AS epoch""",
   )
 }

@@ -111,6 +111,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeRuns: arrival-order-independent and equal to sort-then-fold sessionization") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val n = 50 + rnd.nextInt(200)
+      val gap = 30L + rnd.nextInt(100)
+      val events = Array.fill(n)(rnd.nextInt(5000).toLong)
+      // reference: sort, then split where diff > gap
+      val sorted = events.sorted
+      val expected = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+      var s = sorted.head; var e = sorted.head; var c = 1L
+      sorted.tail.foreach { t =>
+        if (t - e <= gap) { e = t; c += 1 }
+        else { expected += ((s, e, c)); s = t; e = t; c = 1L }
+      }
+      expected += ((s, e, c))
+      // mergeRuns over three different arrival orders must all agree
+      val orders = Seq(events.toSeq, events.sorted.toSeq, events.sorted.reverse.toSeq)
+      for (order <- orders) {
+        val got = Streams.mergeRuns(order.iterator, gap)
+          .map { case (fs, (fe, fn)) => (fs, fe, fn) }.toList
+        assert(got == expected.toList,
+          s"trial $trial gap $gap order mismatch:\n got $got\n exp $expected")
+      }
+    }
+  }
+
+  test("mergeRuns: memory is O(#sessions), not O(#events), on a hot-user backfill") {
+    // 100k events forming 10 sessions, arriving as interleaved sorted runs
+    // (the post-shuffle shape): the fragment map must stay tiny throughout
+    val gap = 100L
+    val runs = (0 until 4).map { r =>
+      (0 until 25000).map(i => (i / 2500) * 100000L + (i % 2500) * 4 + r)
+    }
+    val interleaved = (0 until 25000).flatMap(i => runs.map(_(i)))
+    val frags = Streams.mergeRuns(interleaved.iterator, gap)
+    assert(frags.size == 10, s"expected 10 sessions, got ${frags.size}")
+    assert(frags.values.map(_._2).sum == 100000L, "every event must be counted")
+  }
+
+  test("dropDuplicatesWithinWatermark: in-horizon duplicate drops, post-eviction re-arrival emits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val q = input.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"), unix_timestamp(col("ts")).as("epoch"))
+      .writeStream.format("memory").queryName("dedup_bounded")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", ts(0)))                       // emits
+      q.processAllAvailable()
+      // duplicate within the horizon + a heartbeat that advances the
+      // watermark far past a's expiry (eviction applies END of batch)
+      input.addData(("a", ts(5)), ("hb", Timestamp.valueOf("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      input.addData(("hb2", Timestamp.valueOf("2024-01-01 20:01:00")))  // spacer: eviction runs
+      q.processAllAvailable()
+      input.addData(("a", Timestamp.valueOf("2024-01-01 23:00:00")))    // re-emits
+      q.processAllAvailable()
+      val rows = spark.table("dedup_bounded").as[(String, Long)].collect().toSet
+      val t0 = ts(0).getTime / 1000
+      val tLate = Timestamp.valueOf("2024-01-01 23:00:00").getTime / 1000
+      assert(rows.filter(_._1 == "a") == Set(("a", t0), ("a", tLate)),
+        s"horizon semantics violated: $rows")
+    } finally q.stop()
+  }
+
   test("native session_window flushes final sessions once the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
