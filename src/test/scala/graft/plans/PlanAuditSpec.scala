@@ -88,4 +88,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"nation/customer dims must broadcast:\n$plan")
   }
+
+  test("global sweep: no entry plans a cartesian product or nested-loop join") {
+    // Every gate entry's plan, one regression gate: an accidental cross
+    // join (dropped join condition, non-equi rewrite gone wrong) is the
+    // canonical does-not-survive-100× bug. CartesianProduct is allowed
+    // NOWHERE. BroadcastNestedLoopJoin is allowed only where it is the
+    // documented design:
+    //  - e01 / mm04: brute-force kNN baselines — the broadcast query set
+    //    streams against the corpus (Similarity.bruteKnn);
+    //  - t13 / t18: crossJoin(broadcast(<1-row aggregate>)) — attaching a
+    //    computed scalar (kth-min threshold / global min rate) without a
+    //    driver-side collect; a BNLJ over one broadcast row.
+    // Entries that eagerly localCheckpoint collapse their upstream plan
+    // to an RDD scan; their join shapes are asserted by their own specs —
+    // this sweep still covers everything visible in the returned plan.
+    val bnljAllowed = Set("e01_knn_cosine", "mm04_hist_knn",
+                          "t13_kmv_sketch", "t18_domain_mix")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val plan = planString(fn(spark, sfDir))
+        val bad = Seq("CartesianProduct").filter(plan.contains) ++
+          (if (bnljAllowed.contains(name)) Nil
+           else Seq("BroadcastNestedLoopJoin").filter(plan.contains))
+        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+      }
+    assert(offenders.isEmpty,
+      s"cross-join shapes found in:\n${offenders.mkString("\n")}")
+  }
 }
