@@ -93,7 +93,14 @@ object Coordination {
     def dropped: Long = droppedCount.get()
     private[delayed] def offerDroppingOldest(v: Any): Unit = {
       while (!q.offer(v)) {
-        if (q.poll() != null) droppedCount.incrementAndGet()
+        if (q.poll() != null) {
+          // make silent loss observable beyond the counter: warn once per
+          // subscriber the first time it falls behind
+          if (droppedCount.incrementAndGet() == 1L)
+            System.err.println(s"[graft] pub/sub subscriber on '$channel' fell " +
+              s"behind: dropping oldest pending messages (bound $maxPending); " +
+              "see GSub.dropped for the running count")
+        }
       }
     }
     /** Blocking next message (the reference's `sub.get()` / iteration). */
@@ -133,7 +140,11 @@ object Coordination {
     * does not kill the actor). */
   final class GActor[S, M, R] private[delayed] (name: String, initial: S,
                                                handler: (S, M) => (S, R)) {
+    // tell() enqueues a null promise (no per-tell allocation, nothing to
+    // discard); handler failures on that path land in failedTellCount +
+    // a stderr line instead of vanishing into a dropped future
     private val mailbox = new LinkedBlockingQueue[(M, Promise[R])]()
+    private val failedTellCount = new java.util.concurrent.atomic.AtomicLong(0L)
     @volatile private var running = true
     private val thread = new Thread(() => {
       var state = initial                       // confined to this thread
@@ -144,8 +155,16 @@ object Coordination {
           try {
             val (s2, r) = handler(state, m)
             state = s2
-            p.success(r)
-          } catch { case e: Throwable => p.failure(e) }
+            if (p != null) p.success(r)
+          } catch {
+            case e: Throwable =>
+              if (p != null) p.failure(e)
+              else {
+                failedTellCount.incrementAndGet()
+                System.err.println(s"[graft] actor '$name' handler failed on a " +
+                  s"fire-and-forget tell: $e")
+              }
+          }
         }
       }
       // Exit drain: a message can slip into the mailbox between the
@@ -153,7 +172,8 @@ object Coordination {
       // its promise rather than leaving the caller blocked forever.
       var leftover = mailbox.poll()
       while (leftover != null) {
-        leftover._2.failure(new IllegalStateException(s"actor '$name' is stopped"))
+        if (leftover._2 != null)
+          leftover._2.failure(new IllegalStateException(s"actor '$name' is stopped"))
         leftover = mailbox.poll()
       }
     }, s"graft-actor-$name")
@@ -181,7 +201,16 @@ object Coordination {
     }
     def askResult(m: M, atMost: Duration = Duration.Inf): R =
       scala.concurrent.Await.result(ask(m), atMost)
-    def tell(m: M): Unit = { ask(m); () }
+    /** Fire-and-forget: no promise is allocated; a handler exception on a
+      * told message increments [[failedTells]] and logs rather than
+      * disappearing into a discarded future. Tells to a stopped actor are
+      * silently dropped (the reference's tell to a dead actor is lossy;
+      * use ask for the failing variant). */
+    def tell(m: M): Unit = lifecycle.synchronized {
+      if (running) mailbox.put((m, null)); ()
+    }
+    /** Count of fire-and-forget messages whose handler threw. */
+    def failedTells: Long = failedTellCount.get()
     /** Stop accepting messages and let the thread drain then exit; the
       * registry drops it. In-flight promises either complete normally
       * (already admitted to the mailbox) or — post-stop asks — fail

@@ -62,10 +62,17 @@ object TextSim {
           case other => Seq(other)
         }
         val partCols = rel.partitionSchema.fieldNames.toSet
-        val partFilters = analyzed.collect { case f: Filter => f.condition }
+        // Match partition-column references by exprId against THIS
+        // relation's output, and only from Filters whose subtree contains
+        // this relation — in a join plan, a filter on another table's
+        // same-named column must not count as a partition filter here.
+        val partIds = lr.output.filter(a => partCols.contains(a.name))
+          .map(_.exprId).toSet
+        val partFilters = analyzed
+          .collect { case f: Filter if f.exists(_ eq lr) => f.condition }
           .flatMap(conjuncts)
           .filter(p => p.deterministic && p.references.nonEmpty &&
-            p.references.forall(a => partCols.contains(a.name)))
+            p.references.forall(a => partIds.contains(a.exprId)))
         val (totalBytes, nFiles) =
           if (partFilters.nonEmpty) {
             try {

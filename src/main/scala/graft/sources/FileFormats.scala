@@ -60,15 +60,20 @@ object FileFormats {
     try {
       import java.nio.file.Files
       if (Files.isDirectory(root)) {
-        val it = Files.list(root).iterator()
-        while (it.hasNext) {
-          val child = it.next()
-          child.getFileName.toString match {
-            case pat(pid) if !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
-              try Files.walk(child).sorted(java.util.Comparator.reverseOrder())
-                .forEach(f => Files.deleteIfExists(f))
-              catch { case _: Throwable => () }
-            case _ => ()
+        scala.util.Using.resource(Files.list(root)) { listing =>
+          val it = listing.iterator()
+          while (it.hasNext) {
+            val child = it.next()
+            // catch per child: one bad entry (pid digits overflowing
+            // Long, a racing delete) must not abort the sibling sweep
+            try child.getFileName.toString match {
+              case pat(pid) if !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+                scala.util.Using.resource(Files.walk(child)) { tree =>
+                  tree.sorted(java.util.Comparator.reverseOrder())
+                    .forEach(f => Files.deleteIfExists(f))
+                }
+              case _ => ()
+            } catch { case _: Throwable => () }
           }
         }
       }
@@ -102,16 +107,26 @@ object FileFormats {
     * by a PREVIOUS JVM: the fresh in-memory catalog has no table entry,
     * but the warehouse directory survives on disk. Drop both the catalog
     * entry and any stale location before writing. */
+  /** Resolve the warehouse dir to a local NIO path, or None when it is a
+    * non-local URI (hdfs://, s3a:// — Paths.get(URI) throws
+    * FileSystemNotFoundException there). Callers skip the local-FS
+    * cleanup in that case: a remote warehouse can't leak local files. */
+  private def localWarehousePath(wh: String): Option[java.nio.file.Path] =
+    try Some(
+      if (wh.contains(":/")) java.nio.file.Paths.get(new java.net.URI(wh))
+      else java.nio.file.Paths.get(wh))
+    catch { case _: Throwable => None }
+
   def dropTableAndLocation(s: SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
-    val wh = s.conf.get("spark.sql.warehouse.dir")
-    val whPath =
-      if (wh.contains(":/")) java.nio.file.Paths.get(new java.net.URI(wh))
-      else java.nio.file.Paths.get(wh)
-    val dir = whPath.resolve(name)
-    if (java.nio.file.Files.exists(dir))
-      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    localWarehousePath(s.conf.get("spark.sql.warehouse.dir")).foreach { whPath =>
+      val dir = whPath.resolve(name)
+      if (java.nio.file.Files.exists(dir))
+        scala.util.Using.resource(java.nio.file.Files.walk(dir)) { tree =>
+          tree.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+    }
   }
 
   /** Bucketed table names carry the JVM pid (like [[scratchRoot]]): two
@@ -127,11 +142,8 @@ object FileFormats {
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .foreach { sp =>
-        val wh = sp.conf.get("spark.sql.warehouse.dir")
-        val whPath =
-          if (wh.contains(":/")) java.nio.file.Paths.get(new java.net.URI(wh))
-          else java.nio.file.Paths.get(wh)
-        sweepStale(whPath, "graft_.*_bkt_(\\d+)".r)
+        localWarehousePath(sp.conf.get("spark.sql.warehouse.dir"))
+          .foreach(sweepStale(_, "graft_.*_bkt_(\\d+)".r))
       }
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try {

@@ -96,4 +96,17 @@ class CoordinationSpec extends SparkSpec {
     assert(actor.askResult("get", 5.seconds) == 15, "state untouched after handler failure")
     actor.stop()
   }
+
+  test("actor: a failing tell is counted, not silently swallowed") {
+    val actor = Coordination.actor[Int, String, Int]("spec_actor_tell", 0) {
+      case (_, "boom") => throw new IllegalStateException("boom")
+      case (s, inc)    => (s + inc.toInt, s + inc.toInt)
+    }
+    assert(actor.failedTells == 0L)
+    actor.tell("boom")
+    actor.tell("7")                       // actor keeps processing after the failure
+    assert(actor.askResult("3", 5.seconds) == 10, "state must reflect the good tell")
+    assert(actor.failedTells == 1L, "fire-and-forget handler failure must be counted")
+    actor.stop()
+  }
 }
