@@ -28,6 +28,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // flagship-scale linalg entries (10k² GEMM, 200k×1000 SVD, …) run
+    // once per pass: each is tens of seconds of deliberate compute, so a
+    // single rep both bounds suite time and is already noise-robust.
+    val heavyReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_REPS", "1").toInt.max(1)
     val spark = graft.core.GraftSession.local()
     // optional args: entry names — restricts the run for local iteration
     // (the driver always invokes with no args = full suite).
@@ -39,8 +43,9 @@ object Bench {
       .foreach(k => qs.get(k).foreach(fn => try runNoop(spark, fn, sfDir) catch { case _: Throwable => () }))
     val errors = scala.collection.mutable.Map[String, String]()
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
-      System.err.println(s"[bench] running $name x$reps")
-      val times = (1 to reps).flatMap { _ =>
+      val nReps = if (graft.array.ArrayQueries.flagship.contains(name)) heavyReps else reps
+      System.err.println(s"[bench] running $name x$nReps")
+      val times = (1 to nReps).flatMap { _ =>
         // GC OUTSIDE the timed region: ~70 queries leave unreferenced
         // checkpoint blocks / broadcasts that only the ContextCleaner can
         // reclaim, and it only runs on driver GC — without this, queries
@@ -69,7 +74,7 @@ object Bench {
     val sJson = results.map { case (k, _, lo, hi) => s"${jstr(k)}:[$lo,$hi]" }.mkString("{", ",", "}")
     val eJson = errors.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"spread":$sJson,"reps":$reps,"errors":$eJson,"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"spread":$sJson,"reps":$reps,"heavy_reps":$heavyReps,"errors":$eJson,"sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line)
     spark.stop()

@@ -100,20 +100,77 @@ class DMatrix(
     require(blockSize == other.blockSize, "chunk mismatch")
     import blocks.sparkSession.implicits._
     val parts = math.max(blocks.rdd.getNumPartitions, other.blocks.rdd.getNumPartitions)
-    val aByInner = blocks.rdd.map(b => (b.bj, b))
-    val bByInner = other.blocks.rdd.map(b => (b.bi, b))
-    val products: RDD[((Int, Int), Array[Double])] =
-      aByInner.join(bByInner, parts).map { case (_, (a, b)) =>
-        val c = a.toBreeze * b.toBreeze
-        ((a.bi, b.bj), c.data)
-      }
     val m = nRows; val n = other.nCols; val bs = blockSize
-    val summed = products.reduceByKey(addInto _, parts).map { case ((bi, bj), data) =>
+    val nInner = nbCols
+    val summed: RDD[((Int, Int), Array[Double])] =
+      if (nInner >= parts) {
+        // Deep inner dimension (the usual at-scale case: plenty of join
+        // keys): join on the inner block index, per-pair GEMM, reduce
+        // partial products with map-side combine — minimal replication.
+        val aByInner = blocks.rdd.map(b => (b.bj, b))
+        val bByInner = other.blocks.rdd.map(b => (b.bi, b))
+        aByInner.join(bByInner, parts).map { case (_, (a, b)) =>
+          val c = a.toBreeze * b.toBreeze
+          ((a.bi, b.bj), c.data)
+        }.reduceByKey(addInto _, parts)
+      } else {
+        // Shallow inner dimension (square flagship grids: e.g. 10k² at
+        // chunks 1k² has only 10 inner keys): the inner join would cap
+        // parallelism at nInner tasks and then shuffle every partial
+        // product. Instead replicate row-stripes of A (×nbc) and
+        // col-stripes of B (×nbr) onto (i,j) output keys — nbr·nbc-way
+        // parallel — and STREAM each group in sorted (k, side) order
+        // through an accumulating dgemm (β=1) into the single C block:
+        // no Iterable buffering (a cogroup here held ~2·nInner blocks
+        // live per key and spilled; measured 85% GC time), no partial-
+        // product allocation, and partial products never touch the
+        // shuffle.
+        val nbr = nbRows; val nbc = other.nbCols
+        val keyed = blocks.rdd
+          .flatMap(b => (0 until nbc).map(j => ((b.bi, j, b.bj, 0), b))) ++
+          other.blocks.rdd
+            .flatMap(b => (0 until nbr).map(i => ((i, b.bj, b.bi, 1), b)))
+        // One C-block group per partition (the partitioner is injective
+        // at parts = nbr·nbc), consumed STRAIGHT OFF the shuffle fetch
+        // iterator: pair each arriving block with its k-partner via a
+        // small hash map and dgemm(β=1) immediately, so both blocks are
+        // garbage the moment the product is folded in. Buffering the
+        // group instead (cogroup, or the shuffle sorter) held ~5 GB of
+        // blocks live across 32 tasks — overflowing survivor space and
+        // costing ~25 s of promotion GC per 10k² flagship pass. Fold
+        // order follows fetch order; exact for the integer-domain oracle
+        // fixtures, and within normal float roundoff variance otherwise
+        // (same contract as tsqr's tree combine).
+        keyed
+          .partitionBy(new StripePartitioner(nbc, nbr * nbc))
+          .mapPartitions { it =>
+            if (it.isEmpty) Iterator.empty
+            else {
+              val blas = dev.ludovic.netlib.blas.BLAS.getInstance
+              val pend = new java.util.HashMap[Long, Block]()
+              var bi = -1; var bj = -1
+              var acc: Array[Double] = null
+              it.foreach { case ((i, j, k, side), blk) =>
+                bi = i; bj = j
+                val partner = pend.remove(k.toLong * 2 + (1 - side))
+                if (partner == null) pend.put(k.toLong * 2 + side, blk)
+                else {
+                  val (ab, bb) = if (side == 0) (blk, partner) else (partner, blk)
+                  if (acc == null) acc = new Array[Double](ab.rows * bb.cols)
+                  blas.dgemm("N", "N", ab.rows, bb.cols, ab.cols, 1.0,
+                    ab.data, ab.rows, bb.data, bb.rows, 1.0, acc, ab.rows)
+                }
+              }
+              Iterator.single(((bi, bj), acc))
+            }
+          }
+      }
+    val out = summed.map { case ((bi, bj), data) =>
       val rows = DMatrix.blockDim(m, bs, bi)
       val cols = DMatrix.blockDim(n, bs, bj)
       Block(bi, bj, rows, cols, data)
     }
-    new DMatrix(spark.createDataset(summed), m, n, bs)
+    new DMatrix(spark.createDataset(out), m, n, bs)
   }
 
   /** Lower-triangular mask (reference `da.tril(A)`, examples.rst:92):
@@ -340,6 +397,19 @@ class DMatrix(
 
   def persist(): DMatrix = { blocks.persist(StorageLevel.MEMORY_AND_DISK); this }
   def unpersist(): DMatrix = { blocks.unpersist(); this }
+}
+
+/** Routes every key of one C-block group — (bi, bj, k, side) — to the
+  * partition owned by (bi, bj), while the in-partition sort puts the
+  * group's A/B blocks in ascending (k, side) order for the streaming
+  * dgemm accumulation in [[DMatrix.multiply]]. */
+private class StripePartitioner(nbc: Int, parts: Int)
+    extends org.apache.spark.Partitioner {
+  def numPartitions: Int = parts
+  def getPartition(key: Any): Int = key match {
+    case (i: Int, j: Int, _, _) => ((i.toLong * nbc + j) % parts).toInt
+    case other => throw new IllegalArgumentException(s"unexpected key $other")
+  }
 }
 
 object DMatrix {

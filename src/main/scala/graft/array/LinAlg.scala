@@ -47,16 +47,47 @@ object LinAlg {
   }
 
   /** TSQR: tree-reduce per-block local QRs into one n×n R factor.
-    * One pass over the data, log-depth combiner tree, driver only ever
-    * sees n×n matrices (the exact shape Wukong ran at 262,144×128). */
+    * One pass over the data, arity-8 combiner tree, driver only ever
+    * sees n×n matrices (the exact shape Wukong ran at 262,144×128).
+    *
+    * The tree is batched, not pairwise: each node vertcats up to 8
+    * child R factors and runs ONE QR of the (8n)×n stack. Pairwise
+    * stacking (the old treeAggregate combOp) costs (#children−1)
+    * sequential QRs per node — at n = 1,000 (the 200k×1,000 SVD
+    * flagship) that was ~30 s of serialized 2n×n QR chains; the batched
+    * node is a single taller QR that the LAPACK kernel processes at the
+    * same rate with ~2× fewer total flops. Tree rounds use `coalesce`
+    * (no shuffle): each round merges ~8 one-R partitions into one. */
   def tsqr(a: DMatrix): BDM[Double] = {
     require(a.nbCols == 1, s"tsqr needs tall-skinny layout (nCols ${a.nCols} <= blockSize ${a.blockSize})")
-    val depth = math.max(2, (math.log(math.max(a.nbRows, 2)) / math.log(4)).ceil.toInt)
-    val r = a.blocks.rdd.treeAggregate(null: BDM[Double])(
-      (acc, b) => stackR(acc, b.toBreeze),
-      (r1, r2) => stackR(r1, r2),
-      depth)
-    fixSigns(r)
+    val arity = 8
+    // Streaming within a partition: vertcat+QR one group of ≤arity at a
+    // time, carrying the accumulated R — memory stays ≤ arity blocks + R
+    // no matter how many blocks land in the partition (the 100 TB case).
+    def qrOfGroup(it: Iterator[BDM[Double]]): Iterator[BDM[Double]] = {
+      var acc: BDM[Double] = null
+      it.grouped(arity).foreach { g =>
+        val stack = if (acc == null) g else acc +: g
+        acc = triOf(if (stack.length == 1) stack.head else BDM.vertcat(stack: _*))
+      }
+      if (acc == null) Iterator.empty else Iterator.single(acc)
+    }
+    var rs = a.blocks.rdd.map(_.toBreeze).mapPartitions(qrOfGroup)
+    var width = rs.getNumPartitions
+    while (width > arity) {
+      val groups = math.max(1, (width + arity - 1) / arity)
+      // a real (tiny: one n×n R per input partition) shuffle each round —
+      // NOT coalesce: a narrow merge would collapse the whole upstream
+      // lineage (block generation + level-0 QRs) into `groups` tasks.
+      rs = rs.mapPartitionsWithIndex((pid, it) => it.map(r => (pid / arity, r)))
+        .partitionBy(new org.apache.spark.HashPartitioner(groups))
+        .values
+        .mapPartitions(qrOfGroup)
+      width = groups
+    }
+    val tops = rs.collect()
+    require(tops.nonEmpty, "tsqr of an empty matrix")
+    fixSigns(triOf(if (tops.length == 1) tops(0) else BDM.vertcat(tops.toIndexedSeq: _*)))
   }
 
   /** Full QR: R via TSQR, then Q = A·R⁻¹ as a distributed narrow map

@@ -21,6 +21,28 @@ object GraftSession {
       .withExtensions(graft.plans.GraftExtensions.register)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // static conf, default 100: the ~92-entry gate generates >100
+      // distinct codegen classes, so by the time Bench re-runs an entry
+      // its class was evicted and Janino recompiles (~1-9 s first-rep tail
+      // on a12/e04/ml04 — BENCH_NOTES.md). 2000 entries ≈ tens of MB of
+      // class metadata, far below heap; eviction noise disappears.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // RDD-side block algebra (DMatrix multiply/tsqr) shuffles 8-80 MB
+      // double-array payloads; Java serialization moves them at a few
+      // hundred MB/s and dominated the flagship GEMM wall time. Kryo
+      // writes primitive arrays at memcpy speed. DataFrame paths are
+      // unaffected (Tungsten rows have their own serializer).
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.kryoserializer.buffer.max", "256m")
+      // tmpfs scratch for shuffle/spill when available: the flagship
+      // GEMM writes ~2 GB compressed shuffle per pass, and /tmp's
+      // virtio disk stalled shuffle writes for minutes under load
+      // (measured 6 MB/s/task); worst case here is a few GB against
+      // 126 GB of tmpfs. On a real cluster this maps to the standard
+      // local-SSD spark.local.dir provisioning.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-scratch"
+        else System.getProperty("java.io.tmpdir"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

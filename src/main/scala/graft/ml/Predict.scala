@@ -103,19 +103,38 @@ object Predict {
     * on a small train slice (the "cheap fit" half of ParallelPostFit),
     * then score the full corpus embarrassingly parallel through the
     * model's `transform` — coefficients ship to executors inside the
-    * predict closure, no shuffle of the scored data. Rows-only gate by
-    * design (round-4 advice #7): iterative solver coefficients are not
-    * SQL-expressible; the accuracy-vs-ground-truth bound lives in
-    * MlSpec, and the exact-integer oracle discipline stays on ml01/ml02. */
+    * predict closure, no shuffle of the scored data.
+    *
+    * Hash-matched via margin construction (upgrading the round-4
+    * rows-only gate): the corpus is the integer LCG classification set
+    * restricted to points whose ground-truth functional margin |wg·x|
+    * exceeds 2e5 (≈0.54σ — ~59% of rows survive; geometric margin ≈12%
+    * of the feature radius). The solver's coefficients are still not
+    * SQL-expressible — but they don't need to be: ANY adequately
+    * converged large-margin separator classifies every margin point
+    * identically to the ground truth, so the scored confusion profile
+    * (n, n_correct=n, n_pos) is fully determined by the LCG labels and
+    * the DuckDB oracle can state it in closed form. MlSpec asserts the
+    * 100%-on-margin-points property directly; the near-boundary regime
+    * (where solver identity would matter) stays covered rows-only-free
+    * by ml02/ml05's exact-integer scorers. */
   def predictSvc(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.classification.LinearSVC
     import org.apache.spark.ml.functions.array_to_vector
+    val dim = 20
     // deliberately NOT persisted: regenerating the seeded features is a
     // cheap map, and measured end-to-end the persist+eager-checkpoint
     // staging costs more than the two regeneration passes it saves
-    val data = Generators.makeClassification(s, 100000L, 20, seed = 11L)
-      .withColumn("features_v", array_to_vector(col("features")))
-    val model = new LinearSVC().setMaxIter(8).setRegParam(0.01)
+    val wg = Array.tabulate(dim)(j =>
+      ((9999L * dim + j) * 1103515245L + 11L) % 2147483647L % 1000L - 500L)
+    val data = Generators.makeClassificationLcg(s, 100000L, dim, seed = 11L)
+      .withColumn("dot", aggregate(
+        zip_with(col("features"), lit(wg), (x, w) => x * w),
+        lit(0L), (acc, t) => acc + t))
+      .filter(abs(col("dot")) > 200000L)
+      .withColumn("features_v",
+        array_to_vector(transform(col("features"), _.cast("double"))))
+    val model = new LinearSVC().setMaxIter(50).setRegParam(1e-6)
       .setFeaturesCol("features_v").setLabelCol("label")
       .fit(data.filter(col("row_id") % 20 === 0))       // 5% train slice
     model.transform(data)
@@ -218,6 +237,22 @@ object Predict {
                 CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
                 CAST(sum(pred) AS BIGINT) AS n_pos
          FROM s""",
+    // margin construction: every |wg·x| > 2e5 point classifies to its
+    // ground-truth label under any adequately converged separator, so
+    // the profile is closed-form in the LCG (see predictSvc scaladoc).
+    "ml03_predict_svc" ->
+      """WITH f AS (
+           SELECT i.range AS i, j.range AS j,
+                  ((i.range*20 + j.range)*1103515245 + 11) % 2147483647 % 1000 - 500 AS x,
+                  ((9999*20 + j.range)*1103515245 + 11) % 2147483647 % 1000 - 500 AS w
+           FROM range(100000) i, range(20) j),
+         d AS (SELECT i, sum(w*x) AS dot FROM f GROUP BY 1),
+         m AS (SELECT CASE WHEN dot > 0 THEN 1 ELSE 0 END AS label
+               FROM d WHERE abs(dot) > 200000)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS n_correct,
+                CAST(sum(label) AS BIGINT) AS n_pos
+         FROM m""",
     "ml05_predict_kernel" ->
       """WITH sup AS (
            SELECT s.range AS sid,

@@ -88,6 +88,19 @@ class MlSpec extends SparkSpec {
     assert(acc >= 0.9, s"LinearSVC accuracy too low: $acc")
   }
 
+  test("ml03 gate entry: margin construction yields the exact ground-truth profile") {
+    // the hash-match contract of the ml03 oracle (Predict.predictSvc
+    // scaladoc): on |wg·x| > 2e5 points the trained separator must agree
+    // with the ground truth on EVERY row, so n_correct == n and n_pos is
+    // the ground-truth positive count. If a solver change ever breaks
+    // perfect margin classification, this fails before the driver gate.
+    val r = graft.ml.Predict.predictSvc(spark, sfDir).head
+    val (n, nCorrect, nPos) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n > 50000L, s"margin filter kept only $n rows")
+    assert(nCorrect == n, s"misclassified ${n - nCorrect} margin rows")
+    assert(nPos > 0L && nPos < n)
+  }
+
   test("ml05: polynomial-kernel scorer is deterministic and nondegenerate") {
     val a = Predict.predictKernel(spark, sfDir).head()
     val b = Predict.predictKernel(spark, sfDir).head()
