@@ -134,7 +134,7 @@ object Predict {
       .filter(abs(col("dot")) > 200000L)
       .withColumn("features_v",
         array_to_vector(transform(col("features"), _.cast("double"))))
-    val model = new LinearSVC().setMaxIter(50).setRegParam(1e-6)
+    val model = new LinearSVC().setMaxIter(25).setRegParam(1e-6)
       .setFeaturesCol("features_v").setLabelCol("label")
       .fit(data.filter(col("row_id") % 20 === 0))       // 5% train slice
     model.transform(data)

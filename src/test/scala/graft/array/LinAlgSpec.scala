@@ -50,6 +50,28 @@ class LinAlgSpec extends SparkSpec {
         s"sigma_$i: got ${s(i)} want ${want(i)}")
   }
 
+  test("qrR (blocked BLAS-3 Householder) matches LAPACK dgeqrf's R") {
+    // same normalization both sides (non-negative diagonal): R is then
+    // unique, so the two algorithms must agree to roundoff
+    def posDiag(r: BDM[Double]): BDM[Double] = {
+      val out = r.copy
+      for (i <- 0 until math.min(out.rows, out.cols) if out(i, i) < 0)
+        out(i, ::) :*= -1.0
+      out
+    }
+    for ((m, n, seed) <- Seq((700, 300, 3L), (2100, 600, 4L), (513, 129, 5L))) {
+      val a = BDM.tabulate(m, n)((i, j) =>
+        DMatrix.mixedUniform(i.toLong, j.toLong, n.toLong, seed) - 0.5)
+      val fast = posDiag(LinAlg.qrR(a))
+      val lapack = posDiag(breeze.linalg.qr.reduced(a).r)
+      val scale = breeze.linalg.max(breeze.numerics.abs(lapack))
+      assert(maxAbs(fast - lapack) / scale < 1e-10,
+        s"$m×$n: max diff ${maxAbs(fast - lapack)}")
+      // and the factorization identity RᵀR = AᵀA
+      assert(maxAbs(fast.t * fast - a.t * a) / scale < 1e-7)
+    }
+  }
+
   test("blocked cholesky: L lower-triangular and L*Lt = A") {
     val b0 = DMatrix.randInt(spark, 48, 48, 16, 23L, mod = 10L)
     val spd = b0.transpose.multiply(b0) + (DMatrix.eye(spark, 48, 16) * 480.0)
