@@ -60,9 +60,29 @@ object GraftSession {
     ()
   }
 
+  /** Best-effort reaper for crash debris in the tmpfs scratch dir:
+    * Spark removes its blockmgr/spark-* dirs on clean shutdown, but a
+    * killed JVM leaves them pinned in RAM (tmpfs). Only entries older
+    * than 3 h are touched — far beyond any single run here, so a
+    * concurrently-running JVM's scratch is never swept. */
+  private def sweepStaleScratch(root: java.io.File): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - 3L * 3600 * 1000
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.lastModified() < cutoff)
+        .foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(d)
+        }
+    } catch { case _: Exception => () }
+
   /** Local session sized from SPARK_GRAFT_CPUS (default 32, matching the
     * harness). */
   def local(): SparkSession = {
+    sweepStaleScratch(new java.io.File("/dev/shm/graft-scratch"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
