@@ -288,6 +288,57 @@ object TextOps {
       .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rank"))
   }
 
+  /** t20: sequence packing — the "concatenate the corpus in document
+    * order, slice into fixed context windows" layout LLM pretraining
+    * uses. Each document's pack is the window its first token lands in:
+    * pack_id = floor(global_token_start / capacity), so the assignment
+    * is a GLOBAL cumulative sum — the one shape a per-key window
+    * (q07's cumsum) cannot express.
+    *
+    * Distributed as the classic two-pass prefix scan, never a global
+    * single-partition window: range-partition + sort by doc_id, pass 1
+    * reduces each partition to one token-count subtotal (P longs to the
+    * driver — bounded state, the scan's only collect), pass 2 streams
+    * each partition once with its broadcast prefix offset. Both passes
+    * run on the SAME sorted RDD, so Spark reuses the range-shuffle
+    * stage and the partitioning (and hence the offsets) cannot drift
+    * between them. Survives 100 TB: per-task state is one running long.
+    */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = 2048L
+    val sorted = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+              tokenCount(col("text")).cast("long").as("tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+      .rdd
+    val partTotals = sorted
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var sum = 0L
+        it.foreach(sum += _._2)
+        Iterator.single((pid, sum))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = s.sparkContext.broadcast(partTotals.scanLeft(0L)(_ + _))
+    sorted
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var cum = offsets.value(pid)
+        it.map { case (id, tok) =>
+          val start = cum
+          cum += tok
+          (start / cap, id, tok)
+        }
+      }
+      .toDF("pack_id", "doc_id", "tokens")
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("tokens")).as("sum_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
@@ -304,6 +355,7 @@ object TextOps {
     "t17_seq_chunks"   -> (sequenceChunks _),
     "t18_domain_mix"   -> (domainMix _),
     "t19_tfidf"        -> (tfidfTop _),
+    "t20_pack_sequences" -> (packSequences _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -441,5 +493,20 @@ object TextOps {
                     ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tok) AS rank
            FROM tf JOIN df USING (tok)) t
          WHERE rank <= 3""",
+    "t20_pack_sequences" ->
+      """WITH t AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, tokens,
+                  COALESCE(sum(tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           FROM t)
+         SELECT CAST(start // 2048 AS BIGINT) AS pack_id,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1""",
   )
 }

@@ -114,4 +114,22 @@ class OperatorsSpec extends SparkSpec {
     val dupGroup = out.find(_.getAs[Long]("n_copies") == 2L).get
     assert(dupGroup.getAs[Long]("keep_id") == 10L)
   }
+
+  test("t20 pack_sequences: packing conserves the corpus and is contiguous") {
+    import org.apache.spark.sql.functions._
+    val packs = TextOps.packSequences(spark, sfDir).cache()
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val totalDocs = docs.count()
+    val totalTokens = docs
+      .select(sum(TextOps.tokenCount(col("text")).cast("long"))).head.getLong(0)
+    val agg = packs.select(sum("n_docs"), sum("sum_tokens"), min("pack_id"),
+      max("pack_id"), count(lit(1))).head
+    assert(agg.getLong(0) == totalDocs, "every document lands in exactly one pack")
+    assert(agg.getLong(1) == totalTokens, "token mass conserved")
+    assert(agg.getLong(2) == 0L)
+    // contiguity: pack ids are exactly 0..P-1 (concat-then-chunk leaves no gaps)
+    assert(agg.getLong(3) == agg.getLong(4) - 1)
+    packs.unpersist()
+    ()
+  }
 }
