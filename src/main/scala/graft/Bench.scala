@@ -38,8 +38,11 @@ object Bench {
     val qs0 = SparkEntry.queries
     val qs = if (args.isEmpty) qs0
              else qs0.filter { case (n, _) => args.contains(n) }
-    // warmup: exercise scan+join+agg+window+regex codegen paths once
-    Seq("q03_revenue_by_nation", "q08_rolling_avg_user", "t05_dedup_exact")
+    // warmup: exercise scan+join+agg+window+regex codegen paths once,
+    // plus the block-algebra stack (Block encoder, Kryo shuffle, dgemm,
+    // QR) so the single-rep flagship entries don't pay first-use JIT
+    Seq("q03_revenue_by_nation", "q08_rolling_avg_user", "t05_dedup_exact",
+        "a01_matmul", "a06_tsqr_gram")
       .foreach(k => qs.get(k).foreach(fn => try runNoop(spark, fn, sfDir) catch { case _: Throwable => () }))
     val errors = scala.collection.mutable.Map[String, String]()
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
