@@ -365,12 +365,47 @@ object Streams {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** st06: stream-static enrichment — the canonical streaming dimension
+    * join behind every clickstream pipeline: the event stream joins the
+    * static customer dimension, then windows by day × market segment.
+    * Stream-static inner joins are STATELESS in Structured Streaming —
+    * each micro-batch joins against the dim snapshot, no state store —
+    * and `broadcast()` pins the same no-shuffle plan the batch query
+    * would get, so at scale the fact stream never round-trips an
+    * exchange for the join. Same complete/AvailableNow drive as st01. */
+  def streamedEnriched(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val src = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val events =
+      if (src.schema("ts").dataType == LongType)
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src
+    val dim = broadcast(s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val enriched = events
+      .withWatermark("ts", "1 hour")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+              col("c_mktsegment"), col("n_events"), col("sum_value"))
+    val sink = s"graft_st06_sink_${sinkSeq.incrementAndGet()}"
+    val q = enriched.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_window" -> (streamedEventCounts _),
     "st02_sessions"      -> (streamedSessions _),
     "st03_sessions_flush" -> (streamedSessionsFlushed _),
     "st04_stream_dedup"  -> (streamedDedup _),
     "st05_dedup_bounded" -> (streamedDedupBounded _),
+    "st06_stream_enrich" -> (streamedEnriched _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -378,6 +413,11 @@ object Streams {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                 count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "st06_stream_enrich" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, c_mktsegment,
+                count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2""",
     "st02_sessions" ->
       """WITH e AS (
            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
