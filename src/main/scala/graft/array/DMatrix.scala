@@ -102,8 +102,14 @@ class DMatrix(
     val parts = math.max(blocks.rdd.getNumPartitions, other.blocks.rdd.getNumPartitions)
     val m = nRows; val n = other.nCols; val bs = blockSize
     val nInner = nbCols
+    // The streamed shallow path spawns one task per C block; for a huge
+    // outer grid with a tiny inner dimension (outer-product-shaped, e.g.
+    // 1000×2·2×1000 → 1M C blocks) that is scheduler abuse — take the
+    // join path there and let its nInner-keyed shuffle bound the task
+    // count; its per-key work is the product row×col stripes either way.
+    val shallowGridOk = nbRows.toLong * other.nbCols <= 64L * parts
     val summed: RDD[((Int, Int), Array[Double])] =
-      if (nInner >= parts) {
+      if (nInner >= parts || !shallowGridOk) {
         // Deep inner dimension (the usual at-scale case: plenty of join
         // keys): join on the inner block index, per-pair GEMM, reduce
         // partial products with map-side combine — minimal replication.
@@ -119,12 +125,11 @@ class DMatrix(
         // parallelism at nInner tasks and then shuffle every partial
         // product. Instead replicate row-stripes of A (×nbc) and
         // col-stripes of B (×nbr) onto (i,j) output keys — nbr·nbc-way
-        // parallel — and STREAM each group in sorted (k, side) order
-        // through an accumulating dgemm (β=1) into the single C block:
-        // no Iterable buffering (a cogroup here held ~2·nInner blocks
-        // live per key and spilled; measured 85% GC time), no partial-
-        // product allocation, and partial products never touch the
-        // shuffle.
+        // parallel — and stream each group through an accumulating
+        // dgemm (β=1) into the single C block: no Iterable buffering
+        // (a cogroup here held ~2·nInner blocks live per key and
+        // spilled; measured 85% GC time), no partial-product
+        // allocation, and partial products never touch the shuffle.
         val nbr = nbRows; val nbc = other.nbCols
         val keyed = blocks.rdd
           .flatMap(b => (0 until nbc).map(j => ((b.bi, j, b.bj, 0), b))) ++
@@ -400,9 +405,9 @@ class DMatrix(
 }
 
 /** Routes every key of one C-block group — (bi, bj, k, side) — to the
-  * partition owned by (bi, bj), while the in-partition sort puts the
-  * group's A/B blocks in ascending (k, side) order for the streaming
-  * dgemm accumulation in [[DMatrix.multiply]]. */
+  * partition owned by (bi, bj); with parts = nbr·nbc the mapping is
+  * injective, so each task of [[DMatrix.multiply]]'s streamed shallow
+  * path owns exactly one C block. */
 private class StripePartitioner(nbc: Int, parts: Int)
     extends org.apache.spark.Partitioner {
   def numPartitions: Int = parts
