@@ -240,12 +240,60 @@ object ArrayQueries {
     s.createDataset(Seq(checksum)).toDF("checksum")
   }
 
+  /** Distributed least squares at the flagship TSQR shape: solve
+    * min‖Ax − b‖ for A = 262,144 × 128 via the R factor — x =
+    * (RᵀR)⁻¹Aᵀb with R from TSQR (the QR-stabilized normal equations;
+    * Aᵀb is one distributed pass, R is 128²-local). The system is
+    * CONSISTENT by construction (b = A·x₀ computed distributed, x₀
+    * integer), so the minimizer is x₀ exactly; solver roundoff
+    * ~cond(A)·ε ≪ 0.5 and round(x) recovers the integer solution —
+    * hash-matched against the closed-form x₀ from the shared LCG. */
+  def lstsq262k(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+    val m = 262144L; val n = 128; val bs = 8192
+    val a = DMatrix.randInt(s, m, n, bs, 91L)
+    val x0 = DMatrix.tabulate(s, n, 1, bs)((i, _) =>
+      (DMatrix.lcg(9876L * n + i, 0, 1, 93L) % 100L).toDouble)
+    val b = a.multiply(x0)                       // consistent rhs, distributed
+    val r = LinAlg.tsqr(a)
+    // Aᵀb: one distributed pass (transpose is a narrow map; the product
+    // reduces to a single n-vector block)
+    val atb = a.transpose.multiply(b)
+    val atbLocal = BDV(atb.toCoords.collect().sortBy(_.getLong(0))
+      .map(_.getDouble(2)))
+    // solve RᵀR x = Aᵀb by two triangular solves (R is n×n, local)
+    val rt = r.t
+    val y = BDM.zeros[Double](n, 1)
+    var i = 0
+    while (i < n) {                              // forward solve Rᵀy = Aᵀb
+      var acc = atbLocal(i)
+      var k = 0
+      while (k < i) { acc -= rt(i, k) * y(k, 0); k += 1 }
+      y(i, 0) = acc / rt(i, i)
+      i += 1
+    }
+    val x = BDM.zeros[Double](n, 1)
+    i = n - 1
+    while (i >= 0) {                             // back solve Rx = y
+      var acc = y(i, 0)
+      var k = i + 1
+      while (k < n) { acc -= r(i, k) * x(k, 0); k += 1 }
+      x(i, 0) = acc / r(i, i)
+      i -= 1
+    }
+    s.createDataset((0 until n).map(j => (j.toLong, math.round(x(j, 0)))))
+      .toDF("j", "x")
+  }
+
   /** Flagship-scale entry names: Bench runs these once per pass (not
     * REPS×), and PlanAuditSpec's join sweep skips them — their compute is
     * RDD block algebra (no Catalyst joins anywhere) and the returned
-    * DataFrame is a one-row checksum LocalTableScan. */
+    * DataFrame is a one-row checksum LocalTableScan (a17: a 128-row
+    * solution vector). */
   val flagship: Set[String] =
-    Set("a13_gemm_10k", "a14_tsqr_262k", "a15_svd_200k", "a16_rsvd_10k")
+    Set("a13_gemm_10k", "a14_tsqr_262k", "a15_svd_200k", "a16_rsvd_10k",
+        "a17_lstsq_262k")
 
   private def lcgSql(iExpr: String, jExpr: String, nCols: Int, seed: Int, mod: Int) =
     s"CAST(((($iExpr*$nCols+$jExpr)*1103515245+$seed)%2147483647)%$mod AS DOUBLE)"
@@ -272,6 +320,7 @@ object ArrayQueries {
     "a14_tsqr_262k"      -> (tsqr262k _),
     "a15_svd_200k"       -> (svd200k _),
     "a16_rsvd_10k"       -> (rsvd10k _),
+    "a17_lstsq_262k"     -> (lstsq262k _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -378,5 +427,10 @@ object ArrayQueries {
               FROM range(5) k, range(10000) j GROUP BY 1)
          SELECT CAST(sum(xc.s * yr.s) AS BIGINT) AS checksum
          FROM xc JOIN yr ON xc.k = yr.k""",
+    // consistent system: the minimizer IS the planted x0, in closed form
+    "a17_lstsq_262k" ->
+      """SELECT j.range AS j,
+                CAST(((9876*128 + j.range)*1103515245 + 93) % 2147483647 % 100 AS BIGINT) AS x
+         FROM range(128) j""",
   )
 }
