@@ -201,4 +201,23 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set((1L, 2L, 300L), (2L, 1L, 0L)), s"got $rows")
     } finally q.stop()
   }
+
+  test("st06 stream-static enrichment equals the batch join+window") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.streamedEnriched(spark, sfDir)
+      .select("day", "c_mktsegment", "n_events", "sum_value")
+    // batch equivalent on the same fixtures (stream-static joins are
+    // stateless, so a drained AvailableNow stream must agree exactly)
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = events.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+               col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream and batch enrichment disagree")
+  }
 }
