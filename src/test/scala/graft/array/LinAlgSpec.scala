@@ -72,6 +72,26 @@ class LinAlgSpec extends SparkSpec {
     }
   }
 
+  test("qrR is backward-stable on an ill-conditioned matrix") {
+    // near-rank-deficient: rank-2 structure + 1e-9 noise (κ ~ 1e9).
+    // Row signs of R are noise-sensitive here (near-zero diagonals), so
+    // compare the sign-invariant RᵀR = AᵀA identity instead — Householder
+    // QR is backward-stable, so it must hold to ~ε·‖A‖² regardless of κ.
+    val m = 1500; val n = 300
+    val a = BDM.tabulate(m, n) { (i, j) =>
+      math.sin(i * 0.01) * math.cos(j * 0.02) +
+        0.5 * math.sin(i * 0.03 + 1) * math.cos(j * 0.05 + 2) +
+        1e-9 * (DMatrix.mixedUniform(i.toLong, j.toLong, n.toLong, 11L) - 0.5)
+    }
+    val r = LinAlg.qrR(a)
+    val gram = a.t * a
+    val scale = breeze.linalg.max(breeze.numerics.abs(gram))
+    assert(maxAbs(r.t * r - gram) / scale < 1e-12,
+      s"RᵀR drifted from AᵀA by ${maxAbs(r.t * r - gram)} (scale $scale)")
+    // R upper-triangular by construction
+    for (i <- 0 until n; j <- 0 until i) assert(r(i, j) == 0.0)
+  }
+
   test("blocked cholesky: L lower-triangular and L*Lt = A") {
     val b0 = DMatrix.randInt(spark, 48, 48, 16, 23L, mod = 10L)
     val spd = b0.transpose.multiply(b0) + (DMatrix.eye(spark, 48, 16) * 480.0)
