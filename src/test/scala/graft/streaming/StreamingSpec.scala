@@ -220,4 +220,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "stream and batch enrichment disagree")
   }
+
+  test("stateful dedup restores state from a checkpoint across query restarts") {
+    // exactly-once across restart: run 1 dedups {A,B}; run 2 (NEW query
+    // object, SAME checkpoint) sees {B,C} and must emit only C — proving
+    // the dropDuplicates state store was restored, not rebuilt. Without
+    // the checkpoint, B would re-emit and the final count would be 4.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_ckpt_").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val outDir = s"$base/out"; val ckpt = s"$base/state"
+    def stage(fps: Seq[String], idx: Int): Unit = {
+      import spark.implicits._
+      val tmp = s"$base/stage_$idx"
+      fps.toDF("fp").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(srcDir, f"f$idx%02d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.schema("fp STRING").parquet(srcDir)
+        .dropDuplicates("fp")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stage(Seq("A", "B"), 0)
+    drain()
+    assert(spark.read.parquet(outDir).count() == 2)
+    stage(Seq("B", "C"), 1)
+    drain()                                   // fresh query, same checkpoint
+    val rows = spark.read.parquet(outDir).select("fp")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().sorted.toSeq
+    assert(rows == Seq("A", "B", "C"),
+      s"expected exactly-once {A,B,C}, got $rows")
+  }
 }
