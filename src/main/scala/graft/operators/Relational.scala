@@ -362,6 +362,31 @@ object Relational {
            round(expr("percentile(cents, 0.5, cnt)"), 4).as("p50"),
            round(expr("percentile(cents, 0.75, cnt)"), 4).as("p75"))
 
+  /** q32: approximate group quantiles by deterministic hash sampling —
+    * the at-scale companion to q30's exact path. q30 maps every row into
+    * a per-(group, value) frequency table; at warehouse scale the cheap
+    * variant quantiles a DETERMINISTIC ~5% row sample instead: rows
+    * whose md5(row-key) lands under the rate (the t15 sampling
+    * primitive — map-only, retry-idempotent, engine-independent), then
+    * the exact weighted-percentile machinery on the 20×-smaller set.
+    * Because the sample is decided by hash, not rand(), the estimate is
+    * reproducible bit-for-bit and the oracle runs the identical query —
+    * an approximate ALGORITHM with an exact correctness gate. */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat_ws("_", col("l_orderkey"),
+      col("l_linenumber"))), 1, 15), 16, 10).cast("long")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+              round(col("l_extendedprice") * 100).cast("long").as("cents"), h.as("h"))
+      .filter(col("h") % 100L < 5L)
+      .groupBy(col("l_returnflag"), col("cents")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(cents, 0.25, cnt)"), 4).as("p25"),
+           round(expr("percentile(cents, 0.5, cnt)"), 4).as("p50"),
+           round(expr("percentile(cents, 0.75, cnt)"), 4).as("p75"),
+           sum(col("cnt")).as("n_sampled"))
+  }
+
   def rangeJoin(s: SparkSession, d: String): DataFrame = {
     val W = 604800L   // 7 days in seconds
     val o = Tables.orders(s, d)
@@ -464,6 +489,7 @@ object Relational {
     "q29_pivot"             -> (pivotCounts _),
     "q30_percentiles"       -> (percentiles _),
     "q31_rollup"            -> (rollupSummary _),
+    "q32_approx_quantiles"  -> (approxQuantiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -663,6 +689,17 @@ object Relational {
          FROM (SELECT l_returnflag,
                       CAST(round(l_extendedprice*100) AS BIGINT) AS cents
                FROM lineitem) t
+         GROUP BY 1""",
+    "q32_approx_quantiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(cents, 0.25), 4) AS p25,
+                round(quantile_cont(cents, 0.5), 4) AS p50,
+                round(quantile_cont(cents, 0.75), 4) AS p75,
+                CAST(count(*) AS BIGINT) AS n_sampled
+         FROM (SELECT l_returnflag,
+                      CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+               FROM lineitem
+               WHERE ('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 15))::BIGINT % 100 < 5) t
          GROUP BY 1""",
     "q31_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,

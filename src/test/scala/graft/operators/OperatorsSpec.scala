@@ -132,4 +132,18 @@ class OperatorsSpec extends SparkSpec {
     packs.unpersist()
     ()
   }
+
+  test("q32 hash-sampled quantiles track the exact q30 quantiles") {
+    val exact = Relational.percentiles(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val approx = Relational.approxQuantiles(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getLong(4))).toSeq
+    assert(approx.nonEmpty)
+    approx.foreach { case (flag, p50s, n) =>
+      assert(n > 50, s"$flag: sample too small ($n) to be a meaningful estimate")
+      val p50 = exact(flag)
+      assert(math.abs(p50s - p50) / p50 < 0.15,
+        s"$flag: sampled p50 $p50s drifted >15% from exact $p50")
+    }
+  }
 }
