@@ -166,7 +166,14 @@ class DMatrix(
                     ab.data, ab.rows, bb.data, bb.rows, 1.0, acc, ab.rows)
                 }
               }
-              Iterator.single(((bi, bj), acc))
+              // A partition that paired nothing (all arrivals from one
+              // side — possible on sparse block grids like tril/cholesky
+              // output, where an absent block means zero) contributes a
+              // zero C block, which is OMITTED — same absent-means-zero
+              // convention as the join path above, which never emits such
+              // keys either. Emitting (key, null) here was an NPE bomb.
+              if (acc == null) Iterator.empty
+              else Iterator.single(((bi, bj), acc))
             }
           }
       }

@@ -174,8 +174,11 @@ object LinAlg {
     * sequential QRs per node — at n = 1,000 (the 200k×1,000 SVD
     * flagship) that was ~30 s of serialized 2n×n QR chains; the batched
     * node is a single taller QR that the LAPACK kernel processes at the
-    * same rate with ~2× fewer total flops. Tree rounds use `coalesce`
-    * (no shuffle): each round merges ~8 one-R partitions into one. */
+    * same rate with ~2× fewer total flops. Tree rounds use a deliberate
+    * TINY keyed shuffle (one n×n R per input partition moves): `coalesce`
+    * was rejected because its narrow merge would collapse the whole
+    * upstream lineage (block generation + level-0 QRs) into `groups`
+    * tasks, serializing the expensive level-0 work. */
   def tsqr(a: DMatrix): BDM[Double] = {
     require(a.nbCols == 1, s"tsqr needs tall-skinny layout (nCols ${a.nCols} <= blockSize ${a.blockSize})")
     val arity = 8

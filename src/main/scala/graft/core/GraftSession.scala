@@ -40,13 +40,24 @@ object GraftSession {
       // (measured 6 MB/s/task); worst case here is a few GB against
       // 126 GB of tmpfs. On a real cluster this maps to the standard
       // local-SSD spark.local.dir provisioning.
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-scratch"
-        else System.getProperty("java.io.tmpdir"))
+      .config("spark.local.dir", scratchDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+
+  /** Shuffle/spill scratch location. tmpfs is chosen only when /dev/shm
+    * actually has room for the flagship shuffles (containers commonly cap
+    * it at 64 MB, where a multi-GB shuffle would ENOSPC with no
+    * fallback); SPARK_GRAFT_NO_TMPFS=1 opts out regardless. */
+  private[core] def scratchDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    val minBytes = 8L << 30 // 8 GiB headroom: ~2 GB/pass compressed shuffle + spill + crash debris
+    if (sys.env.contains("SPARK_GRAFT_NO_TMPFS") || !shm.isDirectory ||
+        shm.getUsableSpace < minBytes)
+      System.getProperty("java.io.tmpdir")
+    else "/dev/shm/graft-scratch"
+  }
 
   /** Breeze/netlib static initialization is forced once, single-threaded,
     * before any parallel linalg tasks: 32 tasks racing the netlib
@@ -62,14 +73,19 @@ object GraftSession {
 
   /** Best-effort reaper for crash debris in the tmpfs scratch dir:
     * Spark removes its blockmgr/spark-* dirs on clean shutdown, but a
-    * killed JVM leaves them pinned in RAM (tmpfs). Only entries older
-    * than 3 h are touched — far beyond any single run here, so a
-    * concurrently-running JVM's scratch is never swept. */
+    * killed JVM leaves them pinned in RAM (tmpfs). Liveness is judged by
+    * the NEWEST mtime anywhere under the entry — tmpfs directory mtime
+    * does not tick when nested files are written, so a long-running job's
+    * top-level dir can look hours old while its shuffle files are seconds
+    * old. Only trees whose newest file is older than 3 h are removed. */
   private def sweepStaleScratch(root: java.io.File): Unit =
     try {
       val cutoff = System.currentTimeMillis() - 3L * 3600 * 1000
+      def newestMtime(f: java.io.File): Long =
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .foldLeft(f.lastModified())((m, k) => math.max(m, newestMtime(k)))
       Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(_.lastModified() < cutoff)
+        .filter(newestMtime(_) < cutoff)
         .foreach { d =>
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

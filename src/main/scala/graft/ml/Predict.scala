@@ -117,7 +117,16 @@ object Predict {
     * the DuckDB oracle can state it in closed form. MlSpec asserts the
     * 100%-on-margin-points property directly; the near-boundary regime
     * (where solver identity would matter) stays covered rows-only-free
-    * by ml02/ml05's exact-integer scorers. */
+    * by ml02/ml05's exact-integer scorers.
+    *
+    * Measured convergence headroom (tools/Ml03HeadroomProbe, Spark
+    * 4.1.2 local[32]): cos(ŵ, wg) = 0.9277; 0 of 68,617 margin points
+    * misclassified; min |ŵ·x + b| over margin points = 0.538 against a
+    * median of 2.79 (max 8.07) — the nearest margin point sits at ~19%
+    * of the typical decision magnitude from the fitted boundary, so a
+    * flip requires a perturbation of the fit direction far beyond
+    * float-reduction-order noise. If this gate ever flakes, re-run the
+    * probe and compare against these numbers. */
   def predictSvc(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.classification.LinearSVC
     import org.apache.spark.ml.functions.array_to_vector

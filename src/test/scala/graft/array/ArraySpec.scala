@@ -28,6 +28,27 @@ class ArraySpec extends SparkSpec {
     assert(approxEqual(got, want))
   }
 
+  test("shallow multiply on sparse block grids: unpaired stripes mean zero, not NPE") {
+    import org.apache.spark.sql.functions.col
+    val a = DMatrix.randInt(spark, 24, 24, 8, 3L)
+    val b = DMatrix.randInt(spark, 24, 24, 8, 5L)
+    // A keeps only block-column 0, B keeps only block-row 2: no (i,j)
+    // stripe ever pairs, so every C partition sees one side only —
+    // the regression case where the streamed path emitted (key, null)
+    val a0 = new DMatrix(a.blocks.filter(col("bj") === 0), 24, 24, 8)
+    val b2 = new DMatrix(b.blocks.filter(col("bi") === 2), 24, 24, 8)
+    assert(a0.multiply(b2).toLocal == BDM.zeros[Double](24, 24))
+    // partially-pairing grids must still match the dense masked product
+    val a01 = new DMatrix(a.blocks.filter(col("bj") <= 1), 24, 24, 8)
+    val b1 = new DMatrix(b.blocks.filter(col("bi") === 1), 24, 24, 8)
+    // explicit-loop masks (Breeze range-slice := proved treacherous here)
+    val am = a.toLocal.copy
+    for (i <- 0 until 24; j <- 16 until 24) am(i, j) = 0.0
+    val bm = b.toLocal.copy
+    for (i <- (0 until 8) ++ (16 until 24); j <- 0 until 24) bm(i, j) = 0.0
+    assert(approxEqual(a01.multiply(b1).toLocal, am * bm))
+  }
+
   test("transpose and double transpose") {
     val a = DMatrix.randInt(spark, 21, 34, 8, 17L)
     assert(a.transpose.toLocal == a.toLocal.t)
