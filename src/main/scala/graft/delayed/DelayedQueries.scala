@@ -35,9 +35,30 @@ object DelayedQueries {
     s.createDataset(Seq(combined.compute())).toDF("combined")
   }
 
+  /** d03: driver-side topo-evaluation at depth AND width — ~10,100 DAG
+    * nodes: 100 independent linear chains of depth 100 (the reference's
+    * linear_dag.py shape, scaled 3,300×) fanned into one pairwise
+    * reduction tree (fan_in.py / tree_reduction.py shape). Every node is
+    * a driver-local integer op, so the measured cost IS the scheduler
+    * overhead: promise-cache insertion, future chaining, and level
+    * parallelism across the 100 chains. Chain k starts at k and adds a
+    * seeded LCG step per level — the total is closed-form for the oracle. */
+  def deepWideDag(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chains = 100; val depth = 100
+    def step(k: Int, i: Int): Long =
+      ((k.toLong * depth + i) * 1103515245L + 5L) % 2147483647L % 1000L
+    val chainResults = (0 until chains).map { k =>
+      (0 until depth).foldLeft(Delayed.value(k.toLong))((acc, i) => acc.map(_ + step(k, i)))
+    }
+    val total = Delayed.treeReduce(chainResults)(_ + _).compute()
+    s.createDataset(Seq(total)).toDF("total")
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_tree_reduce" -> (treeReduceSum _),
     "d02_delayed_dag" -> (delayedDag _),
+    "d03_dag_deep_wide" -> (deepWideDag _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -47,5 +68,11 @@ object DelayedQueries {
     "d02_delayed_dag" ->
       """SELECT (SELECT count(*) FROM orders WHERE o_totalprice > 300000.0)
               + 2 * (SELECT count(*) FROM customer) AS combined""",
+    // 4950 = sum of the chain start values k (0..99)
+    "d03_dag_deep_wide" ->
+      """SELECT CAST(4950 + sum(
+               ((k.range*100 + i.range)*1103515245 + 5) % 2147483647 % 1000)
+             AS BIGINT) AS total
+         FROM range(100) k, range(100) i""",
   )
 }

@@ -52,6 +52,22 @@ class DelayedSpec extends SparkSpec {
     assert(Delayed.treeReduce(leaves)(_ + _).compute() == 1024L * 1025 / 2)
   }
 
+  test("~10k-node deep+wide DAG evaluates correctly with sane overhead (d03 shape)") {
+    // 100 chains x depth 100 + fan-in tree — mirrors DelayedQueries.deepWideDag
+    val chains = 100; val depth = 100
+    def step(k: Int, i: Int): Long =
+      ((k.toLong * depth + i) * 1103515245L + 5L) % 2147483647L % 1000L
+    val chainResults = (0 until chains).map { k =>
+      (0 until depth).foldLeft(Delayed.value(k.toLong))((acc, i) => acc.map(_ + step(k, i)))
+    }
+    val expected = (0 until chains).map(k =>
+      k.toLong + (0 until depth).map(step(k, _)).sum).sum
+    val t0 = System.nanoTime()
+    assert(Delayed.treeReduce(chainResults)(_ + _).compute() == expected)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 10.0, f"10k-node driver DAG took $sec%.1f s — scheduler overhead blew up")
+  }
+
   test("shared subgraphs evaluate exactly once under fan-out") {
     val calls = new AtomicInteger(0)
     val shared = Delayed { calls.incrementAndGet(); 21L }
