@@ -276,25 +276,55 @@ object LinAlg {
   /** Randomized (compressed) SVD — the reference's `svd_compressed(X, k)`
     * on square-ish matrices: project onto a seeded random n×(k+p) sketch,
     * orthonormalize (TSQR), form B = Qᵀ·A (small × n, via one keyed
-    * shuffle + reduce), finish with a local SVD of B. */
+    * shuffle + reduce), finish with a local SVD of B.
+    *
+    * Every l-wide intermediate (y, z, each q) is EAGERLY PINNED
+    * (persist + materialize): each is consumed 2-3 times — tsqr pass,
+    * Q-map pass, next product — and without pinning each consumption
+    * re-walks the lineage back through the previous full-A products,
+    * re-reading A's shuffle files and re-running the narrow dgemm maps
+    * ~25× per run instead of the structural ~7 (measured on a16; see
+    * BENCH_NOTES round 9). The pins are tiny — max(m,n)×l doubles, a few
+    * hundred KB at the flagship shape — so this holds at any scale where
+    * the sketch itself is feasible. The final Q stays persisted because
+    * the returned lazy U reads through it. */
   def svdCompressed(a: DMatrix, k: Int, oversample: Int = 10, seed: Long = 1234L,
                     nPowerIter: Int = 2): (DMatrix, BDV[Double], BDM[Double]) = {
     val spark = a.blocks.sparkSession
     val l = math.min(k + oversample, math.min(a.nRows, a.nCols).toInt)
     require(l <= a.blockSize, "sketch width must fit one block column")
+    val timing = sys.env.contains("GRAFT_LINALG_TIMING")
+    var t0 = System.nanoTime()
+    def phase(label: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[rsvd-phase] $label: ${(now - t0) / 1e9}%.2f s")
+      t0 = now
+    }
+    val pinned = scala.collection.mutable.ArrayBuffer[DMatrix]()
+    def pin(x: DMatrix): DMatrix = {
+      x.persist()
+      x.blocks.rdd.count(): Unit   // eager: all consumers hit the cache
+      pinned += x
+      x
+    }
     val omega = DMatrix.tabulate(spark, a.nCols, l, a.blockSize)(
       (i, j) => DMatrix.mixedUniform(i, j, l, seed) - 0.5)
-    val y0 = a.multiply(omega)                    // m × l, tall-skinny
+    val y0 = pin(a.multiply(omega))               // m × l, tall-skinny
+    phase("sketch Y0 = A*Omega")
     // subspace (power) iteration — dask's n_power_iter: sharpens the
     // captured spectrum when singular values decay slowly; QR between
     // multiplies keeps the sketch numerically orthonormal.
-    var (q, _) = qrFactor(y0)
+    var q = pin(qrFactor(y0)._1)
+    phase("QR(Y0)")
     var t = 0
     while (t < nPowerIter) {
-      val z = a.transpose.multiply(q)             // n × l
-      val (qz, _) = qrFactor(z)
-      val y = a.multiply(qz)                      // m × l
-      q = qrFactor(y)._1
+      val z = pin(a.transpose.multiply(q))        // n × l
+      phase(s"power $t: Z = At*Q")
+      val qz = pin(qrFactor(z)._1)
+      val y = pin(a.multiply(qz))                 // m × l
+      phase(s"power $t: Y = A*QR(Z).Q")
+      q = pin(qrFactor(y)._1)
+      phase(s"power $t: QR(Y)")
       t += 1
     }
     // B = Qᵀ·A, accumulated per A-column-block: join Q's row-blocks with
@@ -312,6 +342,7 @@ object LinAlg {
       val piece = new BDM(l, cols, data)
       bLocal(::, bj * bs until bj * bs + cols) := piece
     }
+    phase("B = Qt*A + collect")
     val svd.SVD(uB, s, vt) = robustSvd(bLocal)
     val uBk = uB(::, 0 until k).copy              // l × k, broadcast in closure
     import spark.implicits._
@@ -320,6 +351,9 @@ object LinAlg {
       Block(b.bi, 0, b.rows, k, u.data)
     }
     val u = new DMatrix(uBlocks, a.nRows, k, a.blockSize)
+    // release every pinned intermediate except the final Q (U's lineage
+    // reads through it); Q is l-wide, so leaving it cached is noise.
+    pinned.filter(_ ne q).foreach(_.unpersist())
     (u, s(0 until k).copy, vt(0 until k, ::).t.copy)
   }
 
