@@ -101,4 +101,23 @@ class LinAlgSpec extends SparkSpec {
     // cross-check against Breeze
     assert(maxAbs(l - bchol(spd.toLocal)) < 1e-6)
   }
+
+  test("blocked cholesky at 2048² chunks 256: 8 panels, checkpoint cadence crossed") {
+    // 20× the reference's published 100×100/chunks-25 toy (examples.rst:89-100):
+    // 8 panel steps exercise the keyed-join trailing update repeatedly AND
+    // cross the default checkpointEvery=6 lineage truncation. Too big for
+    // toLocal — validated distributed via the L·Lᵀ−A squared-error sum.
+    val n = 2048; val bs = 256
+    val b0 = DMatrix.randInt(spark, n, n, bs, 131L, mod = 10L)
+    val spd = (b0.transpose.multiply(b0) + (DMatrix.eye(spark, n, bs) * (100.0 * n))).persist()
+    spd.blocks.rdd.count()
+    val t0 = System.nanoTime()
+    val l = LinAlg.choleskyLower(spd)
+    val diff = l.multiply(l.transpose) - spd
+    val sqErr = diff.hadamard(diff).sum
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"cholesky 2048²/256 + L·Lᵀ reconstruction: $sec%.1f s, Σdiff² = $sqErr%.3e")
+    assert(sqErr < 1e-4, s"L*Lt drifted from A: sum sq err $sqErr")
+    spd.unpersist()
+  }
 }
