@@ -290,11 +290,67 @@ object TextSim {
       .select(col("doc_id"), simhash(col("hs")).as("simhash"))
   }
 
+  /** t21: near-dup CLUSTERS — the step a real dedup pipeline runs after
+    * pair generation: connected components over the verified pair graph
+    * (exact Jaccard ≥ 0.8, integer-checked as inter·10 ≥ uni·8), with
+    * the canonical survivor = min doc_id per component and the cluster
+    * size alongside (the "keep one, drop k−1" bookkeeping).
+    *
+    * Distributed CC by min-label propagation WITH pointer jumping: each
+    * round a node takes the min label over itself and its neighbours,
+    * then labels compress one hop (label := label(label)) — the
+    * compression halves chain lengths so rounds are O(log n) even on
+    * path graphs, the standard MapReduce-CC recipe (cf. Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" — public
+    * algorithm). Scale discipline: only (id, label) longs move through
+    * the loop's shuffles; the text/shingle arrays never enter; the edge
+    * list comes from the LSH equi-join (never all-pairs) and is tiny
+    * relative to the corpus — exactly the 100 TB shape. */
+  def dedupClusters(docs: DataFrame): DataFrame = {
+    val pairs = nearDupPairs(docs)
+      .filter(col("inter") * 10 >= col("uni") * 8)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 40) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(edges("dst").as("nid")).agg(min(labels("label")).as("nmin"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(labels("id").as("id"),
+                least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"))
+      // pointer jump: every label is itself a node id, so one self-join
+      // rewrites label -> label(label), compressing chains geometrically
+      val jumped = stepped.as("a").join(stepped.as("b"), col("a.label") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.label").as("label"))
+        .localCheckpoint(true)   // truncate per-round lineage; labels stay tiny
+      changed = jumped.except(labels).count()
+      labels = jumped
+      rounds += 1
+    }
+    require(changed == 0, s"connected components did not converge in $rounds rounds")
+    edges.unpersist(false)
+    val sizes = labels.groupBy(col("label").as("canonical"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("id").as("doc_id"), col("label").as("canonical"))
+      .join(sizes, "canonical")
+      .select(col("doc_id"), col("canonical"), col("cluster_size"))
+  }
+
+  def dedupClustersQuery(s: SparkSession, d: String): DataFrame =
+    dedupClusters(spread(Tables.documents(s, d)))
+
   val queries: Map[String, Q] = Map(
     "t06_minhash_sig"  -> (minhashSigQuery _),
     "t07_lsh_buckets"  -> (lshBucketsQuery _),
     "t08_simhash"      -> (simhashQuery _),
     "t09_neardup_pairs" -> (nearDupQuery _),
+    "t21_dedup_clusters" -> (dedupClustersQuery _),
   )
 
   private val sigSql =
@@ -352,5 +408,39 @@ object TextSim {
        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        JOIN shset sa ON sa.doc_id = a.doc_id
        JOIN shset sb ON sb.doc_id = b.doc_id"""),
+    // same pair pipeline, then transitive closure (DuckDB recursive CTE:
+    // UNION-dedup guarantees termination on cycles) -> min reachable id
+    // per node = the component canonical. Feasible for the oracle because
+    // the verified pair graph is tiny; the Spark side uses log-round
+    // label propagation instead, which is the at-scale shape.
+    "t21_dedup_clusters" -> (sigSql.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+       shset AS (
+         SELECT doc_id, list_distinct(shs) AS shset FROM sh),
+       bands AS (
+         SELECT doc_id, b.range AS band,
+                md5(list_aggregate(list_transform(sig[b.range*4+1 : b.range*4+4],
+                     x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS bucket
+         FROM sig, range(4) b),
+       rawpairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                len(list_intersect(sa.shset, sb.shset)) AS inter,
+                len(list_distinct(list_concat(sa.shset, sb.shset))) AS uni
+         FROM bands a
+         JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         JOIN shset sa ON sa.doc_id = a.doc_id
+         JOIN shset sb ON sb.doc_id = b.doc_id),
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM rawpairs WHERE inter*10 >= uni*8
+         UNION
+         SELECT doc_b AS src, doc_a AS dst FROM rawpairs WHERE inter*10 >= uni*8),
+       reach AS (
+         SELECT src AS id, src AS r FROM edges
+         UNION
+         SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+       comp AS (SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY 1)
+       SELECT c.doc_id, c.canonical, s.cluster_size
+       FROM comp c
+       JOIN (SELECT canonical, count(*) AS cluster_size FROM comp GROUP BY 1) s
+         USING (canonical)"""),
   )
 }

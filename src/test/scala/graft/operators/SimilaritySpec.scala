@@ -35,6 +35,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters: multi-hop chains merge into one component with min-id canonical") {
+    // nested suffix chain: each doc extends the previous by 3 words, so
+    // adjacent Jaccard ~0.9 (edges) but ends are ~0.7 (no direct edge) —
+    // doc 5 only reaches doc 1 through 2+ hops, exercising the label
+    // propagation + pointer jumping, not just single-edge grouping
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = (1 to 5).map { k =>
+      val extra = (1 to 3 * (k - 1)).map(i => s"x$i").mkString(" ")
+      (k.toLong, (base + " " + extra).trim)
+    } :+ (6L, "entirely unrelated text about block matrix multiplication on spark executors today")
+    val out = TextSim.dedupClusters(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == (1 to 5).map(k => (k.toLong, 1L, 5L)).toSet,
+      s"expected one 5-doc cluster with canonical 1, got $out")
+  }
+
   test("simhash: identical docs equal, near-dups within small hamming distance") {
     val docs = Seq(
       (1L, "spark executes distributed dataframe pipelines with catalyst optimization"),
