@@ -399,6 +399,50 @@ object Streams {
     s.table(sink)
   }
 
+  /** st07: stream-stream INTERVAL join — the attribution shape behind
+    * every "purchase within an hour of a click" pipeline: two live
+    * streams (clicks, purchases, both derived from the events source)
+    * joined on user with a time-range predicate. Both sides carry
+    * watermarks and the range condition bounds the join state: the
+    * engine can evict click state once the purchase watermark passes
+    * click_ts + 1 h and purchase state once the click watermark passes
+    * purch_ts — without the range bound a stream-stream join buffers
+    * forever, which is the 100 TB failure mode this entry pins down.
+    * Inner join, so the finite AvailableNow drain emits the complete
+    * pair set regardless of watermark timing; the oracle is the plain
+    * batch self-join. */
+  def streamedAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val raw = s.read.parquet(s"$d/events.parquet")
+    def src(): DataFrame = {
+      val st = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      if (st.schema("ts").dataType == LongType)
+        st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else st
+    }
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id").as("purch_user"),
+              col("ts").as("purch_ts"), col("value"))
+      .withWatermark("purch_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        col("click_user") === col("purch_user") &&
+          col("purch_ts") >= col("click_ts") &&
+          col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purch_id"),
+              col("click_user").as("user_id"),
+              round(col("value"), 2).as("purch_value"))
+    val sink = s"graft_st07_sink_${sinkSeq.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_window" -> (streamedEventCounts _),
     "st02_sessions"      -> (streamedSessions _),
@@ -406,6 +450,7 @@ object Streams {
     "st04_stream_dedup"  -> (streamedDedup _),
     "st05_dedup_bounded" -> (streamedDedupBounded _),
     "st06_stream_enrich" -> (streamedEnriched _),
+    "st07_stream_join"   -> (streamedAttribution _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -418,6 +463,13 @@ object Streams {
                 count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1, 2""",
+    "st07_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purch_id,
+                c.user_id AS user_id, round(p.value, 2) AS purch_value
+         FROM events c
+         JOIN events p ON p.user_id = c.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
     "st02_sessions" ->
       """WITH e AS (
            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
