@@ -387,6 +387,22 @@ object Relational {
            sum(col("cnt")).as("n_sampled"))
   }
 
+  /** q33: semi-structured JSON extraction — `from_json` with an explicit
+    * schema over the events `props` column (codegen'd parse, no UDF),
+    * then the usual grouped aggregation on the extracted field. The
+    * schema-on-read pattern every event pipeline needs: the parse fuses
+    * into the scan stage, only (event_type, k) survives to the shuffle,
+    * and malformed rows yield nulls instead of failing the job. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+              from_json(col("props"),
+                org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+                .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   def rangeJoin(s: SparkSession, d: String): DataFrame = {
     val W = 604800L   // 7 days in seconds
     val o = Tables.orders(s, d)
@@ -490,9 +506,16 @@ object Relational {
     "q30_percentiles"       -> (percentiles _),
     "q31_rollup"            -> (rollupSummary _),
     "q32_approx_quantiles"  -> (approxQuantiles _),
+    "q33_json_extract"      -> (jsonExtract _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q33_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+                CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY 1""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -339,6 +339,25 @@ object TextOps {
            max(col("doc_id")).as("last_doc"))
   }
 
+  /** t22: within-document repetition score — the Gopher/MassiveText-style
+    * duplicate-n-gram quality filter: what fraction of a doc's 3-gram
+    * occurrences are repeats of an earlier occurrence? Pure integer
+    * output (total grams, distinct grams, keep flag at the standard
+    * "≤20% duplicated" cut, checked as (total−distinct)·5 ≤ total) so
+    * the gate hash is exact. Map-only: the shingle array, distinct and
+    * counts all fuse into the scan — at 100 TB this is a single pass
+    * with no shuffle at all. */
+  def repetitionScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              TextSim.shingles3(TextSim.words(col("text"))).as("shs"))
+      .filter(size(col("shs")) >= 1)
+      .select(col("doc_id"), size(col("shs")).as("n_grams"),
+              size(array_distinct(col("shs"))).as("n_distinct"))
+      .withColumn("keep",
+        when((col("n_grams") - col("n_distinct")) * 5 <= col("n_grams"), 1)
+          .otherwise(0))
+
   val queries: Map[String, Q] = Map(
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
@@ -356,6 +375,7 @@ object TextOps {
     "t18_domain_mix"   -> (domainMix _),
     "t19_tfidf"        -> (tfidfTop _),
     "t20_pack_sequences" -> (packSequences _),
+    "t22_repetition"   -> (repetitionScore _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -508,5 +528,18 @@ object TextOps {
                 CAST(sum(tokens) AS BIGINT) AS sum_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM c GROUP BY 1""",
+    "t22_repetition" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id, [ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                           for i in generate_series(1, len(ws)-2)] AS shs
+           FROM d WHERE len(ws) >= 3)
+         SELECT doc_id, len(shs) AS n_grams, len(list_distinct(shs)) AS n_distinct,
+                CASE WHEN (len(shs) - len(list_distinct(shs))) * 5 <= len(shs)
+                     THEN 1 ELSE 0 END AS keep
+         FROM sh""",
   )
 }
