@@ -94,6 +94,15 @@ object FileFormats {
     profile(s.read.schema("o_orderkey LONG, o_custkey LONG, cents LONG").json(tmp))
   }
 
+  /** ORC round-trip — the third columnar warehouse format Spark ships
+    * natively (vectorized reader, predicate pushdown), same
+    * write-project-read-aggregate drive as csv/json. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("orc")
+    centsOrders(s, d).write.mode("overwrite").orc(tmp)
+    profile(s.read.schema("o_orderkey LONG, o_custkey LONG, cents LONG").orc(tmp))
+  }
+
   /** Bucketed co-located join — the "shuffle once at write time, join
     * shuffle-free forever after" discipline for repeatedly-joined fact
     * tables: both sides are written bucketed on the join key (8 buckets
@@ -206,6 +215,7 @@ object FileFormats {
     "src02_json_roundtrip" -> (jsonRoundtrip _),
     "src03_bucketed_join"  -> (bucketedJoin _),
     "src04_partition_prune" -> (partitionedPrune _),
+    "src05_orc_roundtrip"  -> (orcRoundtrip _),
   )
 
   private val oracle =
@@ -218,6 +228,7 @@ object FileFormats {
   val oracles: Map[String, String] = Map(
     "src01_csv_roundtrip"  -> oracle,
     "src02_json_roundtrip" -> oracle,
+    "src05_orc_roundtrip"  -> oracle,
     "src03_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
                 CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
