@@ -348,10 +348,14 @@ object TextOps {
     * counts all fuse into the scan — at 100 TB this is a single pass
     * with no shuffle at all. */
   def repetitionScore(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-              TextSim.shingles3(TextSim.words(col("text"))).as("shs"))
-      .filter(size(col("shs")) >= 1)
+    TextSim.spread(Tables.documents(s, d))
+      // ws MUST be staged in its own projection: shingles3 reads its arg
+      // once per element_at inside the per-shingle lambda, so inlining
+      // the words() expression would re-run the full-text regex split
+      // O(3·shingles) times per doc (measured 8-25 s vs 1-2 s at sf0.1)
+      .select(col("doc_id"), TextSim.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), TextSim.shingles3(col("ws")).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_grams"),
               size(array_distinct(col("shs"))).as("n_distinct"))
       .withColumn("keep",
