@@ -306,21 +306,22 @@ object TextSim {
     * the loop's shuffles; the text/shingle arrays never enter; the edge
     * list comes from the LSH equi-join (never all-pairs) and is tiny
     * relative to the corpus — exactly the 100 TB shape. */
-  def dedupClusters(docs: DataFrame): DataFrame = {
-    val pairs = nearDupPairs(docs)
-      .filter(col("inter") * 10 >= col("uni") * 8)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+  /** Connected components over an undirected edge list (columns
+    * `src`, `dst`; one row per direction not required — symmetrized
+    * here). Returns (id, label) with label = the component's min id.
+    * See [[dedupClusters]] for the algorithm and scale notes. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col(pairs.columns(0)).as("src"), col(pairs.columns(1)).as("dst"))
+    val sym = edges.union(edges.select(col("dst"), col("src")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 40) {
-      val nbrMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(edges("dst").as("nid")).agg(min(labels("label")).as("nmin"))
+      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(sym("dst").as("nid")).agg(min(labels("label")).as("nmin"))
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(labels("id").as("id"),
                 least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"))
@@ -334,7 +335,15 @@ object TextSim {
       rounds += 1
     }
     require(changed == 0, s"connected components did not converge in $rounds rounds")
-    edges.unpersist(false)
+    sym.unpersist(false)
+    labels
+  }
+
+  def dedupClusters(docs: DataFrame): DataFrame = {
+    val pairs = nearDupPairs(docs)
+      .filter(col("inter") * 10 >= col("uni") * 8)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(pairs)
     val sizes = labels.groupBy(col("label").as("canonical"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("id").as("doc_id"), col("label").as("canonical"))

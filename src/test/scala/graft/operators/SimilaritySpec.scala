@@ -51,6 +51,37 @@ class SimilaritySpec extends SparkSpec {
       s"expected one 5-doc cluster with canonical 1, got $out")
   }
 
+  test("property: connectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 8) {
+      val n = 20 + rnd.nextInt(40)                 // nodes 0..n-1, not all present
+      val m = rnd.nextInt(60)
+      val pairs = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      if (pairs.nonEmpty) {
+        // reference: driver-side union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // min id per component (union-find roots are min by construction
+        // only per union order — recompute the true min per root)
+        val byRoot = parent.keys.groupBy(find)
+        val want = byRoot.flatMap { case (_, ids) =>
+          val mn = ids.min; ids.map(_ -> mn)
+        }.toMap
+        val got = TextSim.connectedComponents(pairs.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial (n=$n, m=${pairs.size})")
+      }
+    }
+  }
+
   test("simhash: identical docs equal, near-dups within small hamming distance") {
     val docs = Seq(
       (1L, "spark executes distributed dataframe pipelines with catalyst optimization"),
