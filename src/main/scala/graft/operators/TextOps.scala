@@ -11,6 +11,14 @@ import graft.core.Tables
   * All of these are single-pass, codegen'd column expressions (no UDFs) —
   * at 100 TB they run as a map-only stage fused into the parquet scan,
   * with the only shuffles being the final small aggregations.
+  *
+  * Spread policy (measured at sf0.1, round 9): `TextSim.spread` costs one
+  * exchange of the full text when the source is a single split, so it is
+  * applied ONLY where per-row CPU dominates that cost — the multi-regex /
+  * md5 entries t01–t05 (wins of 3–9×: t03 2.79 → 0.30 s) — and deliberately
+  * NOT on the cheap single-pass entries (t10–t14, t16, t17, t19 all
+  * measured slower with it). At warehouse scale spread is a no-op either
+  * way (the scan has ≥ parallelism splits).
   */
 object TextOps {
   type Q = (SparkSession, String) => DataFrame
@@ -30,12 +38,12 @@ object TextOps {
 
   /** Per-document token count. */
   def tokenCounts(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    TextSim.spread(Tables.documents(s, d))
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
 
   /** Corpus profile by language: doc counts, size and token statistics. */
   def langProfile(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    TextSim.spread(Tables.documents(s, d))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
            round(avg(col("n_chars")), 4).as("avg_chars"),
@@ -49,7 +57,7 @@ object TextOps {
     * Divisions are guarded: empty / whitespace-only docs yield NULL in
     * both engines instead of engine-dependent NaN/Infinity rendering. */
   def qualityScore(s: SparkSession, d: String): DataFrame =
-    qualityOf(Tables.documents(s, d))
+    qualityOf(TextSim.spread(Tables.documents(s, d)))
 
   /** Quality signals over any frame with (doc_id, text) — split out so the
     * degenerate-document guards are unit-testable on in-memory data. */
@@ -102,7 +110,7 @@ object TextOps {
 
   /** Content fingerprint per document (md5 of normalized text). */
   def fingerprints(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    TextSim.spread(Tables.documents(s, d))
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
   /** BPE-ish subword piece counting: the pre-tokenizer regex families
@@ -137,7 +145,7 @@ object TextOps {
     * the canonical exact-dedup shape at 100 TB (the text itself is never
     * shuffled, only the 16-byte digest + id). */
   def dedupExact(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    TextSim.spread(Tables.documents(s, d))
       .select(fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
