@@ -443,6 +443,73 @@ object Streams {
     s.table(sink)
   }
 
+  /** st08: `foreachBatch` idempotent UPSERT sink — the programmatic
+    * merge-into-table pattern behind every streaming warehouse load:
+    * each micro-batch merges into a parquet target by key (union +
+    * keep-one-per-event_id), written via temp-dir-and-swap so a crashed
+    * batch can re-run without corrupting the target. Batches are staged
+    * with OVERLAPPING key sets (every batch re-ships the event_id%3==0
+    * slice), so the merge genuinely deduplicates across batches — the
+    * final table profile equals the batch-dedup oracle only if the
+    * upsert is idempotent. maxFilesPerTrigger=1 forces one batch per
+    * staged file. */
+  def streamedUpsert(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val batch0 =
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val purch = batch0.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+              round(col("value") * 100).cast("long").as("cents"))
+    val run = sinkSeq.incrementAndGet()
+    val srcDir = graft.sources.FileFormats.scratch(s"st08_src_$run")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def stage(df: DataFrame, idx: Int): Unit = {
+      val tmp = graft.sources.FileFormats.scratch(s"st08_stage_$run")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val target = java.nio.file.Paths.get(srcDir, f"f$idx%02d.parquet")
+      java.nio.file.Files.move(part.toPath, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + idx * 60000L))
+    }
+    // overlapping slices: %3==0 rows appear in EVERY batch
+    stage(purch.filter(col("event_id") % 3 <= 1), 0)
+    stage(purch.filter(col("event_id") % 3 =!= 1), 1)
+    stage(purch.filter(col("event_id") % 3 =!= 2), 2)
+    val tgt = graft.sources.FileFormats.scratch(s"st08_tgt_$run")
+    val src = s.readStream.schema("event_id LONG, user_id LONG, cents LONG")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = src.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      val sp = b.sparkSession
+      val cur =
+        if (new java.io.File(tgt).exists) sp.read.parquet(tgt) else b.limit(0)
+      val merged = cur.unionByName(b)
+        .groupBy(col("event_id"))
+        .agg(min(col("user_id")).as("user_id"), min(col("cents")).as("cents"))
+      val swap = tgt + "_next"
+      merged.write.mode("overwrite").parquet(swap)
+      // atomic-enough swap on a local fs: replace target with the new
+      // version only after the full write committed
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(tgt))
+      java.nio.file.Files.move(java.nio.file.Paths.get(swap),
+        java.nio.file.Paths.get(tgt))
+      ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(tgt)
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"),
+           sum(col("cents")).as("sum_cents"),
+           countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_window" -> (streamedEventCounts _),
     "st02_sessions"      -> (streamedSessions _),
@@ -451,6 +518,7 @@ object Streams {
     "st05_dedup_bounded" -> (streamedDedupBounded _),
     "st06_stream_enrich" -> (streamedEnriched _),
     "st07_stream_join"   -> (streamedAttribution _),
+    "st08_upsert_sink"   -> (streamedUpsert _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -470,6 +538,12 @@ object Streams {
          JOIN events p ON p.user_id = c.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+    "st08_upsert_sink" ->
+      """SELECT count(*) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_ids,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                count(DISTINCT user_id) AS n_users
+         FROM events WHERE event_type = 'purchase'""",
     "st02_sessions" ->
       """WITH e AS (
            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
