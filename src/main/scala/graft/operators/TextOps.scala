@@ -370,6 +370,53 @@ object TextOps {
         when((col("n_grams") - col("n_distinct")) * 5 <= col("n_grams"), 1)
           .otherwise(0))
 
+  /** t23: benchmark decontamination — the train/eval overlap scrub every
+    * LLM corpus build runs before training (GPT-3 appendix C's 13-gram
+    * dedup; 5-grams here to fit the fixture's ~60-token documents):
+    * flag training docs sharing any word 5-gram with a held-out
+    * benchmark set (docs with doc_id % 17 == 0 stand in for the eval
+    * suite). Output per contaminated doc: distinct-gram count, overlap
+    * count, and a keep flag at the ">12.5% contaminated → drop" cut —
+    * all exact integers.
+    *
+    * Distributed shape: the benchmark side collapses to DISTINCT 60-bit
+    * gram hashes (eval suites are tiny relative to the corpus — a few MB
+    * even for a full eval harness) and BROADCASTS; the corpus side is a
+    * map-only explode of per-doc distinct gram hashes probed against
+    * that broadcast, then one groupBy on doc_id. The full text never
+    * shuffles, and at 100 TB the only exchange is the (doc_id, counts)
+    * aggregation over matched grams — contaminated docs only, a tiny
+    * fraction of the corpus. Joining on h64 hashes (8 bytes) rather
+    * than gram strings keeps the broadcast and probe narrow; both
+    * engines hash identically, so any collision is shared and the
+    * result stays bit-equal.
+    *
+    * explode_outer, not explode: InferFiltersFromGenerate fires only on
+    * non-outer generates, and its inferred `size(shs) > 0` filter
+    * inlines the whole shingle tree into a Filter pushed below the
+    * spread Exchange — pinning the heavy compute to the source's single
+    * input split (the t06 trap, measured 166× there). The `size(ws) >=
+    * 5` guard already makes every array non-empty, and the inner join
+    * on h drops any null row, so outer is semantically identical. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = TextSim.spread(Tables.documents(s, d))
+      .select(col("doc_id"), TextSim.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), array_distinct(TextSim.shingles(col("ws"), 5)).as("shs"))
+    val bench = grams.filter(col("doc_id") % 17 === 0)
+      .select(explode_outer(col("shs")).as("sh"))
+      .select(TextSim.h64(col("sh")).as("h"))
+      .distinct()
+    val corpus = grams.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), size(col("shs")).as("n_grams"), explode_outer(col("shs")).as("sh"))
+      .select(col("doc_id"), col("n_grams"), TextSim.h64(col("sh")).as("h"))
+    corpus.join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(min(col("n_grams")).as("n_grams"), count(lit(1)).as("n_hit"))
+      .withColumn("keep",
+        when(col("n_hit") * 8 > col("n_grams"), 0).otherwise(1))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
@@ -388,6 +435,7 @@ object TextOps {
     "t19_tfidf"        -> (tfidfTop _),
     "t20_pack_sequences" -> (packSequences _),
     "t22_repetition"   -> (repetitionScore _),
+    "t23_decontaminate" -> (decontaminate _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -553,5 +601,27 @@ object TextOps {
                 CASE WHEN (len(shs) - len(list_distinct(shs))) * 5 <= len(shs)
                      THEN 1 ELSE 0 END AS keep
          FROM sh""",
+    "t23_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+                                 for i in generate_series(1, len(ws)-4)]) AS shs
+           FROM d WHERE len(ws) >= 5),
+         bench AS (
+           SELECT DISTINCT ('0x'||substr(md5(sh),1,15))::BIGINT AS h
+           FROM (SELECT unnest(shs) AS sh FROM g WHERE doc_id % 17 = 0)),
+         c0 AS (
+           SELECT doc_id, len(shs) AS n_grams, unnest(shs) AS sh
+           FROM g WHERE doc_id % 17 <> 0),
+         corpus AS (
+           SELECT doc_id, n_grams, ('0x'||substr(md5(sh),1,15))::BIGINT AS h FROM c0)
+         SELECT c.doc_id, min(c.n_grams) AS n_grams, count(*) AS n_hit,
+                CASE WHEN count(*)*8 > min(c.n_grams) THEN 0 ELSE 1 END AS keep
+         FROM corpus c JOIN bench b USING (h)
+         GROUP BY c.doc_id""",
   )
 }

@@ -107,6 +107,14 @@ object TextSim {
     transform(sequence(lit(1), size(ws) - 2),
       i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))
 
+  /** Word n-gram shingles, generic arity (slice + array_join); callers
+    * must filter size(words) >= n first, same guard as shingles3. The
+    * t22 staging caveat applies: pass a STAGED word-array attribute,
+    * never an inline words(text) expression. */
+  def shingles(ws: Column, n: Int): Column =
+    transform(sequence(lit(1), size(ws) - (n - 1)),
+      i => array_join(slice(ws, i, lit(n)), " "))
+
   /** 60-bit integer hash of a string via md5 — identical in DuckDB as
     * ('0x' || substr(md5(s),1,15))::BIGINT. */
   def h64(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
