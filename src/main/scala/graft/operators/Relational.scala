@@ -473,6 +473,25 @@ object Relational {
               col("gid").cast("long").as("gid"),
               col("n_rows"), col("sum_qty"), col("sum_cents"))
 
+  /** q34: CUBE over (returnflag, linestatus) — all four grouping sets
+    * (both, each marginal, grand total) in ONE pass: Spark plans an
+    * Expand (4 rows per input) into a single partial+final hash
+    * aggregate, so the 100 TB fact table is scanned once and only
+    * pre-combined per-set partials reach the exchange — vs four
+    * separate scans/shuffles for the equivalent UNION ALL. Same
+    * sentinel/grouping_id discipline as q31 (rollup). */
+  def cubeSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+           count(lit(1)).as("n_rows"),
+           sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+              col("gid").cast("long").as("gid"),
+              col("n_rows"), col("sum_qty"), col("sum_cents"))
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_project_filter"    -> (projectFilter _),
@@ -507,6 +526,7 @@ object Relational {
     "q31_rollup"            -> (rollupSummary _),
     "q32_approx_quantiles"  -> (approxQuantiles _),
     "q33_json_extract"      -> (jsonExtract _),
+    "q34_cube"              -> (cubeSummary _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -733,5 +753,14 @@ object Relational {
                 CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM lineitem
          GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q34_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                count(*) AS n_rows,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)""",
   )
 }

@@ -417,6 +417,36 @@ object TextOps {
         when(col("n_hit") * 8 > col("n_grams"), 0).otherwise(1))
   }
 
+  /** Deny-listed vocabulary for t24 — stands in for the bad-word /
+    * brand-term / boilerplate lists real corpus builds scrub against
+    * (C4's badwords drop; Dolma's span redaction). */
+  private val denylist = Seq("customer", "spark", "vector")
+
+  /** t24: denylist scrub — per-document bad-term counting, span
+    * redaction, and a drop decision at the ">10% deny-listed tokens"
+    * cut. Output: token count, bad count, md5 fingerprint of the
+    * redacted body (bad tokens replaced by "[*]" — content-verifies
+    * the rewrite without shipping the text), and the keep flag.
+    *
+    * Distributed shape: the denylist is a literal in the plan (a real
+    * deployment broadcasts it); everything is a codegen'd map-only pass
+    * over the scan — filter/transform/md5 on the staged word array —
+    * with NO exchange at all. At 100 TB this is the cheapest possible
+    * shape: one pass, no shuffle, output a handful of scalars per doc. */
+  def denylistScrub(s: SparkSession, d: String): DataFrame = {
+    val bad: Column => Column = w => w.isin(denylist: _*)
+    TextSim.spread(Tables.documents(s, d))
+      .select(col("doc_id"), TextSim.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_tokens"),
+        size(filter(col("ws"), bad)).as("n_bad"),
+        md5(array_join(
+          transform(col("ws"), w => when(bad(w), lit("[*]")).otherwise(w)),
+          " ")).as("redacted_fp"))
+      .withColumn("keep",
+        when(col("n_bad") * 10 > col("n_tokens"), 0).otherwise(1))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
@@ -436,6 +466,7 @@ object TextOps {
     "t20_pack_sequences" -> (packSequences _),
     "t22_repetition"   -> (repetitionScore _),
     "t23_decontaminate" -> (decontaminate _),
+    "t24_denylist"     -> (denylistScrub _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -623,5 +654,19 @@ object TextOps {
                 CASE WHEN count(*)*8 > min(c.n_grams) THEN 0 ELSE 1 END AS keep
          FROM corpus c JOIN bench b USING (h)
          GROUP BY c.doc_id""",
+    "t24_denylist" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+           FROM documents)
+         SELECT doc_id, len(ws) AS n_tokens,
+                len(list_filter(ws, w -> w IN ('customer','spark','vector'))) AS n_bad,
+                md5(array_to_string(
+                  list_transform(ws, w -> CASE WHEN w IN ('customer','spark','vector')
+                                               THEN '[*]' ELSE w END), ' ')) AS redacted_fp,
+                CASE WHEN len(list_filter(ws, w -> w IN ('customer','spark','vector'))) * 10
+                          > len(ws)
+                     THEN 0 ELSE 1 END AS keep
+         FROM d""",
   )
 }
