@@ -46,8 +46,11 @@ object Bench {
   private def median(sorted: Seq[Double]): Double =
     if (sorted.isEmpty) 0.0 else sorted((sorted.size - 1) / 2)
 
-  /** Identifies the code state this sample measured, so best-of-samples
-    * never merges medians across different code. Unknown → unique id →
+  /** Identifies the configuration this sample measured, so best-of-samples
+    * never merges medians across different code OR different
+    * timing-relevant env (core count, scratch mode — a 8-core or
+    * disk-scratch sample must not lose to a stale 32-core tmpfs minimum
+    * and then masquerade as that config's number). Unknown → unique id →
     * never merges (fail-safe).
     */
   private def codeId(): String = try {
@@ -55,7 +58,11 @@ object Bench {
     val devNull = ProcessLogger(_ => ())
     val head = Process(Seq("git", "rev-parse", "HEAD")).!!(devNull).trim
     val dirty = Process(Seq("git", "status", "--porcelain", "--", "src", "build.sbt")).!!(devNull).trim.nonEmpty
-    head + (if (dirty) "+dirty" else "")
+    val env = Seq(
+      sys.env.get("SPARK_GRAFT_CPUS").map("cpus=" + _),
+      sys.env.get("SPARK_GRAFT_NO_TMPFS").map(_ => "notmpfs")).flatten
+    head + (if (dirty) "+dirty" else "") +
+      (if (env.isEmpty) "" else env.mkString("@", ",", ""))
   } catch { case _: Throwable => s"unknown-${System.nanoTime()}" }
 
   /** Minimal extraction of {"queries":{...},"spread":{...},"code":...,"sf":...,"samples":N}
@@ -127,7 +134,11 @@ object Bench {
     // been GC'd, usually lands at the entry's steady state; keep the
     // better median. Entries under 0.15 s absolute skew are left alone
     // (3× of milliseconds is timer noise, not interference).
-    val results = firstPass.map { case (name, fn, times) =>
+    // Entries whose every rep failed are EXCLUDED here, not recorded as
+    // 0.0: a fabricated zero would both undercount the total and win
+    // every future best-of merge with no error trace. Their failure
+    // stays visible in the errors map.
+    val results = firstPass.flatMap { case (name, fn, times) =>
       val sorted = times.sorted
       val med = median(sorted)
       val finalTimes =
@@ -140,16 +151,23 @@ object Bench {
             case None => sorted
           }
         } else sorted
-      (name, median(finalTimes), finalTimes.headOption.getOrElse(0.0), finalTimes.lastOption.getOrElse(0.0))
+      if (finalTimes.isEmpty) None
+      else Some((name, median(finalTimes), finalTimes.head, finalTimes.last))
     }
     // Best-of-samples merge with a previous pass of the SAME code + sf.
+    // Previous entries absent from this pass (partial-run subset, or an
+    // entry that errored this time) are carried over, not dropped — they
+    // remain valid measurements of this exact configuration. A
+    // non-positive previous value never wins (legacy artifacts could
+    // hold the old 0.0 failed-entry sentinel). `samples` counts merged
+    // PASSES; individual entries may appear in fewer (partial runs).
     val code = codeId()
     val outPath = Paths.get(if (args.isEmpty) "bench_out.json" else "bench_partial.json")
     val (merged, samples) = readPrev(outPath) match {
       case Some((prevQ, prevS, prevCode, prevSf, prevN)) if prevCode == code && prevSf == sfDir =>
         val m = results.map { case (k, med, lo, hi) =>
           prevQ.get(k) match {
-            case Some(pm) if pm < med =>
+            case Some(pm) if pm > 0 && pm < med =>
               // keep the winning sample's own spread — mixing ranges
               // across passes would fabricate a [min,max] nobody measured
               val (plo, phi) = prevS.getOrElse(k, (pm, pm))
@@ -157,8 +175,15 @@ object Bench {
             case _ => (k, med, lo, hi)
           }
         }
-        System.err.println(s"[bench] merged best-of-${prevN + 1} samples for code $code")
-        (m, prevN + 1)
+        val have = m.map(_._1).toSet
+        val carried = prevQ.collect {
+          case (k, pm) if !have.contains(k) && pm > 0 =>
+            val (plo, phi) = prevS.getOrElse(k, (pm, pm))
+            (k, pm, plo, phi)
+        }.toSeq.sortBy(_._1)
+        System.err.println(s"[bench] merged best-of-${prevN + 1} samples for code $code" +
+          (if (carried.nonEmpty) s" (${carried.size} carried from previous pass)" else ""))
+        (m ++ carried, prevN + 1)
       case _ => (results, 1)
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -350,10 +350,13 @@ object LinAlg {
       val u = b.toBreeze * uBk
       Block(b.bi, 0, b.rows, k, u.data)
     }
-    val u = new DMatrix(uBlocks, a.nRows, k, a.blockSize)
-    // release every pinned intermediate except the final Q (U's lineage
-    // reads through it); Q is l-wide, so leaving it cached is noise.
-    pinned.filter(_ ne q).foreach(_.unpersist())
+    // Eager localCheckpoint cuts U's lineage free of Q so EVERY pinned
+    // intermediate can be released here — a Dataset persist lives in the
+    // session CacheManager forever (each svdCompressed call would leak
+    // one cached Q for the JVM lifetime), while localCheckpoint blocks
+    // are reaped by the ContextCleaner once the result is unreferenced.
+    val u = new DMatrix(uBlocks.localCheckpoint(), a.nRows, k, a.blockSize)
+    pinned.foreach(_.unpersist())
     (u, s(0 until k).copy, vt(0 until k, ::).t.copy)
   }
 

@@ -127,7 +127,13 @@ object Predict {
     * flip requires a perturbation of the fit direction far beyond
     * float-reduction-order noise. If this gate ever flakes, re-run the
     * probe and compare against these numbers. */
-  def predictSvc(s: SparkSession, d: String): DataFrame = {
+  /** ml03's fixture and fit — the ONE definition of the ground-truth
+    * weight vector, margin cut, train slice, and SVC hyperparameters,
+    * shared with `tools.Ml03HeadroomProbe` so the recorded headroom
+    * numbers always describe exactly the gate's model. Returns
+    * (margin-filtered data with `features_v`, fitted model, wg). */
+  private[graft] def svcMarginFixture(s: SparkSession)
+      : (DataFrame, org.apache.spark.ml.classification.LinearSVCModel, Array[Long]) = {
     import org.apache.spark.ml.classification.LinearSVC
     import org.apache.spark.ml.functions.array_to_vector
     val dim = 20
@@ -146,6 +152,11 @@ object Predict {
     val model = new LinearSVC().setMaxIter(25).setRegParam(1e-6)
       .setFeaturesCol("features_v").setLabelCol("label")
       .fit(data.filter(col("row_id") % 20 === 0))       // 5% train slice
+    (data, model, wg)
+  }
+
+  def predictSvc(s: SparkSession, d: String): DataFrame = {
+    val (data, model, _) = svcMarginFixture(s)
     model.transform(data)
       .agg(count(lit(1)).as("n"),
            sum(when(col("prediction") === col("label"), 1L).otherwise(0L)).as("n_correct"),

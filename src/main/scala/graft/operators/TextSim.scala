@@ -386,15 +386,35 @@ object TextSim {
                  for k in generate_series(0,15)] AS sig
          FROM sh)"""
 
-  val oracles: Map[String, String] = Map(
-    "t06_minhash_sig" -> (sigSql +
-      "\nSELECT doc_id, k.range AS k, sig[k.range + 1] AS sig_k FROM sig, range(16) k"),
-    "t07_lsh_buckets" -> (sigSql + """,
+  /** Banded-signature CTE shared by t07/t09/t21 — one definition of the
+    * band split, so a banding change (BandSize, hash family) cannot
+    * silently diverge between the bucket, pair and cluster oracles. */
+  private val bandsCte = """,
        bands AS (
          SELECT doc_id, b.range AS band,
                 md5(list_aggregate(list_transform(sig[b.range*4+1 : b.range*4+4],
                      x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS bucket
-         FROM sig, range(4) b)
+         FROM sig, range(4) b)"""
+
+  /** Candidate-pair pipeline shared verbatim by the t09 (pairs) and t21
+    * (clusters) oracles: shingle sets + bands + bucket-join + exact
+    * Jaccard counts. */
+  private val pairCtes = """,
+       shset AS (
+         SELECT doc_id, list_distinct(shs) AS shset FROM sh)""" + bandsCte + """,
+       rawpairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                len(list_intersect(sa.shset, sb.shset)) AS inter,
+                len(list_distinct(list_concat(sa.shset, sb.shset))) AS uni
+         FROM bands a
+         JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         JOIN shset sa ON sa.doc_id = a.doc_id
+         JOIN shset sb ON sb.doc_id = b.doc_id)"""
+
+  val oracles: Map[String, String] = Map(
+    "t06_minhash_sig" -> (sigSql +
+      "\nSELECT doc_id, k.range AS k, sig[k.range + 1] AS sig_k FROM sig, range(16) k"),
+    "t07_lsh_buckets" -> (sigSql + bandsCte + """
        SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS min_doc
        FROM bands GROUP BY 1, 2 HAVING count(*) >= 2"""),
     "t08_simhash" -> """
@@ -410,42 +430,14 @@ object TextSim {
                    THEN (1::BIGINT << j) ELSE 0 END
                    for j in generate_series(0,15)]) AS BIGINT) AS simhash
        FROM hs""".replace("[g_flag]", "'g'"),
-    "t09_neardup_pairs" -> (sigSql + """,
-       shset AS (
-         SELECT doc_id, list_distinct(shs) AS shset FROM sh),
-       bands AS (
-         SELECT doc_id, b.range AS band,
-                md5(list_aggregate(list_transform(sig[b.range*4+1 : b.range*4+4],
-                     x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS bucket
-         FROM sig, range(4) b)
-       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              len(list_intersect(sa.shset, sb.shset)) AS inter,
-              len(list_distinct(list_concat(sa.shset, sb.shset))) AS uni
-       FROM bands a
-       JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-       JOIN shset sa ON sa.doc_id = a.doc_id
-       JOIN shset sb ON sb.doc_id = b.doc_id"""),
+    "t09_neardup_pairs" -> (sigSql + pairCtes + """
+       SELECT doc_a, doc_b, inter, uni FROM rawpairs"""),
     // same pair pipeline, then transitive closure (DuckDB recursive CTE:
     // UNION-dedup guarantees termination on cycles) -> min reachable id
     // per node = the component canonical. Feasible for the oracle because
     // the verified pair graph is tiny; the Spark side uses log-round
     // label propagation instead, which is the at-scale shape.
-    "t21_dedup_clusters" -> (sigSql.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
-       shset AS (
-         SELECT doc_id, list_distinct(shs) AS shset FROM sh),
-       bands AS (
-         SELECT doc_id, b.range AS band,
-                md5(list_aggregate(list_transform(sig[b.range*4+1 : b.range*4+4],
-                     x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS bucket
-         FROM sig, range(4) b),
-       rawpairs AS (
-         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                len(list_intersect(sa.shset, sb.shset)) AS inter,
-                len(list_distinct(list_concat(sa.shset, sb.shset))) AS uni
-         FROM bands a
-         JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         JOIN shset sa ON sa.doc_id = a.doc_id
-         JOIN shset sb ON sb.doc_id = b.doc_id),
+    "t21_dedup_clusters" -> (sigSql.replaceFirst("WITH ", "WITH RECURSIVE ") + pairCtes + """,
        edges AS (
          SELECT doc_a AS src, doc_b AS dst FROM rawpairs WHERE inter*10 >= uni*8
          UNION

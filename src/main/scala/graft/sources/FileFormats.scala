@@ -41,13 +41,19 @@ object FileFormats {
     sweepStale(java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
       "graft_scratch_(\\d+)".r)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import java.nio.file.Files
-        if (Files.exists(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
-      } catch { case _: Throwable => () }))
+      try deleteTree(p) catch { case _: Throwable => () }))
     p
+  }
+
+  /** Recursive delete, the repo's single delete-tree implementation
+    * (scratch shutdown hook, stale-pid sweep, st08's sink swap). */
+  private[graft] def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p))
+      scala.util.Using.resource(Files.walk(p)) { tree =>
+        tree.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+      }
   }
 
   /** Shutdown hooks don't run on `kill -9` / OOM-kill, so per-pid
@@ -68,10 +74,7 @@ object FileFormats {
             // Long, a racing delete) must not abort the sibling sweep
             try child.getFileName.toString match {
               case pat(pid) if !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
-                scala.util.Using.resource(Files.walk(child)) { tree =>
-                  tree.sorted(java.util.Comparator.reverseOrder())
-                    .forEach(f => Files.deleteIfExists(f))
-                }
+                deleteTree(child)
               case _ => ()
             } catch { case _: Throwable => () }
           }

@@ -446,8 +446,10 @@ object Streams {
   /** st08: `foreachBatch` idempotent UPSERT sink — the programmatic
     * merge-into-table pattern behind every streaming warehouse load:
     * each micro-batch merges into a parquet target by key (union +
-    * keep-one-per-event_id), written via temp-dir-and-swap so a crashed
-    * batch can re-run without corrupting the target. Batches are staged
+    * keep-one-per-event_id), written via temp-dir-and-rename-swap (old
+    * state parked under `_prev` until the new version is renamed in,
+    * and restored from there on re-entry) so a crashed batch can re-run
+    * without corrupting or losing the target. Batches are staged
     * with OVERLAPPING key sets (every batch re-ships the event_id%3==0
     * slice), so the merge genuinely deduplicates across batches — the
     * final table profile equals the batch-dedup oracle only if the
@@ -485,22 +487,30 @@ object Streams {
     val src = s.readStream.schema("event_id LONG, user_id LONG, cents LONG")
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = src.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
       val sp = b.sparkSession
+      val (tgtP, prevP, swapP) =
+        (Paths.get(tgt), Paths.get(tgt + "_prev"), Paths.get(tgt + "_next"))
+      // crash recovery: a previous batch that died between the two
+      // renames below left the state under _prev — restore it before
+      // reading, so a re-driven batch never merges against an empty
+      // table and silently drops earlier batches' rows
+      if (!Files.exists(tgtP) && Files.exists(prevP))
+        Files.move(prevP, tgtP)
       val cur =
-        if (new java.io.File(tgt).exists) sp.read.parquet(tgt) else b.limit(0)
+        if (Files.exists(tgtP)) sp.read.parquet(tgt) else b.limit(0)
       val merged = cur.unionByName(b)
         .groupBy(col("event_id"))
         .agg(min(col("user_id")).as("user_id"), min(col("cents")).as("cents"))
-      val swap = tgt + "_next"
-      merged.write.mode("overwrite").parquet(swap)
-      // atomic-enough swap on a local fs: replace target with the new
-      // version only after the full write committed
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
-      }
-      rm(new java.io.File(tgt))
-      java.nio.file.Files.move(java.nio.file.Paths.get(swap),
-        java.nio.file.Paths.get(tgt))
+      graft.sources.FileFormats.deleteTree(swapP)
+      merged.write.mode("overwrite").parquet(swapP.toString)
+      // swap via two same-fs renames, never delete-then-move: the old
+      // state survives under _prev until the new version is in place,
+      // and the recovery above covers a crash in the rename window
+      graft.sources.FileFormats.deleteTree(prevP)
+      if (Files.exists(tgtP)) Files.move(tgtP, prevP)
+      Files.move(swapP, tgtP, StandardCopyOption.ATOMIC_MOVE)
+      graft.sources.FileFormats.deleteTree(prevP)
       ()
     }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

@@ -22,21 +22,11 @@ import org.apache.spark.sql.functions._
 object Ml03HeadroomProbe {
   def main(args: Array[String]): Unit = {
     val s = graft.core.GraftSession.local()
-    import org.apache.spark.ml.classification.LinearSVC
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val dim = 20
-    val wg = Array.tabulate(dim)(j =>
-      ((9999L * dim + j) * 1103515245L + 11L) % 2147483647L % 1000L - 500L)
-    val data = graft.sources.Generators.makeClassificationLcg(s, 100000L, dim, seed = 11L)
-      .withColumn("dot", aggregate(
-        zip_with(col("features"), lit(wg), (x, w) => x * w),
-        lit(0L), (acc, t) => acc + t))
-      .filter(abs(col("dot")) > 200000L)
-      .withColumn("features_v",
-        array_to_vector(transform(col("features"), _.cast("double"))))
-    val model = new LinearSVC().setMaxIter(25).setRegParam(1e-6)
-      .setFeaturesCol("features_v").setLabelCol("label")
-      .fit(data.filter(col("row_id") % 20 === 0))
+    import org.apache.spark.ml.functions.vector_to_array
+    // the fixture, margin cut and fit come from the gate's own code —
+    // never duplicated here, or the probe would silently measure a
+    // different model than the one the oracle asserts on
+    val (data, model, wg) = graft.ml.Predict.svcMarginFixture(s)
     val w = model.coefficients.toArray
     val cos = {
       val num = w.indices.map(j => w(j) * wg(j)).sum
