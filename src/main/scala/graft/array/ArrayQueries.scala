@@ -286,6 +286,32 @@ object ArrayQueries {
       .toDF("j", "x")
   }
 
+  /** Cholesky scaled past the reference's published toy shape
+    * (examples.rst:89-100 runs 100×100 chunks 25, matched at a08):
+    * 2,048² chunks 256 — an 8-panel factorization that exercises the
+    * keyed-join trailing update across >6 sequential panels and crosses
+    * the checkpointEvery=6 lineage-truncation boundary mid-run. SPD
+    * input is exact-integer (BᵀB + 10n·I, B the mod-10 LCG matrix;
+    * λmin ≥ 10n keeps cond ~4e3), validated like a08 through the
+    * reconstruction invariant L·Lᵀ = A — but checksummed, not dumped:
+    * Σ round(L·Lᵀ) = sum(A) = Σ_k rowsum_B(k)² + 10n·n, closed-form
+    * for the oracle. Recon roundoff envelope ~ε·n·‖A‖ ≈ 2e-2 ≪ 0.5,
+    * so per-entry rounding before the sum is exact. */
+  def cholesky2k(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 2048; val bs = 256
+    val base = DMatrix.randInt(s, n, n, bs, 97L, mod = 10L)
+    val spd = base.transpose.multiply(base) + (DMatrix.eye(s, n, bs) * (10.0 * n))
+    val l = LinAlg.choleskyLower(spd)
+    val checksum = l.multiply(l.transpose).blocks.rdd.map { b =>
+      var acc = 0L
+      var i = 0
+      while (i < b.data.length) { acc += math.round(b.data(i)); i += 1 }
+      acc
+    }.reduce(_ + _)
+    s.createDataset(Seq(checksum)).toDF("checksum")
+  }
+
   /** Flagship-scale entry names: Bench runs these once per pass (not
     * REPS×), and PlanAuditSpec's join sweep skips them — their compute is
     * RDD block algebra (no Catalyst joins anywhere) and the returned
@@ -293,7 +319,7 @@ object ArrayQueries {
     * solution vector). */
   val flagship: Set[String] =
     Set("a13_gemm_10k", "a14_tsqr_262k", "a15_svd_200k", "a16_rsvd_10k",
-        "a17_lstsq_262k")
+        "a17_lstsq_262k", "a18_cholesky_2k")
 
   private def lcgSql(iExpr: String, jExpr: String, nCols: Int, seed: Int, mod: Int) =
     s"CAST(((($iExpr*$nCols+$jExpr)*1103515245+$seed)%2147483647)%$mod AS DOUBLE)"
@@ -321,6 +347,7 @@ object ArrayQueries {
     "a15_svd_200k"       -> (svd200k _),
     "a16_rsvd_10k"       -> (rsvd10k _),
     "a17_lstsq_262k"     -> (lstsq262k _),
+    "a18_cholesky_2k"    -> (cholesky2k _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -427,6 +454,13 @@ object ArrayQueries {
               FROM range(5) k, range(10000) j GROUP BY 1)
          SELECT CAST(sum(xc.s * yr.s) AS BIGINT) AS checksum
          FROM xc JOIN yr ON xc.k = yr.k""",
+    // Σ round(L·Lᵀ) = sum(A) = sum(BᵀB) + 10n·n = Σ_k rowsum_B(k)² + 10n²
+    // — the oracle never factorizes anything.
+    "a18_cholesky_2k" ->
+      """WITH rs AS (SELECT i.range AS i,
+                sum(((i.range*2048+j.range)*1103515245+97)%2147483647%10) AS s
+              FROM range(2048) i, range(2048) j GROUP BY 1)
+         SELECT CAST(sum(s * s) + 20480 * 2048 AS BIGINT) AS checksum FROM rs""",
     // consistent system: the minimizer IS the planted x0, in closed form
     "a17_lstsq_262k" ->
       """SELECT j.range AS j,
