@@ -73,13 +73,13 @@ object Cluster {
       }
       .sortBy(_._1)
 
-  /** `iters` Lloyd iterations from the deterministic `vec_id < k` seed;
-    * returns per-cell membership stats of the LAST assignment plus the
-    * final codebook's component-sum checksum — every column an exact
-    * integer. */
-  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  /** The assignment after `iters` Lloyd rounds from the deterministic
+    * `vec_id < k` seed: (vec_id, qv, qn, cell), eagerly materialized
+    * (localCheckpoint) so downstream consumers — the kmeans stats
+    * aggregation, e06's within-cluster self-join — never re-drive the
+    * iteration lineage. */
+  private[graft] def assignDF(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     require(k <= KPack, s"packed argmin reserves ${KPack} cell ids")
-    val spark = emb.sparkSession
     val staged = emb
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
       .withColumn("qn", ArrayDotLong.dotLong(col("qv"), col("qv")))
@@ -92,12 +92,22 @@ object Cluster {
       .sortBy(_._1)
       .toSeq
 
-    // iters-1 full (assign + update) rounds, then the final assignment
-    // is both aggregated for the result and used for the last update.
+    // iters-1 full (assign + update) rounds, then the final assignment.
     val cents = (1 until iters).foldLeft(seed) { (c, _) =>
       updateCents(staged.withColumn("cell", cellOf(c)))
     }
-    val lastAssign = staged.withColumn("cell", cellOf(cents))
+    val out = staged.withColumn("cell", cellOf(cents)).localCheckpoint(true)
+    staged.unpersist(false)
+    out
+  }
+
+  /** `iters` Lloyd iterations from the deterministic `vec_id < k` seed;
+    * returns per-cell membership stats of the LAST assignment plus the
+    * final codebook's component-sum checksum — every column an exact
+    * integer. */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val lastAssign = assignDF(emb, k, iters)
     val finalCents = updateCents(lastAssign)
 
     import spark.implicits._
@@ -109,23 +119,63 @@ object Cluster {
       .join(broadcast(centSums), "cell")
       .select(col("cell"), col("n_members"), col("sum_vec_id"), col("cent_sum"))
       .localCheckpoint(true)
-    staged.unpersist(false)
     out
   }
 
   def kmeansQuery(s: SparkSession, d: String): DataFrame =
     kmeans(TextSim.spread(Tables.embeddings(s, d)), k = 8, iters = 2)
 
+  /** e06: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public method): k-means the embedding corpus,
+    * then prune, WITHIN each cluster only, every vector that has a
+    * lower-id near-duplicate at cosine ≥ τ; survivors keep the corpus.
+    * Composes the gate's own primitives — the ml04 Lloyd assignment and
+    * the e04 quantized-cosine scorer (the cosine is the same fixed IEEE
+    * expression `dot/(√qnₐ·√qn_b)` mirrored bit-for-bit in the oracle).
+    *
+    * Scale story: the cluster count is THE knob — per-cluster pairwise
+    * work is O(N²/k), so production sizes k ∝ N (SemDeDup itself runs
+    * 50k clusters over 5B embeddings; cf. [[Similarity.numCellsFor]]'s
+    * occupancy law for the same reasoning on IVF cells) and the
+    * self-join below is an equi-join on `cell` — candidates never leave
+    * their cluster, there is no global all-pairs anywhere. τ = 0.3
+    * plays the role ~0.95 would on a real corpus (the synthetic
+    * embeddings are mean-centered; max pairwise cos ≈ 0.46 — same
+    * calibration note as e04). */
+  def semanticDedup(emb: DataFrame, tau: Double = 0.3,
+                    k: Int = 8, iters: Int = 2): DataFrame = {
+    val assigned = assignDF(emb, k, iters)
+    val lhs = assigned.select(col("vec_id").as("va"), col("qv").as("qva"),
+      col("qn").as("qna"), col("cell"))
+    val rhs = assigned.select(col("vec_id").as("vb"), col("qv").as("qvb"),
+      col("qn").as("qnb"), col("cell"))
+    val pruned = lhs.join(rhs, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos",
+        ArrayDotLong.dotLong(col("qva"), col("qvb")).cast("double")
+          / (sqrt(col("qna").cast("double")) * sqrt(col("qnb").cast("double"))))
+      .filter(col("cos") >= tau)
+      .select(col("vb")).distinct()
+    assigned.join(pruned, assigned("vec_id") === pruned("vb"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
+  def semanticDedupQuery(s: SparkSession, d: String): DataFrame =
+    semanticDedup(TextSim.spread(Tables.embeddings(s, d)))
+
   val queries: Map[String, Q] = Map(
     "ml04_kmeans" -> (kmeansQuery _),
+    "e06_semantic_dedup" -> (semanticDedupQuery _),
   )
 
-  /** Unrolled 2-iteration Lloyd in SQL: same quantization, same packed
-    * argmin, same floored integer means (`//`-free: floor of a correctly
-    * rounded double division, identical to Spark's). */
-  val oracles: Map[String, String] = Map(
-    "ml04_kmeans" ->
-      """WITH q AS (SELECT vec_id,
+  /** Unrolled 2-iteration Lloyd assignment CTE chain — ONE definition
+    * shared by the ml04 and e06 oracles, so the two entries can never
+    * assert against divergent clusterings: same quantization, same
+    * packed argmin, same floored integer means (`//`-free: floor of a
+    * correctly rounded double division, identical to Spark's). Ends at
+    * `a2` = the final (vec_id, qv, cell) assignment. */
+  private val assignCte =
+    """WITH q AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
             FROM embeddings),
           dims AS (SELECT UNNEST(generate_series(1, 64)) AS i),
@@ -146,7 +196,10 @@ object Cluster {
                              - 2*list_dot_product(v.qv, c.cv)
                              + list_dot_product(c.cv, c.cv)) * 8 + c.cell) % 8
                         AS BIGINT) AS cell
-                 FROM q v, c1 c GROUP BY v.vec_id, v.qv),
+                 FROM q v, c1 c GROUP BY v.vec_id, v.qv)"""
+
+  val oracles: Map[String, String] = Map(
+    "ml04_kmeans" -> (assignCte + """,
           c2 AS (SELECT cell, list(comp ORDER BY i) AS cv FROM (
                    SELECT a2.cell, d.i,
                           CAST(floor(CAST(sum(a2.qv[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS comp
@@ -156,6 +209,19 @@ object Cluster {
                  CAST(sum(a2.vec_id) AS BIGINT) AS sum_vec_id,
                  CAST(max(list_sum(c2.cv)) AS BIGINT) AS cent_sum
           FROM a2 JOIN c2 USING (cell)
-          GROUP BY a2.cell""",
+          GROUP BY a2.cell"""),
+    // within-cluster pairwise only (equi-join on cell), cosine as the
+    // same fixed IEEE expression as the Spark side; prune any vector
+    // with a lower-id near-dup in its cluster, survivors pass through.
+    "e06_semantic_dedup" -> (assignCte + """,
+          scored AS (SELECT x.vec_id AS va, y.vec_id AS vb,
+                       CAST(list_dot_product(x.qv, y.qv) AS DOUBLE)
+                       / (sqrt(CAST(list_dot_product(x.qv, x.qv) AS DOUBLE))
+                          * sqrt(CAST(list_dot_product(y.qv, y.qv) AS DOUBLE))) AS cos
+                     FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+          pruned AS (SELECT DISTINCT vb FROM scored WHERE cos >= 0.3)
+          SELECT a2.vec_id, a2.cell
+          FROM a2 LEFT JOIN pruned ON a2.vec_id = pruned.vb
+          WHERE pruned.vb IS NULL"""),
   )
 }

@@ -187,4 +187,30 @@ class SimilaritySpec extends SparkSpec {
     // unrelated mixed-hash vectors are near-orthogonal: none may pass 0.9
     assert(pairs == Set((1L, 2L)), s"false near-dups: ${pairs - ((1L, 2L))}")
   }
+
+  test("e06: semantic dedup prunes exactly the lower-id-near-dup closure, independently re-derived") {
+    import graft.ml.Cluster
+    val emb = TextSim.spread(graft.core.Tables.embeddings(spark, sfDir))
+    val survivors = Cluster.semanticDedup(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent local re-derivation over the same Lloyd assignment:
+    // same quantized arithmetic, plain Scala loops instead of a join
+    val rows = Cluster.assignDF(emb).select("vec_id", "qv", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val prunedLocal = rows.filter { case (v, qv, cell) =>
+      rows.exists { case (u, qu, cu) => cu == cell && u < v && cos(qu, qv) >= 0.3 }
+    }.map(_._1).toSet
+    val all = rows.map(_._1).toSet
+    assert(prunedLocal.nonEmpty && prunedLocal.size < all.size,
+      s"degenerate fixture: ${prunedLocal.size} of ${all.size} pruned")
+    assert(survivors.keySet == all -- prunedLocal,
+      s"survivor set mismatch: extra=${survivors.keySet -- (all -- prunedLocal)} missing=${(all -- prunedLocal) -- survivors.keySet}")
+    rows.foreach { case (v, _, c) =>
+      survivors.get(v).foreach(sc => assert(sc == c, s"vec $v cell drifted $c -> $sc")) }
+  }
 }

@@ -3,12 +3,15 @@
 run graft.Verify first (writes <out>/<name>/ parquet + oracle_sql.json),
 then compare each result against DuckDB on the same tables.
 
-Usage: python3 tools/local_verify.py <sfDir> <outDir>
+Usage: python3 tools/local_verify.py <sfDir> <outDir> [name ...]
+Optional names restrict the comparison (pair with the same restriction
+on graft.Verify for fast single-entry iteration).
 """
 import sys, json, glob, os
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
@@ -19,6 +22,8 @@ for t in ["region","nation","customer","supplier","part","orders",
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 ok, bad = [], []
 for name, sql in sorted(oracles.items()):
+    if only and name not in only:
+        continue
     res_glob = glob.glob(f"{outdir}/{name}/*.parquet")
     if not res_glob:
         bad.append((name, "NO RESULT PARQUET"))
