@@ -447,6 +447,51 @@ object TextOps {
         when(col("n_bad") * 10 > col("n_tokens"), 0).otherwise(1))
   }
 
+  /** t25: cross-document chunk-level exact dedup — the CCNet/RefinedWeb
+    * "line dedup" pass that strips boilerplate repeated across pages,
+    * at sub-document granularity (t05 dedups whole docs; this dedups
+    * their 10-word chunks). Every distinct chunk keeps exactly ONE
+    * occurrence — the (doc_id, cid)-minimal one — and each document is
+    * reassembled from its surviving chunks in order. Output per
+    * surviving doc: total/kept chunk counts and the md5 of the
+    * reassembled body (content-verifies the rewrite, t17/t24 style);
+    * fully-pruned duplicate docs drop out of the result.
+    *
+    * Distributed shape, in passes over the corpus: (1) map-only chunk
+    * construction — stage the word array (the t22 lesson), explode a
+    * cid sequence, slice + join, md5; (2) the owner election groupBy
+    * ships ONLY (16-byte digest, packed id) — the t05 contract: text
+    * never rides the dedup exchange; (3) owners join back to the chunk
+    * rows on digest (shuffled equi-join — both sides are corpus-sized,
+    * AQE picks the strategy) and survivors reassemble with one groupBy
+    * on doc_id. Two text-bearing exchanges total, both unavoidable for
+    * a reassembling rewrite; the election itself stays digest-only, so
+    * at 100 TB the skew/width risk sits in the joins Catalyst already
+    * handles, never in a custom path. */
+  def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    val chunks = TextSim.spread(Tables.documents(s, d))
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        expr("(size(ws)+9) div 10").cast("long").as("n_chunks"))
+      .select(col("doc_id"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("cid"), col("ws"))
+      .select(col("doc_id"), col("n_chunks"), col("cid"),
+        array_join(slice(col("ws"), (col("cid") * 10 + 1).cast("int"), lit(10)), " ")
+          .as("chunk"))
+      .withColumn("h", md5(col("chunk")))
+      .withColumn("pack", col("doc_id") * 1000000L + col("cid"))
+    val owners = chunks.groupBy(col("h")).agg(min(col("pack")).as("owner"))
+    chunks.join(owners, "h")
+      .filter(col("pack") === col("owner"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_chunks")).as("n_chunks"),
+           count(lit(1)).as("n_kept"),
+           md5(array_join(
+             transform(array_sort(collect_list(struct(col("cid"), col("chunk")))),
+               x => x.getField("chunk")), " ")).as("kept_md5"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
@@ -467,6 +512,7 @@ object TextOps {
     "t22_repetition"   -> (repetitionScore _),
     "t23_decontaminate" -> (decontaminate _),
     "t24_denylist"     -> (denylistScrub _),
+    "t25_chunk_dedup"  -> (chunkDedup _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -668,5 +714,24 @@ object TextOps {
                           > len(ws)
                      THEN 0 ELSE 1 END AS keep
          FROM d""",
+    // same chunking (10-word slices of the space-split array), same
+    // packed owner election, same ordered reassembly fingerprint.
+    "t25_chunk_dedup" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents WHERE length(text) > 0),
+         ids AS (SELECT doc_id, ws,
+                        CAST(ceil(len(ws)/10.0) AS BIGINT) AS n_chunks,
+                        UNNEST(generate_series(0, CAST(ceil(len(ws)/10.0) AS BIGINT) - 1)) AS cid
+                 FROM ws),
+         ch AS (SELECT doc_id, cid, n_chunks,
+                       array_to_string(ws[CAST(cid*10+1 AS BIGINT) : CAST(cid*10+10 AS BIGINT)], ' ') AS chunk
+                FROM ids),
+         owners AS (SELECT md5(chunk) AS h, min(doc_id*1000000+cid) AS owner
+                    FROM ch GROUP BY 1)
+         SELECT doc_id, max(n_chunks) AS n_chunks, count(*) AS n_kept,
+                md5(string_agg(chunk, ' ' ORDER BY cid)) AS kept_md5
+         FROM ch JOIN owners o
+           ON md5(ch.chunk) = o.h AND ch.doc_id*1000000 + ch.cid = o.owner
+         GROUP BY doc_id""",
   )
 }

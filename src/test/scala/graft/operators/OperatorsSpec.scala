@@ -146,4 +146,35 @@ class OperatorsSpec extends SparkSpec {
         s"$flag: sampled p50 $p50s drifted >15% from exact $p50")
     }
   }
+
+  test("t25 chunk dedup: every distinct chunk keeps exactly one owner, re-derived locally") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).filter(_._2.nonEmpty)
+    // local re-derivation with plain maps: chunk -> minimal (doc, cid)
+    val localChunks = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).grouped(10).zipWithIndex
+        .map { case (w, ci) => (id, ci.toLong, w.mkString(" ")) }
+    }
+    val owner = localChunks.groupBy(_._3).map { case (c, occ) =>
+      c -> occ.map { case (id, ci, _) => id * 1000000L + ci }.min }
+    val keptLocal = localChunks
+      .filter { case (id, ci, c) => owner(c) == id * 1000000L + ci }
+      .groupBy(_._1).map { case (id, ks) =>
+        id -> (ks.length.toLong,
+               ks.sortBy(_._2).map(_._3).mkString(" ")) }
+    val out = TextOps.chunkDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == keptLocal.keySet,
+      s"surviving doc sets differ: ${out.keySet.size} vs ${keptLocal.keySet.size}")
+    val dropped = localChunks.length - keptLocal.values.map(_._1).sum
+    assert(dropped > 0, "degenerate fixture: no cross-doc duplicate chunks")
+    keptLocal.foreach { case (id, (nKept, body)) =>
+      val (_, k, fp) = out(id)
+      assert(k == nKept, s"doc $id kept $k != local $nKept")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(fp == md, s"doc $id reassembled body fingerprint mismatch")
+    }
+  }
 }
