@@ -492,6 +492,56 @@ object TextOps {
                x => x.getField("chunk")), " ")).as("kept_md5"))
   }
 
+  /** t26: the corpus filter funnel — the composed keep/drop chain every
+    * production corpus build runs before training (the Gopher/RefinedWeb
+    * rule cascade), fused into ONE scan with attrition accounting.
+    * Three sequential stages reuse this file's signal definitions:
+    * quality (t03's alphabetic density, integer-cut alpha*10 >= len*6,
+    * plus a 40-token floor), language evidence (t10's function-word
+    * hits: >= 2 English stopword occurrences), and repetition (t22's
+    * duplicate-shingle share at bigram granularity: > 5% duplicate
+    * word-2-grams drops the doc). Output is the one-row attrition /
+    * token-yield report — docs and tokens surviving each stage, the
+    * numbers a pipeline owner actually tracks across a 100 TB build.
+    *
+    * Distributed shape: every signal evaluates in one fused projection
+    * over the shared staged word array (the t22 staging lesson — ws is
+    * materialized once, each signal reads the attribute), the partial
+    * aggregate combines map-side, and exactly six longs cross the
+    * single exchange. No join, no per-doc shuffle, nothing text-bearing
+    * leaves the scan stage — at any corpus size this is a map-only
+    * sweep with a scalar reduce. All cuts are integer arithmetic (never
+    * a rounded-float compare), so the oracle hash-match is exact by
+    * construction. */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    val nw = size(col("ws"))
+    val sig = TextSim.spread(Tables.documents(s, d))
+      .select(col("text"), TextSim.words(col("text")).as("ws"))
+      .select(
+        length(col("text")).as("len"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("alpha"),
+        tokenCount(col("text")).cast("long").as("ntok"),
+        nw.as("nw"),
+        size(filter(col("ws"), w => w.isin(langSets.head._2: _*))).as("hits_en"),
+        when(nw >= 2, nw - 1).otherwise(0).as("n2"),
+        when(nw >= 2, size(array_distinct(TextSim.shingles(col("ws"), 2))))
+          .otherwise(0).as("nd2"))
+    sig.select(
+      col("ntok"),
+      when(col("alpha") * 10 >= col("len") * 6 && col("ntok") >= 40, 1L)
+        .otherwise(0L).as("q"),
+      when(col("hits_en") >= 2, 1L).otherwise(0L).as("l"),
+      when(col("nw") < 2 || (col("n2") - col("nd2")) * 20 <= col("n2"), 1L)
+        .otherwise(0L).as("r"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("q")).as("n_quality"),
+        sum(col("q") * col("l")).as("n_quality_lang"),
+        sum(col("q") * col("l") * col("r")).as("n_pass"),
+        sum(col("ntok")).as("tokens_total"),
+        sum(col("ntok") * col("q") * col("l") * col("r")).as("tokens_kept"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
@@ -513,6 +563,7 @@ object TextOps {
     "t23_decontaminate" -> (decontaminate _),
     "t24_denylist"     -> (denylistScrub _),
     "t25_chunk_dedup"  -> (chunkDedup _),
+    "t26_filter_funnel" -> (filterFunnel _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -733,5 +784,35 @@ object TextOps {
          FROM ch JOIN owners o
            ON md5(ch.chunk) = o.h AND ch.doc_id*1000000 + ch.cid = o.owner
          GROUP BY doc_id""",
+    // same signals as the t03/t10/t22 oracles, same integer cuts, same
+    // sequential funnel; sums CAST to BIGINT (DuckDB int-sum is HUGEINT).
+    "t26_filter_funnel" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+                  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+           FROM documents),
+         f AS (
+           SELECT length(text) AS len,
+                  length(regexp_replace(text,'[^a-zA-Z]','','g')) AS alpha,
+                  len(regexp_extract_all(text,'\S+')) AS ntok,
+                  len(ws) AS nw,
+                  len(list_filter(ws, w -> w IN ('the','a','and','of','in'))) AS hits_en,
+                  CASE WHEN len(ws)>=2 THEN len(ws)-1 ELSE 0 END AS n2,
+                  CASE WHEN len(ws)>=2 THEN len(list_distinct([ws[i]||' '||ws[i+1]
+                         for i in generate_series(1, len(ws)-1)])) ELSE 0 END AS nd2
+           FROM d),
+         k AS (
+           SELECT ntok,
+                  CASE WHEN alpha*10 >= len*6 AND ntok >= 40 THEN 1 ELSE 0 END AS q,
+                  CASE WHEN hits_en >= 2 THEN 1 ELSE 0 END AS l,
+                  CASE WHEN nw < 2 OR (n2 - nd2)*20 <= n2 THEN 1 ELSE 0 END AS r
+           FROM f)
+         SELECT count(*) AS n_total,
+                CAST(sum(q) AS BIGINT) AS n_quality,
+                CAST(sum(q*l) AS BIGINT) AS n_quality_lang,
+                CAST(sum(q*l*r) AS BIGINT) AS n_pass,
+                CAST(sum(ntok) AS BIGINT) AS tokens_total,
+                CAST(sum(ntok*q*l*r) AS BIGINT) AS tokens_kept
+         FROM k""",
   )
 }

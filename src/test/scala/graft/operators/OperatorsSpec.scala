@@ -177,4 +177,36 @@ class OperatorsSpec extends SparkSpec {
       assert(fp == md, s"doc $id reassembled body fingerprint mismatch")
     }
   }
+
+  test("t26 filter funnel matches a local re-derivation and has real attrition") {
+    val texts = graft.core.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val en = Set("the", "a", "and", "of", "in")
+    var (nT, nQ, nQL, nP, tokT, tokK) = (0L, 0L, 0L, 0L, 0L, 0L)
+    texts.foreach { t =>
+      val len = t.length
+      val alpha = t.count(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+      val ntok = "\\S+".r.findAllIn(t).length.toLong
+      val ws = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
+      val q = alpha * 10 >= len * 6 && ntok >= 40
+      val l = ws.count(en) >= 2
+      val r = ws.length < 2 || {
+        val n2 = ws.length - 1
+        val nd2 = ws.sliding(2).map(_.mkString(" ")).toSet.size
+        (n2 - nd2) * 20 <= n2
+      }
+      nT += 1; tokT += ntok
+      if (q) nQ += 1
+      if (q && l) nQL += 1
+      if (q && l && r) { nP += 1; tokK += ntok }
+    }
+    val row = TextOps.filterFunnel(spark, sfDir).collect().head
+    assert(row.getLong(0) == nT && row.getLong(1) == nQ &&
+           row.getLong(2) == nQL && row.getLong(3) == nP,
+      s"funnel counts ${row.toSeq.take(4)} != local ($nT,$nQ,$nQL,$nP)")
+    assert(row.getLong(4) == tokT && row.getLong(5) == tokK,
+      s"token yield (${row.getLong(4)},${row.getLong(5)}) != local ($tokT,$tokK)")
+    assert(nP < nQL && nQL < nQ && nQ < nT,
+      s"degenerate fixture: a funnel stage dropped nothing ($nT,$nQ,$nQL,$nP)")
+  }
 }
