@@ -89,6 +89,32 @@ class PlanAuditSpec extends SparkSpec {
       s"nation/customer dims must broadcast:\n$plan")
   }
 
+  test("t26 funnel: map-only scan into a scalar reduce — no keyed exchange anywhere") {
+    val plan = planString(run("t26_filter_funnel"))
+    val keyed = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") ||
+                   l.contains("Exchange rangepartitioning")).toList
+    assert(keyed.isEmpty,
+      s"funnel signals must fuse into the scan; keyed exchange found:\n${keyed.mkString("\n")}\n$plan")
+    val lines = plan.linesIterator.toVector
+    val singleIdx = lines.indexWhere(_.contains("Exchange SinglePartition"))
+    val partialIdx = lines.indexWhere(_.contains("partial_"))
+    assert(singleIdx >= 0 && partialIdx > singleIdx,
+      s"six-long partial aggregate must combine map-side below the scalar exchange:\n$plan")
+  }
+
+  test("t25 chunk dedup: the owner election combines map-side and keys by digest only") {
+    val plan = planString(run("t25_chunk_dedup"))
+    assert(plan.contains("partial_min"),
+      s"owner election lost its map-side partial_min combine:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning(h#")),
+      s"election must shuffle on the md5 digest, not on text:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning(doc_id#")),
+      s"reassembly must shuffle on doc_id:\n$plan")
+  }
+
   test("global sweep: no entry plans a cartesian product or nested-loop join") {
     // Every gate entry's plan, one regression gate: an accidental cross
     // join (dropped join condition, non-equi rewrite gone wrong) is the
