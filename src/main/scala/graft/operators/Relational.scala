@@ -492,6 +492,35 @@ object Relational {
               col("gid").cast("long").as("gid"),
               col("n_rows"), col("sum_qty"), col("sum_cents"))
 
+  /** q35: batch sessionization — the gap-based session assignment st02
+    * does with streaming state, expressed as pure window algebra over
+    * the complete history (the form a backfill or training-data
+    * conversation-threading job takes): lag the per-user event times,
+    * flag gaps > 24 h as session breaks, running-sum the break flags
+    * into session ids, then aggregate each (user, session).
+    *
+    * Scale shape: ONE exchange total. Both windows share the same
+    * (partition, order) so Catalyst plans a single hashpartitioning
+    * (user_id) shuffle and a single sort; the final (user_id, sid)
+    * aggregation's clustering requirement is satisfied by the existing
+    * user_id partitioning (subset rule), so it runs in place — the
+    * session roll-up adds no second shuffle at any scale. Epoch-seconds
+    * integer domain end to end (the q24/q26 timestamp contract). */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("t"))
+      .withColumn("brk",
+        when(lag(col("t"), 1).over(w).isNull ||
+               col("t") - lag(col("t"), 1).over(w) > 86400L, 1L).otherwise(0L))
+      .withColumn("sid",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("t")).as("t_start"),
+           max(col("t")).as("t_end"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_project_filter"    -> (projectFilter _),
@@ -527,6 +556,7 @@ object Relational {
     "q32_approx_quantiles"  -> (approxQuantiles _),
     "q33_json_extract"      -> (jsonExtract _),
     "q34_cube"              -> (cubeSummary _),
+    "q35_sessionize"        -> (sessionize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -762,5 +792,24 @@ object Relational {
                 CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM lineitem
          GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    // same break rule, same (t, event_id) tie-broken ordering; the
+    // window sum is HUGEINT in DuckDB -> CAST sid to BIGINT.
+    "q35_sessionize" ->
+      """WITH e AS (
+           SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events),
+         d AS (
+           SELECT user_id, event_id, t,
+                  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 86400
+                       THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         s AS (
+           SELECT user_id, t,
+                  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+           FROM d)
+         SELECT user_id, sid, count(*) AS n_events,
+                min(t) AS t_start, max(t) AS t_end
+         FROM s GROUP BY 1, 2""",
   )
 }

@@ -115,6 +115,17 @@ class PlanAuditSpec extends SparkSpec {
       s"reassembly must shuffle on doc_id:\n$plan")
   }
 
+  test("q35 sessionize: one exchange serves both windows AND the session roll-up") {
+    val plan = planString(run("q35_sessionize"))
+    val keyed = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") ||
+      l.contains("Exchange rangepartitioning")).toList
+    assert(keyed.size == 1,
+      s"sessionize must shuffle exactly once (user_id); found ${keyed.size}:\n${keyed.mkString("\n")}\n$plan")
+    assert(keyed.head.contains("user_id"),
+      s"the single exchange must key on user_id:\n${keyed.head}")
+  }
+
   test("global sweep: no entry plans a cartesian product or nested-loop join") {
     // Every gate entry's plan, one regression gate: an accidental cross
     // join (dropped join condition, non-equi rewrite gone wrong) is the
