@@ -139,11 +139,98 @@ object MultiModal {
     Similarity.bruteKnn(emb, emb.filter(col("vec_id") % 20 === 0), 1)
   }
 
+  /** Non-linear byte mix for the near-dup fixture: one LCG round then
+    * TWO quadratic residue rounds. The plain LCG's outputs differ by a
+    * CONSTANT stride mod p, so gradient-sign signatures of unrelated
+    * assets come out heavily correlated (measured: 12.8% of all pairs
+    * within Hamming 6); one square still leaks pairs whose asset-stride
+    * multiple lands near 0 mod p (measured: gap-130 assets at Hamming
+    * <= 6), the second square kills the residual. Max intermediate
+    * (2^31)^2 + 2^31 fits a 64-bit signed integer in both engines — no
+    * overflow, no wraparound mismatch. */
+  @inline private def mixByte(idx: Long): Int = {
+    val y = (idx * 1103515245L + 99L) % 2147483647L
+    val z = (y * y + y) % 2147483647L
+    ((z * z + z) % 2147483647L % 256L).toInt
+  }
+
+  /** Synthetic assets with planted near-duplicates: every 6th asset is a
+    * "re-encode" of its predecessor — same bytes, except positions
+    * t%13==7 bumped +1 mod 256 (a lossy-codec stand-in). Everything else
+    * is fresh mixByte noise. */
+  def perturbedAssets(s: SparkSession, n: Long): DataFrame = {
+    import s.implicits._
+    s.range(n).map { i =>
+      val src: Long = if (i % 6 == 5) i - 1 else i
+      val len = 64 + (src % 32).toInt
+      val bytes = Array.tabulate(len) { t =>
+        val b = mixByte(src * 64L + t)
+        (if (i % 6 == 5 && t % 13 == 7) (b + 1) % 256 else b).toByte
+      }
+      (i, Kinds((i % 3).toInt), bytes)
+    }.toDF("asset_id", "kind", "payload")
+  }
+
+  /** 56-bit dHash-style perceptual signature: bit (t-4) set iff byte
+    * t+1 > byte t over body positions 4..59 (gradient-sign hashing —
+    * the dHash recipe, with adjacent payload bytes standing in for
+    * adjacent downscaled pixels). Batched mapPartitions like the other
+    * codec stubs; a real pHash swaps the byte comparison for a DCT and
+    * changes no plan shape. */
+  def dhashSigs(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          def u(b: Byte): Int = b & 0xff
+          var sig = 0L; var t = 4
+          while (t < 60) {
+            if (u(bytes(t + 1)) > u(bytes(t))) sig |= 1L << (t - 4)
+            t += 1
+          }
+          (id, sig)
+        }
+      }.toDF("asset_id", "sig")
+  }
+
+  /** mm05: perceptual-hash near-duplicate detection over binary media —
+    * the image analog of e04's embedding near-dup and t07's text LSH:
+    * dHash signature per asset, banded 4×14 bits, candidate pairs via
+    * band equi-join, verified by Hamming distance <= 6 (bit_count of
+    * the XOR, codegen'd — never a pairwise scan).
+    *
+    * Scale shape: signatures are 8 bytes/asset, so the join inputs are
+    * ~1e-6 of the blob corpus; the blobs themselves never shuffle (the
+    * module contract). Band cardinality (16,384 per band) bounds bucket
+    * sizes; candidate count is sum of C(bucket,2) — the same
+    * skew-vs-recall knob as t07, tuned by band width. */
+  def phashNearDup(s: SparkSession, d: String): DataFrame = {
+    val sigs = dhashSigs(perturbedAssets(s, 240))
+    val bands = sigs.select(col("asset_id"), col("sig"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("bk"),
+               expr(s"shiftright(sig, ${14 * k}) & 16383").as("bv"))): _*)).as("band"))
+      .select(col("asset_id"), col("sig"), col("band.bk"), col("band.bv"))
+    val lhs = bands.select(col("asset_id").as("a_id"), col("sig").as("sig_a"),
+                           col("bk"), col("bv"))
+    val rhs = bands.select(col("asset_id").as("b_id"), col("sig").as("sig_b"),
+                           col("bk"), col("bv"))
+    lhs.join(rhs, Seq("bk", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+              expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+  }
+
+  def phashQuery(s: SparkSession, d: String): DataFrame = phashNearDup(s, d)
+
   val queries: Map[String, Q] = Map(
     "mm01_decode_meta"  -> (decodeQuery _),
     "mm02_frame_sample" -> (framesQuery _),
     "mm03_resize"       -> (resizeQuery _),
     "mm04_hist_knn"     -> (histKnnQuery _),
+    "mm05_phash_neardup" -> (phashQuery _),
   )
 
   private val byteSql = "(((B)*1103515245+99)%2147483647)%256"
@@ -197,5 +284,37 @@ object MultiModal {
                    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
             FROM pairs) t
           WHERE rank <= 1""",
+    // same mixByte bytes + perturbation rule, same 56-bit gradient-sign
+    // signature, same 4x14 banding and Hamming cut; the sum of shifted
+    // bits is HUGEINT -> CAST sig to BIGINT before banding.
+    "mm05_phash_neardup" ->
+      s"""WITH ids AS (SELECT r.range AS i FROM range(240) r),
+          yv AS (
+            SELECT i, g.t,
+                   (((CASE WHEN i%6=5 THEN i-1 ELSE i END)*64+g.t)*1103515245+99)
+                     % 2147483647 AS y
+            FROM ids CROSS JOIN (SELECT unnest(generate_series(4, 60)) AS t) g),
+          zv AS (SELECT i, t, (y*y+y) % 2147483647 AS z FROM yv),
+          bt AS (
+            SELECT i, t,
+                   CASE WHEN i%6=5 AND t%13=7
+                        THEN ((z*z+z) % 2147483647 % 256 + 1) % 256
+                        ELSE (z*z+z) % 2147483647 % 256 END AS b
+            FROM zv),
+          sig AS (
+            SELECT cb.i,
+                   CAST(sum(CASE WHEN nb.b > cb.b
+                                 THEN CAST(1 AS BIGINT) << CAST(cb.t - 4 AS INT)
+                                 ELSE 0 END) AS BIGINT) AS sig
+            FROM bt cb JOIN bt nb ON nb.i = cb.i AND nb.t = cb.t + 1
+            WHERE cb.t BETWEEN 4 AND 59
+            GROUP BY 1),
+          bands AS (
+            SELECT i, sig, kk.k, (sig >> CAST(14*kk.k AS INT)) & 16383 AS bv
+            FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) kk)
+          SELECT DISTINCT a.i AS a_id, b.i AS b_id,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.i < b.i
+          WHERE bit_count(xor(a.sig, b.sig)) <= 6""",
   )
 }

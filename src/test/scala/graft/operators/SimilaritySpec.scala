@@ -213,4 +213,36 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach { case (v, _, c) =>
       survivors.get(v).foreach(sc => assert(sc == c, s"vec $v cell drifted $c -> $sc")) }
   }
+
+  test("mm05 phash near-dup finds exactly the planted re-encode pairs, re-derived locally") {
+    // local re-derivation of the full pipeline: bytes -> dHash -> bands
+    // -> candidate pairs -> Hamming cut (mirrors the operator's spec)
+    def mix(idx: Long): Int = {
+      val y = (idx * 1103515245L + 99L) % 2147483647L
+      val z = (y * y + y) % 2147483647L
+      ((z * z + z) % 2147483647L % 256L).toInt
+    }
+    val n = 240
+    val sigs = (0 until n).map { i =>
+      val src = if (i % 6 == 5) i - 1 else i
+      def byteAt(t: Int): Int = {
+        val b = mix(src * 64L + t)
+        if (i % 6 == 5 && t % 13 == 7) (b + 1) % 256 else b
+      }
+      var sig = 0L
+      (4 until 60).foreach(t => if (byteAt(t + 1) > byteAt(t)) sig |= 1L << (t - 4))
+      i.toLong -> sig
+    }
+    val expect = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if (0 until 4).exists(k => ((sa >> (14 * k)) & 16383) == ((sb >> (14 * k)) & 16383))
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 6
+    } yield (a, b, h.toLong)).toSet
+    val planted = (5 until n by 6).map(i => (i - 1).toLong -> i.toLong).toSet
+    assert(expect.map(p => (p._1, p._2)) == planted,
+      "fixture must plant exactly the 40 re-encode pairs and no LCG-artifact pairs")
+    val got = MultiModal.phashNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"pair set mismatch: extra=${got -- expect} missing=${expect -- got}")
+  }
 }
