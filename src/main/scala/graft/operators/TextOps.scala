@@ -542,6 +542,59 @@ object TextOps {
         sum(col("ntok") * col("q") * col("l") * col("r")).as("tokens_kept"))
   }
 
+  /** t27: skew-stress chunk dedup — t25 under the one realistic 100 TB
+    * failure mode the plain gate never exercises: a boilerplate chunk
+    * shared by a large fraction of the corpus (cookie banners, nav
+    * headers — CCNet's motivating case). A fixed 10-word banner is
+    * planted at the head of ~30 % of docs (doc_id % 10 < 3,
+    * deterministic), so ONE digest owns ~30 % of the chunk rows — a
+    * textbook hot key.
+    *
+    * Why this survives the hot key, structurally (not via AQE rescue):
+    *  - The owner election is groupBy(h).min(pack) — `min` combines
+    *    map-side (partial_min), so the hot digest ships at most one
+    *    partial row per map partition; reduce-side width is bounded by
+    *    P regardless of the key's row share.
+    *  - t25 joins owners back on the digest ALONE and filters — the
+    *    shape that straggles here, because every planted row hashes to
+    *    the hot digest's one partition. t27 instead joins on the
+    *    COMPOSITE key (h, pack): the owner row is itself an (h, pack)
+    *    pair, so the equi-join can carry both columns, every join key
+    *    is unique on both sides, and the hot digest's rows fan out
+    *    across the full hash space. Skew is eliminated by key
+    *    construction — no salting pass, no reliance on
+    *    spark.sql.adaptive.skewJoin splitting an oversized partition
+    *    after the fact (that stays on as the safety net it should be).
+    * Non-owner planted docs lose exactly their banner chunk; the banner
+    * survives once globally, in the minimal (doc_id, cid). Output and
+    * reassembly fingerprint are t25's, over the planted corpus. */
+  def skewChunkDedup(s: SparkSession, d: String): DataFrame = {
+    val banner = "click here to accept cookies and continue to the site"
+    val chunks = TextSim.spread(Tables.documents(s, d))
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 < 3, concat(lit(banner + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        expr("(size(ws)+9) div 10").cast("long").as("n_chunks"))
+      .select(col("doc_id"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("cid"), col("ws"))
+      .select(col("doc_id"), col("n_chunks"), col("cid"),
+        array_join(slice(col("ws"), (col("cid") * 10 + 1).cast("int"), lit(10)), " ")
+          .as("chunk"))
+      .withColumn("h", md5(col("chunk")))
+      .withColumn("pack", col("doc_id") * 1000000L + col("cid"))
+    val owners = chunks.groupBy(col("h")).agg(min(col("pack")).as("pack"))
+    chunks.join(owners, Seq("h", "pack"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_chunks")).as("n_chunks"),
+           count(lit(1)).as("n_kept"),
+           md5(array_join(
+             transform(array_sort(collect_list(struct(col("cid"), col("chunk")))),
+               x => x.getField("chunk")), " ")).as("kept_md5"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
@@ -564,6 +617,7 @@ object TextOps {
     "t24_denylist"     -> (denylistScrub _),
     "t25_chunk_dedup"  -> (chunkDedup _),
     "t26_filter_funnel" -> (filterFunnel _),
+    "t27_skew_dedup"   -> (skewChunkDedup _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -814,5 +868,28 @@ object TextOps {
                 CAST(sum(ntok) AS BIGINT) AS tokens_total,
                 CAST(sum(ntok*q*l*r) AS BIGINT) AS tokens_kept
          FROM k""",
+    // t25's chunking/election/reassembly over the banner-planted corpus
+    // (same deterministic 30% plant, same packed owner election).
+    "t27_skew_dedup" ->
+      """WITH src AS (SELECT doc_id,
+                             CASE WHEN doc_id % 10 < 3
+                                  THEN 'click here to accept cookies and continue to the site ' || text
+                                  ELSE text END AS text
+                      FROM documents WHERE length(text) > 0),
+         ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM src),
+         ids AS (SELECT doc_id, ws,
+                        CAST(ceil(len(ws)/10.0) AS BIGINT) AS n_chunks,
+                        UNNEST(generate_series(0, CAST(ceil(len(ws)/10.0) AS BIGINT) - 1)) AS cid
+                 FROM ws),
+         ch AS (SELECT doc_id, cid, n_chunks,
+                       array_to_string(ws[CAST(cid*10+1 AS BIGINT) : CAST(cid*10+10 AS BIGINT)], ' ') AS chunk
+                FROM ids),
+         owners AS (SELECT md5(chunk) AS h, min(doc_id*1000000+cid) AS owner
+                    FROM ch GROUP BY 1)
+         SELECT doc_id, max(n_chunks) AS n_chunks, count(*) AS n_kept,
+                md5(string_agg(chunk, ' ' ORDER BY cid)) AS kept_md5
+         FROM ch JOIN owners o
+           ON md5(ch.chunk) = o.h AND ch.doc_id*1000000 + ch.cid = o.owner
+         GROUP BY doc_id""",
   )
 }

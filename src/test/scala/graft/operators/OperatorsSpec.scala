@@ -178,6 +178,50 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t27 skew dedup: planted hot digest owns ~30% of docs; every doc still reassembles exactly") {
+    val banner = "click here to accept cookies and continue to the site"
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).filter(_._2.nonEmpty)
+      .map { case (id, t) => id -> (if (id % 10 < 3) banner + " " + t else t) }
+    // the planted corpus really is skewed: one digest on ~30% of docs
+    val nPlanted = docs.count(_._1 % 10 < 3)
+    assert(nPlanted * 10 >= docs.length * 2 && nPlanted * 10 <= docs.length * 4,
+      s"plant rate off: $nPlanted of ${docs.length}")
+    val localChunks = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).grouped(10).zipWithIndex
+        .map { case (w, ci) => (id, ci.toLong, w.mkString(" ")) }
+    }
+    val hot = localChunks.count(_._3 == banner)
+    assert(hot == nPlanted, s"banner chunk occurs $hot times, expected $nPlanted")
+    val owner = localChunks.groupBy(_._3).map { case (c, occ) =>
+      c -> occ.map { case (id, ci, _) => id * 1000000L + ci }.min }
+    val keptLocal = localChunks
+      .filter { case (id, ci, c) => owner(c) == id * 1000000L + ci }
+      .groupBy(_._1).map { case (id, ks) =>
+        id -> (ks.length.toLong, ks.sortBy(_._2).map(_._3).mkString(" ")) }
+    val out = TextOps.skewChunkDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == keptLocal.keySet,
+      s"surviving doc sets differ: ${out.keySet.size} vs ${keptLocal.keySet.size}")
+    keptLocal.foreach { case (id, (nKept, body)) =>
+      val (_, k, fp) = out(id)
+      assert(k == nKept, s"doc $id kept $k != local $nKept")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(fp == md, s"doc $id reassembled body fingerprint mismatch")
+    }
+    // the banner survives exactly once globally: its owner keeps it, every
+    // other planted doc loses exactly that chunk from its reassembled body
+    val bannerOwnerDoc = owner(banner) / 1000000L
+    assert(keptLocal(bannerOwnerDoc)._2.startsWith(banner))
+    docs.collect { case (id, _) if id % 10 < 3 && id != bannerOwnerDoc => id }
+      .foreach { id =>
+        keptLocal.get(id).foreach { case (_, body) =>
+          assert(!body.startsWith(banner), s"doc $id kept a non-owner banner copy") }
+      }
+  }
+
   test("t26 filter funnel matches a local re-derivation and has real attrition") {
     val texts = graft.core.Tables.documents(spark, sfDir)
       .select("text").collect().map(_.getString(0))

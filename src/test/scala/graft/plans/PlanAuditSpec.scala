@@ -115,6 +115,23 @@ class PlanAuditSpec extends SparkSpec {
       s"reassembly must shuffle on doc_id:\n$plan")
   }
 
+  test("t27 skew dedup: election combines map-side; join-back carries the composite (h, pack) key") {
+    val plan = planString(run("t27_skew_dedup"))
+    // hot-digest election width is bounded by partial_min map-side combine
+    assert(plan.contains("partial_min"),
+      s"owner election lost its map-side partial_min combine:\n$plan")
+    // the join back must key on BOTH digest and packed id — the composite
+    // key is what fans the hot digest's rows across the hash space; a
+    // refactor back to join-on-h-then-filter re-creates the straggler
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("Join") && l.contains("h#") && l.contains("pack#"))
+    assert(joinLine.isDefined,
+      s"join-back must equi-join on (h, pack), not digest alone:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Join") && l.contains("h#") && !l.contains("pack#")),
+      s"found a digest-only join — hot-key straggler shape:\n$plan")
+  }
+
   test("q35 sessionize: one exchange serves both windows AND the session roll-up") {
     val plan = planString(run("q35_sessionize"))
     val keyed = plan.linesIterator.filter(l =>
