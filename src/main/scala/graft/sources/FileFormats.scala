@@ -213,12 +213,61 @@ object FileFormats {
            sum(col("event_id")).as("sum_ids"),
            countDistinct(col("user_id")).as("n_users"))
 
+  /** The event-type dimension for [[dynamicPrune]] — the small side a
+    * warehouse would keep as a dim table; inline literal rows here (the
+    * fixture has no such table) so the join is fully deterministic. */
+  private[graft] def typeDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("click", "engagement"), ("view", "engagement"),
+        ("purchase", "commerce"), ("signup", "commerce"),
+        ("error", "ops")).toDF("event_type", "category")
+  }
+
+  /** src06: DYNAMIC partition pruning — the runtime half of the layout
+    * discipline. src04 proves static pruning (a literal predicate on the
+    * partition column); here the fact predicate exists only through a
+    * join with a filtered dimension, so planning-time pruning is
+    * impossible — Spark instead injects a dynamicpruningexpression into
+    * the fact scan's PartitionFilters, reusing the dimension's broadcast
+    * as the IN-list subquery (asserted on the executed plan in
+    * PartitionPruneSpec). At 100 TB this is THE mechanism that turns
+    * "join facts to this quarter's dim slice" from a full-table scan
+    * into reading two partitions' directories; no query rewrite needed.
+    *
+    * The dim must be a real file-backed table (as in any warehouse): an
+    * inline literal relation gets constant-folded by
+    * ConvertToLocalRelation, the selective Filter disappears before the
+    * PartitionPruning rule runs, and no DPP subquery is ever planted —
+    * found the hard way, locked in by the spec. Oracle: the same
+    * aggregate with the dim semantics inlined as a WHERE IN on the
+    * unpartitioned source. */
+  def dynamicPrune(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("evdpp")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val dimPath = scratch("evdim")
+    typeDim(s).write.mode("overwrite").parquet(dimPath)
+    dppAggregate(s.read.parquet(tmp), s.read.parquet(dimPath))
+  }
+
+  /** The post-layout query, split out so the spec can assert the
+    * dynamicpruningexpression on the executed plan. */
+  private[graft] def dppAggregate(parts: DataFrame, dim: DataFrame): DataFrame =
+    parts.join(dim.filter(col("category") === "engagement"), Seq("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("cents")).as("sum_cents"),
+           sum(col("event_id")).as("sum_ids"),
+           countDistinct(col("user_id")).as("n_users"))
+
   val queries: Map[String, Q] = Map(
     "src01_csv_roundtrip"  -> (csvRoundtrip _),
     "src02_json_roundtrip" -> (jsonRoundtrip _),
     "src03_bucketed_join"  -> (bucketedJoin _),
     "src04_partition_prune" -> (partitionedPrune _),
     "src05_orc_roundtrip"  -> (orcRoundtrip _),
+    "src06_dynamic_prune"  -> (dynamicPrune _),
   )
 
   private val oracle =
@@ -243,5 +292,11 @@ object FileFormats {
                 CAST(sum(event_id) AS BIGINT) AS sum_ids,
                 count(DISTINCT user_id) AS n_users
          FROM events WHERE event_type = 'purchase'""",
+    "src06_dynamic_prune" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(sum(event_id) AS BIGINT) AS sum_ids,
+                count(DISTINCT user_id) AS n_users
+         FROM events WHERE event_type IN ('click', 'view')""",
   )
 }

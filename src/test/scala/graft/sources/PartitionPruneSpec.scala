@@ -26,6 +26,31 @@ class PartitionPruneSpec extends SparkSpec {
       s"pruned scan must only read the t1 partition, got: ${files.mkString(", ")}")
   }
 
+  test("src06 dim-join prunes fact partitions at RUNTIME via dynamicpruningexpression") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graftsrc06").toString
+    (1L to 300L).map(i => (i, i % 7, Seq("click", "view", "purchase", "signup",
+        "error")((i % 5).toInt), i * 10L))
+      .toDF("event_id", "user_id", "event_type", "cents")
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val dimTmp = java.nio.file.Files.createTempDirectory("graftsrc06d").toString
+    FileFormats.typeDim(spark).write.mode("overwrite").parquet(dimTmp)
+    val dim = spark.read.parquet(dimTmp)
+    val df = FileFormats.dppAggregate(spark.read.parquet(tmp), dim)
+    df.collect() // executed plan: DPP decision is made at runtime
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruningexpression PartitionFilter:\n$scan")
+    // and the pruned scan really reads only the two engagement partitions
+    val typed = spark.read.parquet(tmp)
+      .withColumn("f", input_file_name())
+      .join(dim.filter(col("category") === "engagement"), Seq("event_type"))
+      .select(col("f")).distinct().collect().map(_.getString(0))
+    assert(typed.nonEmpty && typed.forall(f =>
+        f.contains("event_type=click") || f.contains("event_type=view")),
+      s"runtime-pruned scan read beyond click/view: ${typed.mkString(", ")}")
+  }
+
   test("src04 pruned aggregate matches the unpartitioned equivalent") {
     val got = FileFormats.partitionedPrune(spark, sfDir).collect().head
     val want = graft.core.Tables.events(spark, sfDir)
