@@ -521,6 +521,40 @@ object Relational {
            max(col("t")).as("t_end"))
   }
 
+  /** q36: Bloom-filter semi-join pruning — the shuffle-volume cut every
+    * warehouse reaches for when a selective dim filter meets a fact
+    * table too big to move: build a Bloom filter of the qualifying join
+    * keys (distributed treeAggregate build via stat.bloomFilter; only
+    * the merged ~KB..MB-scale sketch lands on the driver), broadcast it,
+    * and pre-filter the fact side BEFORE its shuffle, so only probable
+    * matches ride the exchange. False positives are removed by the join
+    * itself — correctness never depends on the sketch, only the pruning
+    * rate does (1 % fpp here; the expectedNumItems/fpp pair is the size
+    * knob: 1e9 keys at 1 % ≈ 1.2 GB, at 3 % ≈ 780 MB). The join is
+    * hinted merge for the honest at-scale shape: with a broadcast join
+    * the bloom would be redundant (the hash relation IS an exact
+    * filter); it earns its keep exactly when both sides shuffle. Spark's
+    * own runtime InjectRuntimeFilter does this automatically above its
+    * 10 GB scan threshold; this entry is the explicit, threshold-free
+    * operator form. Oracle: the plain selective join — proving the
+    * sketch path changes nothing but the plan. */
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val sel = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bf = sel.stat.bloomFilter("o_orderkey", math.max(sel.count(), 1L), 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+              round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .filter(mightContain(col("l_orderkey")))
+      .join(sel.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("cents")).as("sum_cents"),
+           countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_project_filter"    -> (projectFilter _),
@@ -557,6 +591,7 @@ object Relational {
     "q33_json_extract"      -> (jsonExtract _),
     "q34_cube"              -> (cubeSummary _),
     "q35_sessionize"        -> (sessionize _),
+    "q36_bloom_join"        -> (bloomJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -811,5 +846,14 @@ object Relational {
          SELECT user_id, sid, count(*) AS n_events,
                 min(t) AS t_start, max(t) AS t_end
          FROM s GROUP BY 1, 2""",
+    // the plain selective join — the bloom pre-filter must be invisible
+    // in the result (false positives die in the join, negatives never
+    // existed).
+    "q36_bloom_join" ->
+      """SELECT count(*) AS n_items,
+                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                count(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'""",
   )
 }

@@ -178,6 +178,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q36 bloom pre-filter prunes the fact side without losing a single true match") {
+    import org.apache.spark.sql.functions._
+    val sel = graft.core.Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val keys = sel.collect().map(_.getLong(0)).toSet
+    val bf = sel.stat.bloomFilter("o_orderkey", math.max(keys.size, 1).toLong, 0.01)
+    val liKeys = graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val passed = liKeys.count(bf.mightContainLong)
+    val trueMatches = liKeys.count(keys)
+    assert(passed >= trueMatches, "bloom filter dropped a true match — impossible by contract")
+    assert(passed < liKeys.length,
+      s"bloom pruned nothing ($passed of ${liKeys.length}) — degenerate demo")
+    // at 1% fpp the false-positive overhang should stay a small fraction
+    // of the non-matching population
+    val fp = passed - trueMatches
+    assert(fp.toDouble <= 0.05 * (liKeys.length - trueMatches) + 10,
+      s"false-positive rate out of band: $fp of ${liKeys.length - trueMatches}")
+  }
+
   test("t27 skew dedup: planted hot digest owns ~30% of docs; every doc still reassembles exactly") {
     val banner = "click here to accept cookies and continue to the site"
     val docs = graft.core.Tables.documents(spark, sfDir)
