@@ -555,6 +555,47 @@ object Relational {
            countDistinct(col("o_orderkey")).as("n_orders"))
   }
 
+  /** q37: GLOBAL rank + decile without a global sort point — the window
+    * `row_number() OVER (ORDER BY …)` every analyst writes, whose stock
+    * plan funnels the whole table through ONE partition (Spark even
+    * warns "No Partition Defined for Window operation"). The scale-safe
+    * shape is t20's two-pass distributed prefix scan, applied to ranks:
+    * range-repartition on the rank order (sampled range bounds give
+    * balanced partitions), sort within partitions, pass 1 reduces each
+    * partition to a row COUNT (P longs to the driver — the only
+    * collect), pass 2 streams each partition once with its broadcast
+    * rank offset; the decile is integer arithmetic off the global rank
+    * and total. Both passes reuse the same shuffle stage, so the
+    * partitioning cannot drift between them. Ties are broken by
+    * o_custkey, making rank == row_number and the output exactly
+    * deterministic. Per-task state is one running long — survives any
+    * scale; OperatorsSpec proves equality against the one-partition
+    * window form. */
+  def globalRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sorted = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      .repartitionByRange(col("rev_cents").desc, col("o_custkey"))
+      .sortWithinPartitions(col("rev_cents").desc, col("o_custkey"))
+      .select(col("o_custkey").cast("long"), col("rev_cents"))
+      .as[(Long, Long)].rdd
+    val counts = sorted
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var c = 0L; it.foreach(_ => c += 1); Iterator.single((pid, c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val n = math.max(counts.sum, 1L)
+    val offsets = s.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    sorted.mapPartitionsWithIndex { case (pid, it) =>
+        var r = offsets.value(pid)
+        it.map { case (cust, cents) =>
+          r += 1; (cust, cents, r, (r - 1) * 10L / n)
+        }
+      }
+      .toDF("o_custkey", "rev_cents", "rnk", "decile")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_project_filter"    -> (projectFilter _),
@@ -592,6 +633,7 @@ object Relational {
     "q34_cube"              -> (cubeSummary _),
     "q35_sessionize"        -> (sessionize _),
     "q36_bloom_join"        -> (bloomJoin _),
+    "q37_global_rank"       -> (globalRank _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -855,5 +897,20 @@ object Relational {
                 count(DISTINCT o_orderkey) AS n_orders
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'""",
+    // row_number with the same (rev desc, custkey) tie-break; decile via
+    // floor division (DuckDB / on integers is float division — use //).
+    "q37_global_rank" ->
+      """WITH r AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+           FROM orders GROUP BY 1),
+         k AS (
+           SELECT o_custkey, rev_cents,
+                  row_number() OVER (ORDER BY rev_cents DESC, o_custkey) AS rnk,
+                  count(*) OVER () AS n
+           FROM r)
+         SELECT o_custkey, rev_cents, CAST(rnk AS BIGINT) AS rnk,
+                CAST(((rnk-1)*10)//n AS BIGINT) AS decile
+         FROM k""",
   )
 }

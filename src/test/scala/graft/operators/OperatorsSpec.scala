@@ -198,6 +198,27 @@ class OperatorsSpec extends SparkSpec {
       s"false-positive rate out of band: $fp of ${liKeys.length - trueMatches}")
   }
 
+  test("q37 two-pass global rank equals the single-partition window form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = Relational.globalRank(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val n = got.size.toLong
+    val want = graft.core.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rev_cents").desc, col("o_custkey"))).cast("long"))
+      .withColumn("decile", (col("rnk") - 1L) * 10L / lit(n))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getDouble(3).toLong)).toSet
+    assert(got == want, s"rank sets diverge: ${(got -- want).take(3)} vs ${(want -- got).take(3)}")
+    // ranks are a permutation of 1..n and every decile 0..9 is populated
+    assert(got.map(_._3) == (1L to n).toSet)
+    assert(got.map(_._4) == (0L to 9L).toSet)
+  }
+
   test("t27 skew dedup: planted hot digest owns ~30% of docs; every doc still reassembles exactly") {
     val banner = "click here to accept cookies and continue to the site"
     val docs = graft.core.Tables.documents(spark, sfDir)
