@@ -595,6 +595,36 @@ object TextOps {
                x => x.getField("chunk")), " ")).as("kept_md5"))
   }
 
+  /** t28: out-of-vocabulary-rate quality signal — the CCNet-style
+    * "head/tail" corpus split driven by how much of a document falls
+    * outside the corpus's own top-k vocabulary (a language-model-free
+    * stand-in for perplexity bucketing, and exactly integer so the gate
+    * hash is exact). Two phases over the corpus: (1) derive the
+    * top-1000 vocabulary — token counts then a (count desc, word)
+    * deterministic top-k, planned as TakeOrderedAndProject (every map
+    * partition pre-cuts to k before the single merge — the t16
+    * discipline, safe at any corpus size for warehouse-scale k);
+    * (2) probe: explode tokens, broadcast-join against the 1000-row
+    * vocabulary (map-only — tokens never shuffle), and reduce to
+    * per-doc (n_tokens, n_oov, oov permille by integer division). The
+    * only corpus-sized exchange carries (doc_id, two longs) partial
+    * aggregates. */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    val ws = TextSim.spread(Tables.documents(s, d))
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), TextSim.words(col("text")).as("ws"))
+    val top = ws.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w")).limit(1000)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    ws.select(col("doc_id"), explode(col("ws")).as("w"))
+      .join(broadcast(top), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
@@ -618,6 +648,7 @@ object TextOps {
     "t25_chunk_dedup"  -> (chunkDedup _),
     "t26_filter_funnel" -> (filterFunnel _),
     "t27_skew_dedup"   -> (skewChunkDedup _),
+    "t28_oov_rate"     -> (oovRate _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -891,5 +922,22 @@ object TextOps {
          FROM ch JOIN owners o
            ON md5(ch.chunk) = o.h AND ch.doc_id*1000000 + ch.cid = o.owner
          GROUP BY doc_id""",
+    // same normalized tokens as t10, same (count desc, word) top-1000
+    // tie-break, integer permille (// is DuckDB floor division).
+    "t28_oov_rate" ->
+      """WITH ws AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+           FROM documents WHERE length(text) > 0),
+         tok AS (SELECT doc_id, UNNEST(ws) AS w FROM ws),
+         top AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tok GROUP BY 1
+                                ORDER BY cnt DESC, w LIMIT 1000)),
+         j AS (SELECT t.doc_id,
+                      CASE WHEN top.w IS NULL THEN 1 ELSE 0 END AS oov
+               FROM tok t LEFT JOIN top ON t.w = top.w)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(oov) AS BIGINT) AS n_oov,
+                CAST((sum(oov)*1000)//count(*) AS BIGINT) AS oov_permille
+         FROM j GROUP BY 1""",
   )
 }

@@ -132,6 +132,14 @@ class PlanAuditSpec extends SparkSpec {
       s"found a digest-only join — hot-key straggler shape:\n$plan")
   }
 
+  test("t28 oov rate: top-k vocab via TakeOrdered map-side cut; probe join broadcasts") {
+    val plan = planString(run("t28_oov_rate"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocabulary top-1000 must plan as TakeOrderedAndProject (map-side pre-cut):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the token probe must broadcast the 1000-row vocab, never shuffle tokens:\n$plan")
+  }
+
   test("q35 sessionize: one exchange serves both windows AND the session roll-up") {
     val plan = planString(run("q35_sessionize"))
     val keyed = plan.linesIterator.filter(l =>
