@@ -443,6 +443,54 @@ object Streams {
     s.table(sink)
   }
 
+  /** st09: stream-stream LEFT OUTER interval join — st07's attribution
+    * with the half every funnel analysis also needs: clicks that led to
+    * NO purchase within the hour. Outer results cannot emit eagerly (a
+    * match may still arrive), so the engine holds each click in state
+    * until the global watermark — min(click wm, purchase wm), each
+    * max(event time) − 1 h — passes the end of its match window
+    * (click_ts + 1 h); only then is the null-extended row emitted and
+    * the state evicted. That watermark-gated emission is exactly what
+    * the oracle encodes: matched pairs unconditionally, unmatched
+    * clicks only where click_ts + 1 h < min-side max(ts) − 1 h — the
+    * same final-watermark contract st02's straggler policy pins for
+    * sessions (clicks past the cutoff stay in state when the finite
+    * AvailableNow drain terminates, matched ones having already
+    * emitted from the inner path). The no-data final micro-batch
+    * (noDataMicroBatches, on by default) is what flushes the evictable
+    * outer rows before termination. */
+  def streamedAttributionOuter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val raw = s.read.parquet(s"$d/events.parquet")
+    def src(): DataFrame = {
+      val st = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      if (st.schema("ts").dataType == LongType)
+        st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else st
+    }
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id").as("purch_user"),
+              col("ts").as("purch_ts"), col("value"))
+      .withWatermark("purch_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        col("click_user") === col("purch_user") &&
+          col("purch_ts") >= col("click_ts") &&
+          col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("click_id"), col("click_user").as("user_id"),
+              col("purch_id"), round(col("value"), 2).as("purch_value"))
+    val sink = s"graft_st09_sink_${sinkSeq.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   /** st08: `foreachBatch` idempotent UPSERT sink — the programmatic
     * merge-into-table pattern behind every streaming warehouse load:
     * each micro-batch merges into a parquet target by key (union +
@@ -529,6 +577,7 @@ object Streams {
     "st06_stream_enrich" -> (streamedEnriched _),
     "st07_stream_join"   -> (streamedAttribution _),
     "st08_upsert_sink"   -> (streamedUpsert _),
+    "st09_stream_outer"  -> (streamedAttributionOuter _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -548,6 +597,27 @@ object Streams {
          JOIN events p ON p.user_id = c.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+    // matched pairs emit unconditionally; unmatched clicks only once the
+    // global watermark — min of the two per-stream max(ts) − 1 h — has
+    // passed the end of their match window (click_ts + 1 h). Later
+    // unmatched clicks are still buffered in join state when the finite
+    // drain terminates, exactly like the engine.
+    "st09_stream_outer" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purch_id, user_id AS p_user, ts AS purch_ts, value
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+                             (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+                       - INTERVAL 1 HOUR AS w),
+         j AS (SELECT c.click_id, c.user_id, c.click_ts,
+                      p.purch_id, round(p.value, 2) AS purch_value
+               FROM c LEFT JOIN p ON p.p_user = c.user_id
+                AND p.purch_ts >= c.click_ts
+                AND p.purch_ts <= c.click_ts + INTERVAL 1 HOUR)
+         SELECT click_id, user_id, purch_id, purch_value
+         FROM j, wm
+         WHERE purch_id IS NOT NULL OR click_ts + INTERVAL 1 HOUR < wm.w""",
     "st08_upsert_sink" ->
       """SELECT count(*) AS n,
                 CAST(sum(event_id) AS BIGINT) AS sum_ids,

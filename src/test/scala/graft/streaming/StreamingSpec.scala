@@ -221,6 +221,24 @@ class StreamingSpec extends SparkSpec {
       "stream and batch enrichment disagree")
   }
 
+  test("st09 left-outer interval join: inner pairs preserved, real null-extended rows, watermark gate honored") {
+    val outer = graft.streaming.Streams.streamedAttributionOuter(spark, sfDir).collect()
+    val inner = graft.streaming.Streams.streamedAttribution(spark, sfDir)
+      .select("click_id", "purch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val outerPairs = outer.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(outerPairs == inner,
+      s"outer join's matched pairs must equal the inner join (${outerPairs.size} vs ${inner.size})")
+    val nullRows = outer.count(_.isNullAt(2))
+    assert(nullRows > 0, "degenerate fixture: every click converted — no outer rows to prove")
+    // null-extended clicks must be unique (one emission per evicted click)
+    val nullIds = outer.filter(_.isNullAt(2)).map(_.getLong(0))
+    assert(nullIds.length == nullIds.distinct.length, "an unmatched click emitted twice")
+    assert(nullIds.toSet.intersect(outerPairs.map(_._1)).isEmpty,
+      "a click emitted both matched and null-extended")
+  }
+
   test("stateful dedup restores state from a checkpoint across query restarts") {
     // exactly-once across restart: run 1 dedups {A,B}; run 2 (NEW query
     // object, SAME checkpoint) sees {B,C} and must emit only C — proving
