@@ -225,12 +225,52 @@ object MultiModal {
 
   def phashQuery(s: SparkSession, d: String): DataFrame = phashNearDup(s, d)
 
+  /** mm06: byte-capped shard packing — the WebDataset/tar-shard manifest
+    * step that ends every multimodal corpus build: assign assets, in a
+    * deterministic order, to ~fixed-byte training shards so dataloader
+    * workers stream whole shards instead of seeking blobs. The global
+    * byte offset of every asset is t20's two-pass distributed prefix
+    * scan (range-partition by asset_id, P byte-subtotals to the driver,
+    * broadcast offsets, one streaming pass); shard_id = offset ÷ cap.
+    * Only (asset_id, n_bytes) pairs move — the blobs themselves never
+    * shuffle (the module contract); the subsequent physical shard write
+    * would route blobs by the manifest's shard_id in a single exchange.
+    * Output is the per-shard manifest (asset count, bytes, id range) a
+    * loader actually consumes. Byte lengths are real payload lengths,
+    * so the oracle recomputes them from the LCG length formula. */
+  def shardPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = 1024L
+    val sorted = synthesizeAssets(s, 200)
+      .select(col("asset_id"), length(col("payload")).cast("long").as("n_bytes"))
+      .repartitionByRange(col("asset_id"))
+      .sortWithinPartitions(col("asset_id"))
+      .as[(Long, Long)].rdd
+    val totals = sorted
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var b = 0L; it.foreach(b += _._2); Iterator.single((pid, b))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = s.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+    sorted.mapPartitionsWithIndex { case (pid, it) =>
+        var cum = offsets.value(pid)
+        it.map { case (id, b) => val start = cum; cum += b; (start / cap, id, b) }
+      }
+      .toDF("shard_id", "asset_id", "n_bytes")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_assets"),
+           sum(col("n_bytes")).as("sum_bytes"),
+           min(col("asset_id")).as("first_asset"),
+           max(col("asset_id")).as("last_asset"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm01_decode_meta"  -> (decodeQuery _),
     "mm02_frame_sample" -> (framesQuery _),
     "mm03_resize"       -> (resizeQuery _),
     "mm04_hist_knn"     -> (histKnnQuery _),
     "mm05_phash_neardup" -> (phashQuery _),
+    "mm06_shard_pack"   -> (shardPack _),
   )
 
   private val byteSql = "(((B)*1103515245+99)%2147483647)%256"
@@ -316,5 +356,20 @@ object MultiModal {
                  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
           FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.i < b.i
           WHERE bit_count(xor(a.sig, b.sig)) <= 6""",
+    // same asset_id order, same LCG length formula, same 1024-byte cap;
+    // the running offset is a window cumsum minus own length.
+    "mm06_shard_pack" ->
+      """WITH a AS (SELECT r.range AS asset_id,
+                           CAST(64 + r.range % 32 AS BIGINT) AS len
+                    FROM range(200) r),
+         c AS (SELECT asset_id, len,
+                      sum(len) OVER (ORDER BY asset_id
+                                     ROWS UNBOUNDED PRECEDING) - len AS strt
+               FROM a)
+         SELECT CAST(strt // 1024 AS BIGINT) AS shard_id,
+                count(*) AS n_assets,
+                CAST(sum(len) AS BIGINT) AS sum_bytes,
+                min(asset_id) AS first_asset, max(asset_id) AS last_asset
+         FROM c GROUP BY 1""",
   )
 }

@@ -625,6 +625,38 @@ object TextOps {
       .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
   }
 
+  /** t29: PII scrub — the mandatory email/phone redaction pass of a
+    * compliant corpus build (the C4/RefinedWeb privacy cut next to
+    * t24's denylist). The fixture corpus carries no PII, so it is
+    * PLANTED deterministically (t27's discipline): docs with
+    * doc_id % 7 < 2 get an email + phone tail derived from their id.
+    * The scrub then counts and redacts with two anchored-to-nothing
+    * regexes kept RE2-simple so Java (Spark) and RE2 (DuckDB oracle)
+    * agree byte-for-byte; the redacted body is content-verified by md5
+    * (the t17/t24 fingerprint contract), which fails if the regexes
+    * over- or under-redact by a single character.
+    *
+    * Scale shape: map-only — counts, replacements and the fingerprint
+    * all fuse into the one scan projection; nothing text-bearing leaves
+    * the stage and there is no exchange at all at any corpus size. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-zA-Z0-9.]+@[a-zA-Z0-9.]+"
+    val phone = "555-[0-9]+"
+    TextSim.spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 < 2,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+                 lit("@example.com or call 555-0"), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), email, "[EMAIL]"),
+                           phone, "[PHONE]")).as("scrubbed_fp"))
+      .withColumn("has_pii",
+        when(col("n_emails") + col("n_phones") > 0, 1L).otherwise(0L))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
@@ -649,6 +681,7 @@ object TextOps {
     "t26_filter_funnel" -> (filterFunnel _),
     "t27_skew_dedup"   -> (skewChunkDedup _),
     "t28_oov_rate"     -> (oovRate _),
+    "t29_pii_scrub"    -> (piiScrub _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -939,5 +972,25 @@ object TextOps {
                 CAST(sum(oov) AS BIGINT) AS n_oov,
                 CAST((sum(oov)*1000)//count(*) AS BIGINT) AS oov_permille
          FROM j GROUP BY 1""",
+    // same deterministic plant, same RE2-simple patterns, same
+    // email-then-phone replacement order.
+    "t29_pii_scrub" ->
+      """WITH src AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 7 < 2
+                       THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or call 555-0' || CAST(doc_id AS VARCHAR)
+                       ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '555-[0-9]+')) AS BIGINT) AS n_phones,
+                md5(regexp_replace(
+                      regexp_replace(text, '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+', '[EMAIL]', 'g'),
+                      '555-[0-9]+', '[PHONE]', 'g')) AS scrubbed_fp,
+                CASE WHEN len(regexp_extract_all(text, '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+'))
+                          + len(regexp_extract_all(text, '555-[0-9]+')) > 0
+                     THEN 1 ELSE 0 END AS has_pii
+         FROM src""",
   )
 }

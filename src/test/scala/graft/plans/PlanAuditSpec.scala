@@ -43,7 +43,8 @@ class PlanAuditSpec extends SparkSpec {
     // scale), which moves no keys and adds no sort.
     for (name <- Seq("t01_token_count", "t03_quality", "t04_fingerprint",
                      "t11_token_pieces", "t12_rolling_fp", "t15_stratified_sample",
-                     "t17_seq_chunks", "e02_lsh_buckets", "mm01_decode_meta")) {
+                     "t17_seq_chunks", "t29_pii_scrub", "e02_lsh_buckets",
+                     "mm01_decode_meta")) {
       val plan = planString(run(name))
       val keyedExchanges = plan.linesIterator
         .filter(_.contains("Exchange"))
