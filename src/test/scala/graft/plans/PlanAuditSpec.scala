@@ -152,6 +152,44 @@ class PlanAuditSpec extends SparkSpec {
       s"the single exchange must key on user_id:\n${keyed.head}")
   }
 
+  test("AQE skew-join safety net: a hot-key shuffle join gets its skewed partition split") {
+    // t27 eliminates join skew by key construction; this pins the OTHER
+    // mechanism the 100 TB story leans on — when a skewed shuffle join
+    // does happen, AQE's OptimizeSkewedJoin splits the oversized
+    // partition instead of letting one task straggle. Thresholds are
+    // lowered session-wide for this test only (fixture partitions are
+    // KBs, the defaults are 256 MB) and restored after.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(conf.get(k)).toOption.filter(_ != null))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.functions.{col, lit, when, count, sum}
+      // 80% of the left rows share one key — the t27 plant, as raw join skew
+      val left = spark.range(200000)
+        .select((when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id"))).as("k"),
+                col("id").as("v"))
+      val right = spark.range(2000)
+        .select(col("id").as("k"), (col("id") * 3).as("w"))
+      val joined = left.join(right, "k").agg(count(lit(1)).as("n"), sum(col("w")).as("s"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkew=true") || plan.contains("skewed"),
+        s"AQE did not split the hot-key partition:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("global sweep: no entry plans a cartesian product or nested-loop join") {
     // Every gate entry's plan, one regression gate: an accidental cross
     // join (dropped join condition, non-equi rewrite gone wrong) is the
