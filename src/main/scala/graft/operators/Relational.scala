@@ -596,6 +596,40 @@ object Relational {
       .toDF("o_custkey", "rev_cents", "rnk", "decile")
   }
 
+  /** q38: resample + forward-fill — the dask.dataframe `resample('1h')`
+    * / `ffill()` pair (reference surface: pandas-style time-series
+    * regularization), distributed: per-user hourly buckets from first
+    * to last activity, zero-filled counts, and the last-observed value
+    * carried forward across empty hours. Deterministic last-in-hour via
+    * a packed (second, event_id) order key (event_id is unique);
+    * integer cents domain end to end.
+    *
+    * Scale shape: the grid explodes one row per (user, hour-in-span) —
+    * bounded by time span, never by event count; the hourly pre-agg
+    * combines map-side so the (user, hour) exchange carries groups, not
+    * events; the forward-fill is one keyed window (partition user_id,
+    * no global sort). A 100 TB events table with a bounded span stays
+    * linear in users × hours. */
+  def resampleFfill(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"), col("event_id"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("hour", expr("t div 3600"))
+      .withColumn("ord", col("t") * 10000000L + col("event_id"))
+    val hourly = e.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+           max(struct(col("ord"), col("cents"))).getField("cents").as("last_cents"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+              coalesce(col("n_events"), lit(0L)).as("n_events"),
+              last(col("last_cents"), ignoreNulls = true).over(w).as("filled_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_project_filter"    -> (projectFilter _),
@@ -634,6 +668,7 @@ object Relational {
     "q35_sessionize"        -> (sessionize _),
     "q36_bloom_join"        -> (bloomJoin _),
     "q37_global_rank"       -> (globalRank _),
+    "q38_resample_ffill"    -> (resampleFfill _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -912,5 +947,31 @@ object Relational {
          SELECT o_custkey, rev_cents, CAST(rnk AS BIGINT) AS rnk,
                 CAST(((rnk-1)*10)//n AS BIGINT) AS decile
          FROM k""",
+    // hourly regrid per user: arg_max picks the same last-in-hour row as
+    // Spark's max(struct(ord, cents)) because ord embeds the unique
+    // event_id; IGNORE NULLS carries the value across empty hours.
+    "q38_resample_ffill" ->
+      """WITH e AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+                  CAST(round(value*100) AS BIGINT) AS cents
+           FROM events),
+         e2 AS (
+           SELECT user_id, t // 3600 AS hour,
+                  t * 10000000 + event_id AS ord, cents
+           FROM e),
+         hourly AS (
+           SELECT user_id, hour, count(*) AS n_events,
+                  arg_max(cents, ord) AS last_cents
+           FROM e2 GROUP BY 1, 2),
+         grid AS (
+           SELECT user_id, unnest(generate_series(min(hour), max(hour))) AS hour
+           FROM e2 GROUP BY user_id)
+         SELECT g.user_id, g.hour,
+                CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+                last_value(h.last_cents IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+         FROM grid g
+         LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour""",
   )
 }
