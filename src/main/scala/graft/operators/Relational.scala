@@ -630,6 +630,64 @@ object Relational {
               last(col("last_cents"), ignoreNulls = true).over(w).as("filled_cents"))
   }
 
+  /** q39: melt / unpivot — the dask.dataframe `melt` surface (wide →
+    * long): the four lineitem measures become (metric, cents) rows,
+    * then a per-metric profile. Spark's native `unpivot` is a map-only
+    * 4× row expansion (no shuffle, no UDF); the per-metric agg combines
+    * map-side so the exchange carries 4 groups. At 100 TB the melt
+    * never materializes wide — it streams through whole-stage codegen
+    * into the partial agg. */
+  def meltMeasures(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      round(col("l_quantity") * 100).cast("long").as("qty"),
+      round(col("l_extendedprice") * 100).cast("long").as("price"),
+      round(col("l_discount") * 100).cast("long").as("disc"),
+      round(col("l_tax") * 100).cast("long").as("tax"))
+    li.unpivot(Array.empty[org.apache.spark.sql.Column],
+               Array(col("qty"), col("price"), col("disc"), col("tax")),
+               "metric", "cents")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+           min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+  }
+
+  /** q40: time-weighted linear interpolation across gaps — the pandas
+    * `interpolate(method='time')` analog on q38's hourly grid. Interior
+    * empty hours get v0 + (v1−v0)·(h−h0)/(h1−h0) in milli-cents, with
+    * the division done in double (exact-integer inputs ≪ 2⁵³, so the
+    * IEEE quotient and floor are bit-identical in any engine) and
+    * observed hours pinned exactly. Same scale shape as q38: two keyed
+    * windows over the bounded user×hour grid, no global sort. */
+  def interpolateGaps(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"), col("event_id"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("hour", expr("t div 3600"))
+      .withColumn("ord", col("t") * 10000000L + col("event_id"))
+    val hourly = e.groupBy(col("user_id"), col("hour"))
+      .agg(max(struct(col("ord"), col("cents"))).getField("cents").as("obs"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val back = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsHour = when(col("obs").isNotNull, col("hour"))
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"), col("obs"),
+              last(col("obs"), ignoreNulls = true).over(back).as("v0"),
+              last(obsHour, ignoreNulls = true).over(back).as("p0"),
+              first(col("obs"), ignoreNulls = true).over(fwd).as("v1"),
+              first(obsHour, ignoreNulls = true).over(fwd).as("p1"))
+      .select(col("user_id"), col("hour"),
+              when(col("p1") === col("p0"), col("v0") * 1000L)
+                .otherwise(col("v0") * 1000L +
+                  floor(((col("v1") - col("v0")) * 1000L * (col("hour") - col("p0"))).cast("double") /
+                        (col("p1") - col("p0")).cast("double")).cast("long"))
+                .as("interp_millicents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_project_filter"    -> (projectFilter _),
@@ -669,6 +727,8 @@ object Relational {
     "q36_bloom_join"        -> (bloomJoin _),
     "q37_global_rank"       -> (globalRank _),
     "q38_resample_ffill"    -> (resampleFfill _),
+    "q39_melt_measures"     -> (meltMeasures _),
+    "q40_interpolate"       -> (interpolateGaps _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -973,5 +1033,59 @@ object Relational {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
          FROM grid g
          LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour""",
+    // UNION ALL melt mirrors Spark's unpivot: metric values are the
+    // source column names, cents the measure in integer domain.
+    "q39_melt_measures" ->
+      """WITH m AS (
+           SELECT 'qty' AS metric,
+                  CAST(round(l_quantity*100) AS BIGINT) AS cents FROM lineitem
+           UNION ALL SELECT 'price', CAST(round(l_extendedprice*100) AS BIGINT) FROM lineitem
+           UNION ALL SELECT 'disc',  CAST(round(l_discount*100) AS BIGINT) FROM lineitem
+           UNION ALL SELECT 'tax',   CAST(round(l_tax*100) AS BIGINT) FROM lineitem)
+         SELECT metric, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+                min(cents) AS min_cents, max(cents) AS max_cents
+         FROM m GROUP BY 1""",
+    // same double-division + floor as the Spark side: both operands are
+    // exact integers well under 2^53, so the IEEE quotient is identical
+    // bit-for-bit and floor() agrees across engines.
+    "q40_interpolate" ->
+      """WITH e AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+                  CAST(round(value*100) AS BIGINT) AS cents
+           FROM events),
+         e2 AS (
+           SELECT user_id, t // 3600 AS hour,
+                  t * 10000000 + event_id AS ord, cents
+           FROM e),
+         hourly AS (
+           SELECT user_id, hour, arg_max(cents, ord) AS obs
+           FROM e2 GROUP BY 1, 2),
+         grid AS (
+           SELECT user_id, unnest(generate_series(min(hour), max(hour))) AS hour
+           FROM e2 GROUP BY user_id),
+         j AS (
+           SELECT g.user_id, g.hour, h.obs
+           FROM grid g
+           LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour),
+         w AS (
+           SELECT user_id, hour,
+                  last_value(obs IGNORE NULLS) OVER back AS v0,
+                  last_value(CASE WHEN obs IS NOT NULL THEN hour END IGNORE NULLS)
+                    OVER back AS p0,
+                  first_value(obs IGNORE NULLS) OVER fwd AS v1,
+                  first_value(CASE WHEN obs IS NOT NULL THEN hour END IGNORE NULLS)
+                    OVER fwd AS p1
+           FROM j
+           WINDOW back AS (PARTITION BY user_id ORDER BY hour
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  fwd  AS (PARTITION BY user_id ORDER BY hour
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, hour,
+                CASE WHEN p1 = p0 THEN v0 * 1000
+                     ELSE v0 * 1000 + CAST(floor(
+                       CAST((v1 - v0) * 1000 * (hour - p0) AS DOUBLE) /
+                       CAST(p1 - p0 AS DOUBLE)) AS BIGINT)
+                END AS interp_millicents
+         FROM w""",
   )
 }
