@@ -261,6 +261,74 @@ object FileFormats {
            sum(col("event_id")).as("sum_ids"),
            countDistinct(col("user_id")).as("n_users"))
 
+  /** Morton/Z-order key: bit-interleave two non-negative quantized
+    * dimensions (a in even bits, b in odd). Built purely from codegen'd
+    * bitwise `functions` (shiftleft/shiftright/and/or folded over the
+    * bit positions), so the key computation stays inside whole-stage
+    * codegen — no UDF. 16 bits per dimension → 32-bit key: 65k ids ×
+    * 7.5 years of hours; widen `bits` for bigger domains (up to 31/31
+    * in a long). */
+  private[graft] def zorder2(a: org.apache.spark.sql.Column,
+                             b: org.apache.spark.sql.Column,
+                             bits: Int = 16): org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Hour quantization base for the Z-layout: epoch hour of 2024-01-01
+    * (the fixture's time origin), so the interleaved dimension starts at
+    * bit 0 instead of wasting the low bits on a constant offset. */
+  private[graft] val HourBase = 473352L
+
+  /** The Z-clustered copy of events: one range exchange on the Morton
+    * key + an in-partition sort, then plain parquet. Every file (and row
+    * group) covers a narrow contiguous z range, which maps to a small
+    * tile in (user_id, hour) space — so parquet min/max stats on BOTH
+    * columns become selective at once. */
+  private[graft] def writeZLayout(s: SparkSession, d: String, tmp: String,
+                                  files: Int): Unit =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+              (expr("unix_timestamp(ts) div 3600") - HourBase).as("hour_off"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("z", zorder2(col("user_id"), col("hour_off")))
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode("overwrite").parquet(tmp)
+
+  /** The post-layout 2-D box query, split out so ZOrderSpec can run it
+    * against both layouts and assert the footer-stats skipping bound. */
+  private[graft] def boxAggregate(df: DataFrame, uLo: Long, uHi: Long,
+                                  hLo: Long, hHi: Long): DataFrame =
+    df.filter(col("user_id").between(uLo, uHi) &&
+              col("hour_off").between(hLo, hHi))
+      .agg(count(lit(1)).as("n"),
+           sum(col("cents")).as("sum_cents"),
+           sum(col("event_id")).as("sum_ids"),
+           countDistinct(col("user_id")).as("n_users"))
+
+  /** src07: Z-ORDER clustering — multi-dimensional data layout, the
+    * piece src03/src04/src06 don't cover: bucketing co-locates ONE join
+    * key and partitioning prunes ONE directory column, but a fact table
+    * queried by 2-D boxes (user × time here; tenant × date, geo × time
+    * in the wild) needs both dimensions selective in the SAME layout.
+    * Sorting by the Morton interleave gives every file/row group a
+    * small (user, hour) tile, so the parquet reader's row-group stats
+    * pruning skips most of the table for a box predicate on EITHER or
+    * BOTH dimensions — ZOrderSpec proves it from the footers: the box
+    * touches a fraction of the z-clustered files vs ALL of the
+    * unsorted ones. At 100 TB this one-time range exchange at write
+    * time is what keeps interactive 2-D slicing off full scans without
+    * a lakehouse index. Oracle: the same box aggregate on the
+    * unpartitioned source — layout must not change results. */
+  def zorderSkip(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("evzorder")
+    writeZLayout(s, d, tmp, files = 32)
+    boxAggregate(s.read.parquet(tmp), 64, 191, 216, 263)
+  }
+
   val queries: Map[String, Q] = Map(
     "src01_csv_roundtrip"  -> (csvRoundtrip _),
     "src02_json_roundtrip" -> (jsonRoundtrip _),
@@ -268,6 +336,7 @@ object FileFormats {
     "src04_partition_prune" -> (partitionedPrune _),
     "src05_orc_roundtrip"  -> (orcRoundtrip _),
     "src06_dynamic_prune"  -> (dynamicPrune _),
+    "src07_zorder_skip"    -> (zorderSkip _),
   )
 
   private val oracle =
@@ -298,5 +367,15 @@ object FileFormats {
                 CAST(sum(event_id) AS BIGINT) AS sum_ids,
                 count(DISTINCT user_id) AS n_users
          FROM events WHERE event_type IN ('click', 'view')""",
+    // same 2-D box on the unpartitioned source; 473352 = epoch hour of
+    // 2024-01-01, the layout's quantization base.
+    "src07_zorder_skip" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(sum(event_id) AS BIGINT) AS sum_ids,
+                count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE user_id BETWEEN 64 AND 191
+           AND CAST(floor(epoch(ts)) AS BIGINT) // 3600 - 473352 BETWEEN 216 AND 263""",
   )
 }
