@@ -12,12 +12,20 @@ object Verify {
     val spark = graft.core.GraftSession.local()
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    var failed = 0
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A thrown entry must NOT silently vanish from the gate: write an
+        // explicit marker the driver (or a human diffing the out dir) can
+        // see, so a regression shows as `err`, not as a shrunken entry
+        // count that still reads "all green".
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         e.printStackTrace()
+        Files.writeString(Paths.get(s"$outDir/$name._error"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -35,6 +43,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failed > 0)
+      System.err.println(s"[verify] $failed of ${selected.size} entries FAILED (see *_error markers)")
     spark.stop()
   }
 }

@@ -122,6 +122,22 @@ object ArrayQueries {
       .select(col("i"), col("j"), round(col("v")).cast("long").as("v"))
   }
 
+  /** Square multi-column-block QR — the reference's `da.linalg.qr` on a
+    * 128×128 matrix chunked 16×16 (examples.rst:63-70), the one QR shape
+    * TSQR's row-stripe decomposition can't take directly: the input is
+    * rechunked to a single column block (dask-equivalent), factorized,
+    * and validated through the reconstruction invariant Q·R = A. A is
+    * integer-valued (LCG mod 1000) and the recon roundoff (~1e-9 for
+    * n = 128) is far below 0.5, so rounding recovers the exact input —
+    * SQL-expressible from the shared LCG. Covers rechunk, TSQR, and the
+    * distributed A·R⁻¹ map end to end. */
+  def qrSquare(s: SparkSession, d: String): DataFrame = {
+    val a = DMatrix.randInt(s, 128, 128, 16, 47L)
+    val (q, r) = LinAlg.qrFactor(a)
+    q.multiply(DMatrix.fromLocal(s, r, q.blockSize)).toCoords
+      .select(col("i"), col("j"), round(col("v")).cast("long").as("v"))
+  }
+
   /** Axis broadcasting (dask `x - x.mean(axis=1)[:, None]` plus a
     * col-vector broadcast — reference tests/test_collections.py:90-95):
     * center rows by the row mean, then add back the column mean. Both
@@ -348,6 +364,7 @@ object ArrayQueries {
     "a16_rsvd_10k"       -> (rsvd10k _),
     "a17_lstsq_262k"     -> (lstsq262k _),
     "a18_cholesky_2k"    -> (cholesky2k _),
+    "a19_qr_square"      -> (qrSquare _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -398,6 +415,9 @@ object ArrayQueries {
           SELECT b1.j AS i, b2.j AS j,
                  CAST(round(sum(b1.v * b2.v)) + (CASE WHEN b1.j = b2.j THEN 960 ELSE 0 END) AS BIGINT) AS v
           FROM b b1 JOIN b b2 ON b1.i = b2.i GROUP BY 1, 2""",
+    "a19_qr_square" ->
+      s"""WITH ${matSql("a", 128, 128, 47)}
+          SELECT i, j, CAST(v AS BIGINT) AS v FROM a""",
     "a11_axis_broadcast" ->
       s"""WITH ${matSql("a", 64, 48, 7)},
           rm AS (SELECT i, sum(v) / 48.0 AS rmean FROM a GROUP BY i),

@@ -90,6 +90,61 @@ class DMatrix(
     }, nCols, nRows, blockSize)
   }
 
+  /** Re-block to a new chunk size (dask `x.rechunk(...)`): each source
+    * block splits into the pieces that land in each target block (a
+    * narrow flatMap), then one keyed shuffle assembles targets. Only
+    * block-sized arrays move — the piece total equals the matrix size,
+    * so the shuffle is a single pass over the data regardless of how the
+    * grids intersect. Needed by QR/TSQR on multi-column-block layouts,
+    * which (like dask's `da.linalg.qr`) require a single column block. */
+  def rechunk(newBs: Int): DMatrix = {
+    require(newBs > 0, s"rechunk to non-positive block size $newBs")
+    if (newBs == blockSize) return this
+    val (m, n, bs) = (nRows, nCols, blockSize)
+    val pieces = blocks.rdd.flatMap { b =>
+      val gr0 = b.bi.toLong * bs
+      val gc0 = b.bj.toLong * bs
+      for {
+        tbi <- ((gr0 / newBs).toInt to ((gr0 + b.rows - 1) / newBs).toInt).iterator
+        tbj <- ((gc0 / newBs).toInt to ((gc0 + b.cols - 1) / newBs).toInt).iterator
+      } yield {
+        val r0 = math.max(gr0, tbi.toLong * newBs)
+        val r1 = math.min(gr0 + b.rows, (tbi + 1).toLong * newBs)
+        val c0 = math.max(gc0, tbj.toLong * newBs)
+        val c1 = math.min(gc0 + b.cols, (tbj + 1).toLong * newBs)
+        val pr = (r1 - r0).toInt; val pc = (c1 - c0).toInt
+        val piece = new Array[Double](pr * pc)
+        var cc = 0
+        while (cc < pc) {                     // column-major slice copy
+          val srcOff = ((c0 - gc0).toInt + cc) * b.rows + (r0 - gr0).toInt
+          System.arraycopy(b.data, srcOff, piece, cc * pr, pr)
+          cc += 1
+        }
+        ((tbi, tbj),
+         ((r0 - tbi.toLong * newBs).toInt, (c0 - tbj.toLong * newBs).toInt, pr, pc, piece))
+      }
+    }
+    val nParts = math.max(1, math.min(blocks.rdd.getNumPartitions,
+      DMatrix.nBlocks(m, newBs) * DMatrix.nBlocks(n, newBs)))
+    import blocks.sparkSession.implicits._
+    // groupByKey is safe here: the per-key payload is exactly one target
+    // block's worth of data (its pieces tile it disjointly).
+    val assembled = pieces.groupByKey(nParts).map { case ((tbi, tbj), ps) =>
+      val rows = DMatrix.blockDim(m, newBs, tbi)
+      val cols = DMatrix.blockDim(n, newBs, tbj)
+      val data = new Array[Double](rows * cols)
+      ps.foreach { case (ro, co, pr, pc, pd) =>
+        var cc = 0
+        while (cc < pc) {
+          System.arraycopy(pd, cc * pr, data, (co + cc) * rows + ro, pr)
+          cc += 1
+        }
+      }
+      Block(tbi, tbj, rows, cols, data)
+    }
+    new DMatrix(spark.createDataset(assembled), m, n, newBs)
+  }
+
   /** Blocked GEMM (reference flagship: `da.matmul`, 10k×10k blocks 1k —
     * README.md:265-270). Join A-blocks and B-blocks on the inner block
     * index, per-pair Breeze GEMM, then reduceByKey-sum partial products

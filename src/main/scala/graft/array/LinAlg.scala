@@ -179,7 +179,12 @@ object LinAlg {
     * was rejected because its narrow merge would collapse the whole
     * upstream lineage (block generation + level-0 QRs) into `groups`
     * tasks, serializing the expensive level-0 work. */
-  def tsqr(a: DMatrix): BDM[Double] = {
+  def tsqr(a0: DMatrix): BDM[Double] = {
+    // Multi-column-block layouts (the reference's square-QR example,
+    // examples.rst:63-70: 128×128 chunks 16×16) rechunk to one column
+    // block first — exactly what dask's da.linalg.qr requires of its
+    // input; TSQR itself is defined on row stripes.
+    val a = singleColBlock(a0)
     require(a.nbCols == 1, s"tsqr needs tall-skinny layout (nCols ${a.nCols} <= blockSize ${a.blockSize})")
     val arity = 8
     // Streaming within a partition: vertcat+QR one group of ≤arity at a
@@ -211,9 +216,23 @@ object LinAlg {
     fixSigns(triOf(if (tops.length == 1) tops(0) else BDM.vertcat(tops.toIndexedSeq: _*)))
   }
 
+  /** Rechunk to a single column block when the layout has several —
+    * required by TSQR's row-stripe decomposition. The new chunk keeps
+    * row stripes at least as tall as they are wide (n), so the level-0
+    * local QRs stay tall. No-op on already-tall-skinny layouts. */
+  private def singleColBlock(a: DMatrix): DMatrix =
+    if (a.nbCols <= 1) a
+    else {
+      require(a.nCols <= Int.MaxValue, "QR needs nCols to fit a driver-side R")
+      a.rechunk(math.max(a.blockSize, a.nCols.toInt))
+    }
+
   /** Full QR: R via TSQR, then Q = A·R⁻¹ as a distributed narrow map
-    * (R is n×n-small, broadcast inside the closure). */
-  def qrFactor(a: DMatrix): (DMatrix, BDM[Double]) = {
+    * (R is n×n-small, broadcast inside the closure). Multi-column-block
+    * inputs are rechunked to one column block first (dask-equivalent
+    * behavior); Q comes back in that rechunked layout. */
+  def qrFactor(a0: DMatrix): (DMatrix, BDM[Double]) = {
+    val a = singleColBlock(a0)
     val r = tsqr(a)
     val rInv = inv(r)
     import a.blocks.sparkSession.implicits._

@@ -24,22 +24,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    * rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives
-    * as nanos-since-epoch LongType and is converted here to a proper
-    * timestamp truncated to microseconds (matching DuckDB's us precision).
+  /** Normalizes an `events`-shaped frame's `ts` to `TimestampType`,
+    * whichever encoding the fixture was written with:
+    *  - TIMESTAMP(NANOS) read under `spark.sql.legacy.parquet.nanosAsLong`
+    *    arrives as nanos-since-epoch LongType → converted via integer-domain
+    *    `div 1000` (nanos exceed double's 53-bit exact range, so `/ 1000.0`
+    *    would mis-truncate ~1 in 8 timestamps by 1 µs vs DuckDB);
+    *  - timestamp[us] with isAdjustedToUTC=false arrives as TIMESTAMP_NTZ
+    *    → cast to TIMESTAMP; the session timezone is pinned to UTC
+    *    (GraftSession), so the cast is value-preserving and exact.
+    * Works on batch and streaming frames alike (both branches are plain
+    * projections), so the streaming sources reuse it on their declared
+    * schemas instead of re-deriving private checks.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{timestamp_micros, expr}
-    import org.apache.spark.sql.types.LongType
-    val raw = apply(s, d, "events")
-    // `ts div 1000` stays in the integer domain: nanos-since-epoch exceed
-    // double's 53-bit exact range, so `/ 1000.0` would mis-truncate ~1 in 8
-    // timestamps by one microsecond vs DuckDB's exact conversion.
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{timestamp_micros, expr, col}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(apply(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

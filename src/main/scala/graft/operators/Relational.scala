@@ -671,15 +671,23 @@ object Relational {
       .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
     val back = Window.partitionBy("user_id").orderBy("hour")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy("user_id").orderBy("hour")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // Forward neighbors via a DESCENDING-ordered running frame, not
+    // [currentRow, unboundedFollowing]: Spark's UnboundedFollowing frame
+    // rebuilds the aggregate from scratch per row — O(span²) per user
+    // partition (measured 20+ s at sf0.1 vs 1.6 s for q38's running-frame
+    // plan). `last(ignoreNulls)` over desc [unboundedPreceding, currentRow]
+    // is the identical "nearest non-null at-or-after" value, evaluated
+    // incrementally in O(n), and both windows share one user_id exchange
+    // (just an extra in-partition sort for the reversed order).
+    val fwd = Window.partitionBy("user_id").orderBy(col("hour").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsHour = when(col("obs").isNotNull, col("hour"))
     grid.join(hourly, Seq("user_id", "hour"), "left")
       .select(col("user_id"), col("hour"), col("obs"),
               last(col("obs"), ignoreNulls = true).over(back).as("v0"),
               last(obsHour, ignoreNulls = true).over(back).as("p0"),
-              first(col("obs"), ignoreNulls = true).over(fwd).as("v1"),
-              first(obsHour, ignoreNulls = true).over(fwd).as("p1"))
+              last(col("obs"), ignoreNulls = true).over(fwd).as("v1"),
+              last(obsHour, ignoreNulls = true).over(fwd).as("p1"))
       .select(col("user_id"), col("hour"),
               when(col("p1") === col("p0"), col("v0") * 1000L)
                 .otherwise(col("v0") * 1000L +

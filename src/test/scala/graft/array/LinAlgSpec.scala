@@ -27,6 +27,27 @@ class LinAlgSpec extends SparkSpec {
     assert(maxAbs(qLocal * r - a.toLocal) < 1e-8)
   }
 
+  test("qr on a square multi-column-block layout: rechunks, reconstructs, orthonormal Q") {
+    // the reference's examples.rst square-QR shape: 128×128, chunks 16×16
+    val a = DMatrix.rand(spark, 128, 128, 16, 31L)
+    assert(a.nbCols == 8, "precondition: genuinely multi-column-block")
+    val (q, r) = LinAlg.qrFactor(a)
+    assert(r.rows == 128 && r.cols == 128)
+    for (i <- 0 until 128; j <- 0 until i) assert(math.abs(r(i, j)) < 1e-10)
+    val qLocal = q.toLocal
+    assert(maxAbs(qLocal.t * qLocal - BDM.eye[Double](128)) < 1e-8)
+    assert(maxAbs(qLocal * r - a.toLocal) < 1e-8)
+  }
+
+  test("rechunk: identity content under any grid change, both directions") {
+    val a = DMatrix.rand(spark, 70, 45, 16, 13L)   // ragged edges on both dims
+    val local = a.toLocal
+    val up = a.rechunk(32)                          // coarsen
+    assert(up.blockSize == 32 && maxAbs(up.toLocal - local) == 0.0)
+    val down = up.rechunk(7)                        // refine, non-divisor size
+    assert(down.blockSize == 7 && maxAbs(down.toLocal - local) == 0.0)
+  }
+
   test("tall-skinny svd matches Breeze singular values; U orthonormal") {
     val a = DMatrix.rand(spark, 400, 12, 64, 19L)
     val (u, s, v) = LinAlg.svdTallSkinny(a)

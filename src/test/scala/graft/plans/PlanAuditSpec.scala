@@ -216,12 +216,22 @@ class PlanAuditSpec extends SparkSpec {
       .filterNot { case (name, _) => skipped.contains(name) }
       .flatMap { case (name, fn) =>
         val plan = planString(fn(spark, sfDir))
+        // A frame whose UPPER bound is unboundedFollowing but whose lower
+        // bound is not unboundedPreceding runs Spark's
+        // UnboundedFollowingWindowFunctionFrame — the aggregate rebuilds
+        // from scratch per row, O(span²) per partition (q40's 22 s
+        // regression). Whole-partition frames (unboundedPreceding →
+        // unboundedFollowing) evaluate once per partition and are fine.
+        val quadFrame = java.util.regex.Pattern
+          .compile("(?i)specifiedwindowframe\\([a-z]+frame, (?!unboundedpreceding)[^,]+, unboundedfollowing")
+          .matcher(plan).find()
         val bad = Seq("CartesianProduct").filter(plan.contains) ++
           (if (bnljAllowed.contains(name)) Nil
-           else Seq("BroadcastNestedLoopJoin").filter(plan.contains))
+           else Seq("BroadcastNestedLoopJoin").filter(plan.contains)) ++
+          (if (quadFrame) Seq("UnboundedFollowing window frame") else Nil)
         if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
       }
     assert(offenders.isEmpty,
-      s"cross-join shapes found in:\n${offenders.mkString("\n")}")
+      s"cross-join / quadratic-window shapes found in:\n${offenders.mkString("\n")}")
   }
 }

@@ -208,8 +208,7 @@ class StreamingSpec extends SparkSpec {
       .select("day", "c_mktsegment", "n_events", "sum_value")
     // batch equivalent on the same fixtures (stream-static joins are
     // stateless, so a drained AvailableNow stream must agree exactly)
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.core.Tables.events(spark, sfDir)
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val batch = events.join(dim, col("user_id") === col("c_custkey"))
