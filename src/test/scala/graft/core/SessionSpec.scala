@@ -7,6 +7,26 @@ import org.apache.spark.sql.functions._
   * jobs, broadcast scatter, bounded lineage under iteration. */
 class SessionSpec extends SparkSpec {
 
+  test("normalizeTs: Long nanos, TIMESTAMP_NTZ, and TIMESTAMP all normalize to the same instant") {
+    // the regression class that broke st01/st06/st07/st09 in round 9: the
+    // driver's events fixture has shipped ts as BOTH nanos-as-Long and
+    // timestamp[us] isAdjustedToUTC=false (read as NTZ). All encodings of
+    // the same instant must come out as identical TimestampType values.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val micros = 1700000000123456L                 // 2023-11-14T22:13:20.123456Z
+    val fromLong = graft.core.Tables.normalizeTs(
+      spark.range(1).select((lit(micros) * 1000L).as("ts")))
+    val fromNtz = graft.core.Tables.normalizeTs(
+      spark.range(1).select(timestamp_micros(lit(micros)).cast(TimestampNTZType).as("ts")))
+    val fromTz = graft.core.Tables.normalizeTs(
+      spark.range(1).select(timestamp_micros(lit(micros)).as("ts")))
+    for (df <- Seq(fromLong, fromNtz, fromTz)) {
+      assert(df.schema("ts").dataType == TimestampType, df.schema("ts").dataType.toString)
+      assert(df.select(unix_micros(col("ts"))).head().getLong(0) == micros)
+    }
+  }
+
   test("persist pins data: cached frame survives source deletion (no re-scan)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftsess").toString
