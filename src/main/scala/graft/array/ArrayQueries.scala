@@ -328,6 +328,48 @@ object ArrayQueries {
     s.createDataset(Seq(checksum)).toDF("checksum")
   }
 
+  /** Distributed blocked triangular solve (dask `da.linalg
+    * .solve_triangular`): L·x = b for a diagonally-dominant lower factor
+    * (2,048², chunks 256 — 8 substitution steps). The system is
+    * CONSISTENT by construction: x₀ integer (LCG mod 100), b = L·x₀
+    * computed distributed and exact (all magnitudes ≪ 2⁵³), so the
+    * solution is x₀ exactly; substitution roundoff ≪ 0.5 under the
+    * 10n-dominant diagonal and round(x) recovers the planted integers —
+    * hash-matched against the closed-form x₀ from the shared LCG. */
+  def triSolve2k(s: SparkSession, d: String): DataFrame = {
+    val n = 2048L; val bs = 256
+    val l = DMatrix.tabulate(s, n, n, bs) { (i, j) =>
+      if (j > i) 0.0
+      else {
+        val v = (DMatrix.lcg(i, j, n, 107L) % 10L).toDouble
+        if (i == j) v + 10.0 * n else v
+      }
+    }
+    val x0 = DMatrix.tabulate(s, n, 1, bs)((i, _) =>
+      (DMatrix.lcg(8765L * n + i, 0, 1, 95L) % 100L).toDouble)
+    val b = l.multiply(x0)
+    LinAlg.solveTriangular(l, b, lower = true).toCoords
+      .select(col("i"), round(col("v")).cast("long").as("x"))
+  }
+
+  /** SPD linear solve (dask `da.linalg.solve`): A·x = b via distributed
+    * Cholesky + two distributed triangular substitutions (forward on L,
+    * backward on Lᵀ), end to end on a 1,024² SPD matrix (BᵀB + 10n·I,
+    * chunks 128 — 8 Cholesky panels, 2×8 substitution steps). Same
+    * consistent-system validation as a20: x₀ integer planted, b = A·x₀
+    * exact, cond(A) small enough that round(x) = x₀ — hash-matched
+    * against the closed-form x₀. */
+  def spdSolve1k(s: SparkSession, d: String): DataFrame = {
+    val n = 1024L; val bs = 128
+    val base = DMatrix.randInt(s, n, n, bs, 109L, mod = 10L)
+    val a = base.transpose.multiply(base) + (DMatrix.eye(s, n, bs) * (10.0 * n))
+    val x0 = DMatrix.tabulate(s, n, 1, bs)((i, _) =>
+      (DMatrix.lcg(7654L * n + i, 0, 1, 89L) % 100L).toDouble)
+    val b = a.multiply(x0)
+    LinAlg.solveSpd(a, b).toCoords
+      .select(col("i"), round(col("v")).cast("long").as("x"))
+  }
+
   /** Flagship-scale entry names: Bench runs these once per pass (not
     * REPS×), and PlanAuditSpec's join sweep skips them — their compute is
     * RDD block algebra (no Catalyst joins anywhere) and the returned
@@ -365,6 +407,8 @@ object ArrayQueries {
     "a17_lstsq_262k"     -> (lstsq262k _),
     "a18_cholesky_2k"    -> (cholesky2k _),
     "a19_qr_square"      -> (qrSquare _),
+    "a20_tri_solve"      -> (triSolve2k _),
+    "a21_spd_solve"      -> (spdSolve1k _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -481,6 +525,15 @@ object ArrayQueries {
                 sum(((i.range*2048+j.range)*1103515245+97)%2147483647%10) AS s
               FROM range(2048) i, range(2048) j GROUP BY 1)
          SELECT CAST(sum(s * s) + 20480 * 2048 AS BIGINT) AS checksum FROM rs""",
+    // consistent systems: the solution IS the planted x0, in closed form
+    "a20_tri_solve" ->
+      """SELECT i.range AS i,
+                CAST(((8765*2048 + i.range)*1103515245 + 95) % 2147483647 % 100 AS BIGINT) AS x
+         FROM range(2048) i""",
+    "a21_spd_solve" ->
+      """SELECT i.range AS i,
+                CAST(((7654*1024 + i.range)*1103515245 + 89) % 2147483647 % 100 AS BIGINT) AS x
+         FROM range(1024) i""",
     // consistent system: the minimizer IS the planted x0, in closed form
     "a17_lstsq_262k" ->
       """SELECT j.range AS j,

@@ -455,4 +455,133 @@ object LinAlg {
     }
     new DMatrix(spark.createDataset(lower), a.nRows, a.nCols, bs)
   }
+
+  /** Dense bs×bs-local forward/back substitution: solve T·X = rhs for a
+    * triangular T (column-major loops, r right-hand sides). */
+  private[array] def localTriSolve(t: BDM[Double], rhs: BDM[Double],
+                                   lower: Boolean): BDM[Double] = {
+    val n = t.rows; val r = rhs.cols
+    val x = rhs.copy
+    var c = 0
+    while (c < r) {
+      if (lower) {
+        var i = 0
+        while (i < n) {
+          var acc = x(i, c)
+          var k = 0
+          while (k < i) { acc -= t(i, k) * x(k, c); k += 1 }
+          x(i, c) = acc / t(i, i)
+          i += 1
+        }
+      } else {
+        var i = n - 1
+        while (i >= 0) {
+          var acc = x(i, c)
+          var k = i + 1
+          while (k < n) { acc -= t(i, k) * x(k, c); k += 1 }
+          x(i, c) = acc / t(i, i)
+          i -= 1
+        }
+      }
+      c += 1
+    }
+    x
+  }
+
+  /** Distributed blocked triangular solve: X with T·X = B for a
+    * triangular factor T (n×n, DMatrix-chunked) and a skinny rhs B
+    * (n×r, r ≤ blockSize) — dask's `da.linalg.solve_triangular`, and
+    * the substitution half of `da.linalg.solve` (see [[solveSpd]]).
+    *
+    * Shape: nb sequential substitution steps (inherently ordered, like
+    * [[choleskyLower]]'s panels). Per step k only TWO tiny driver
+    * transfers happen — the bs×r residual block k and the bs×bs diagonal
+    * block — and the distributed work is one map over T's block column k
+    * producing ≤ nb bs×r contribution blocks that join the residual
+    * NARROWLY (both sides share the same hash partitioner, so the n×r
+    * residual never reshuffles). The factor is pre-partitioned ONE block
+    * column per partition and each step reads exactly its column via
+    * PartitionPruningRDD — T is scanned once across the whole solve, not
+    * once per step. Driver memory stays O(bs·(bs+r)); the full X never
+    * materializes on the driver. That is the 100 TB-shaped property:
+    * traffic is one pass over the triangle + nb·r·bs of residual deltas.
+    *
+    * The solved X comes back as a DMatrix in B's chunking. */
+  def solveTriangular(t: DMatrix, b: DMatrix, lower: Boolean = true,
+                      checkpointEvery: Int = 6): DMatrix = {
+    require(t.nRows == t.nCols, "solveTriangular needs a square factor")
+    require(b.nRows == t.nRows, s"dimension mismatch: ${t.nRows}x${t.nCols} vs rhs ${b.nRows}")
+    require(b.nbCols == 1, "rhs must fit one block column (skinny solve)")
+    require(b.blockSize == t.blockSize, "rhs must share the factor's chunking")
+    val spark = t.blocks.sparkSession
+    val bs = t.blockSize
+    val nb = t.nbRows
+    val nParts = math.max(2, math.min(spark.sparkContext.defaultParallelism, nb))
+    // one partition per block column of the relevant triangle (Int key k
+    // hashes to partition k under HashPartitioner(nb))
+    val tByCol = t.blocks.rdd
+      .filter(blk => if (lower) blk.bi >= blk.bj else blk.bi <= blk.bj)
+      .map(blk => (blk.bj, blk))
+      .partitionBy(new org.apache.spark.HashPartitioner(nb))
+      .cache()
+    tByCol.count()
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    var state = b.blocks.rdd.map(blk => (blk.bi, blk)).partitionBy(part).cache()
+    state.count()
+    var prev = state
+    val order = if (lower) 0 until nb else (nb - 1) to 0 by -1
+    var step = 0
+    for (k <- order) {
+      val colRdd = org.apache.spark.rdd.PartitionPruningRDD.create(tByCol, _ == k)
+      val diag = colRdd.filter(_._2.bi == k).values.first()
+      val bk = org.apache.spark.rdd.PartitionPruningRDD
+        .create(state, _ == part.getPartition(k))
+        .filter(_._1 == k).values.first()
+      val xk = localTriSolve(diag.toBreeze, bk.toBreeze, lower)
+      val xkBlock = bk.copy(data = xk.data)
+      val xkRows = xk.rows; val xkCols = xk.cols; val xkData = xk.data
+      // contribution blocks: T's column k (off-diagonal triangle part)
+      // times the just-solved X_k — ≤ nb−1 blocks of bs×r, re-keyed to
+      // the residual's partitioner so the join below is narrow
+      val contribs = colRdd.values
+        .filter(blk => if (lower) blk.bi > k else blk.bi < k)
+        .map { blk =>
+          val c = blk.toBreeze * new BDM(xkRows, xkCols, xkData)
+          (blk.bi, c.data)
+        }
+        .partitionBy(part)
+      val joined = state.leftOuterJoin(contribs, part)
+        .mapPartitions(_.map { case (bi, (blk, cdOpt)) =>
+          if (bi == k) (bi, xkBlock)
+          else cdOpt match {
+            case Some(cd) =>
+              val out = blk.data.clone()
+              var i = 0
+              while (i < out.length) { out(i) -= cd(i); i += 1 }
+              (bi, blk.copy(data = out))
+            case None => (bi, blk)
+          }
+        }, preservesPartitioning = true)
+      if ((step + 1) % checkpointEvery == 0) joined.localCheckpoint()
+      val cached = joined.cache()
+      cached.count()               // materialize before dropping the parent
+      prev.unpersist(false)
+      prev = cached
+      state = cached
+      step += 1
+    }
+    tByCol.unpersist(false)
+    import spark.implicits._
+    new DMatrix(spark.createDataset(state.values), b.nRows, b.nCols, bs)
+  }
+
+  /** SPD linear solve — dask's `da.linalg.solve` default path: Cholesky
+    * A = L·Lᵀ, then two distributed triangular substitutions
+    * (L·y = B forward, Lᵀ·x = y backward). Everything stays blocked and
+    * distributed; the driver only ever touches bs-sized tiles. */
+  def solveSpd(a: DMatrix, b: DMatrix): DMatrix = {
+    val l = LinAlg.choleskyLower(a)
+    val y = solveTriangular(l, b, lower = true)
+    solveTriangular(l.transpose, y, lower = false)
+  }
 }

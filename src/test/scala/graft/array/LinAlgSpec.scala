@@ -141,4 +141,49 @@ class LinAlgSpec extends SparkSpec {
     assert(sqErr < 1e-4, s"L*Lt drifted from A: sum sq err $sqErr")
     spd.unpersist()
   }
+
+  test("solveTriangular: lower + upper, ragged blocks, multiple rhs, vs direct substitution") {
+    // n NOT divisible by bs (100 / 32) to catch edge-block shape bugs;
+    // r = 3 right-hand sides in one skinny block column.
+    val n = 100; val bs = 32; val r = 3
+    val lLocal = BDM.tabulate[Double](n, n)((i, j) =>
+      if (j > i) 0.0
+      else if (i == j) 50.0 + (i % 7)
+      else ((i * 31 + j * 17) % 19 - 9).toDouble)
+    val xTrue = BDM.tabulate[Double](n, r)((i, c) => ((i * 13 + c * 7) % 21 - 10).toDouble)
+    val l = DMatrix.fromLocal(spark, lLocal, bs)
+    val bLow = DMatrix.fromLocal(spark, lLocal * xTrue, bs)
+    val xLow = LinAlg.solveTriangular(l, bLow, lower = true, checkpointEvery = 2)
+    assert(maxAbs(xLow.toLocal - xTrue) < 1e-9)
+    val uLocal = lLocal.t.copy
+    val bUp = DMatrix.fromLocal(spark, uLocal * xTrue, bs)
+    val xUp = LinAlg.solveTriangular(DMatrix.fromLocal(spark, uLocal, bs), bUp, lower = false)
+    assert(maxAbs(xUp.toLocal - xTrue) < 1e-9)
+  }
+
+  test("solveTriangular accepts a triangle-only block set (cholesky output layout)") {
+    // choleskyLower emits ONLY bi >= bj blocks — the solve must treat the
+    // missing upper blocks as zeros, not crash or mis-key.
+    val b0 = DMatrix.randInt(spark, 48, 48, 16, 53L, mod = 10L)
+    val spd = b0.transpose.multiply(b0) + (DMatrix.eye(spark, 48, 16) * 480.0)
+    val lDist = LinAlg.choleskyLower(spd, checkpointEvery = 2)
+    val lLocal = lDist.toLocal
+    val xTrue = BDM.tabulate[Double](48, 1)((i, _) => ((i * 11) % 17).toDouble)
+    val b = DMatrix.fromLocal(spark, lLocal * xTrue, 16)
+    val x = LinAlg.solveTriangular(lDist, b, lower = true)
+    assert(maxAbs(x.toLocal - xTrue) < 1e-8)
+  }
+
+  test("solveSpd: cholesky + two substitutions recovers the planted solution") {
+    val n = 96; val bs = 32
+    val b0 = DMatrix.randInt(spark, n, n, bs, 59L, mod = 10L)
+    val a = b0.transpose.multiply(b0) + (DMatrix.eye(spark, n, bs) * (10.0 * n))
+    val xTrue = BDM.tabulate[Double](n, 1)((i, _) => ((i * 7) % 23).toDouble)
+    val b = DMatrix.fromLocal(spark, a.toLocal * xTrue, bs)
+    val x = LinAlg.solveSpd(a, b)
+    assert(maxAbs(x.toLocal - xTrue) < 1e-7)
+    // cross-check against Breeze's dense solve
+    val xb = a.toLocal \ (a.toLocal * xTrue)
+    assert(maxAbs(x.toLocal - xb) < 1e-7)
+  }
 }
