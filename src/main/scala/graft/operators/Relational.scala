@@ -492,6 +492,73 @@ object Relational {
               col("gid").cast("long").as("gid"),
               col("n_rows"), col("sum_qty"), col("sum_cents"))
 
+  /** q41: CUSTOM GROUPING SETS — the general form rollup (q31) and cube
+    * (q34) are special cases of: exactly ((flag,status),(flag),(status)),
+    * i.e. detail plus both one-dimensional marginals but NO grand total —
+    * a set combination neither .rollup nor .cube can produce. Spark
+    * plans the same single-scan Expand (3 rows per input) into one
+    * partial+final hash aggregate, so at 100 TB the fact table is read
+    * once for all three report levels instead of three times. Same
+    * sentinel/grouping_id discipline as q31/q34. */
+  def groupingSetsSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+           count(lit(1)).as("n_rows"),
+           sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+              col("gid").cast("long").as("gid"),
+              col("n_rows"), col("sum_qty"), col("sum_cents"))
+
+  /** q42: SCD TYPE-2 MERGE — the warehouse dimension-versioning upsert
+    * (Kimball's slowly-changing-dimension type 2): a change batch lands
+    * against the current dimension snapshot and every key resolves to
+    * one of four outcomes in ONE pass — unchanged (current row rides
+    * through), changed (old version closed out + new current version
+    * appended), untouched (no change row), inserted (new key). The
+    * change batch is derived deterministically from the fixtures
+    * (per-customer open-order balance from `orders`; keys with ≥ 3 open
+    * orders also synthesize an insert at key+10⁷), and versions are
+    * integer batch ids, so the full versioned output is exactly
+    * SQL-expressible.
+    *
+    * Scale shape: ONE left join of dimension × aggregated changes (the
+    * change batch is usually ≪ dim, so AQE broadcasts it; past the
+    * threshold it degrades to a keyed shuffle join — either way a
+    * single exchange of the dim side at most), then a map-only
+    * when/array/explode emits 1 or 2 version rows per key. No window,
+    * no second pass, no driver state — the MERGE shape that holds at a
+    * billion-row dimension. */
+  def scd2Merge(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d).select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("seg"),
+      round(col("c_acctbal") * 100).cast("long").as("bal"))
+    val chg = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("newbal"),
+           count(lit(1)).as("n"))
+    val versions = dim.join(chg.select(col("k"), col("newbal")), Seq("k"), "left")
+      .select(col("k"), col("seg"),
+        explode(when(col("newbal").isNotNull && col("newbal") =!= col("bal"),
+            array(struct(col("bal").as("bal"), lit(1L).as("version"),
+                         lit(0L).as("is_current")),
+                  struct(col("newbal").as("bal"), lit(2L).as("version"),
+                         lit(1L).as("is_current"))))
+          .otherwise(array(struct(col("bal").as("bal"), lit(1L).as("version"),
+                                  lit(1L).as("is_current"))))).as("v"))
+      .select(col("k"), col("seg"), col("v.bal").as("bal"),
+              col("v.version").as("version"), col("v.is_current").as("is_current"))
+    val inserts = chg.filter(col("n") >= 3)
+      .select((col("k") + 10000000L).as("k"), lit("NEW").as("seg"),
+              col("newbal").as("bal"), lit(1L).as("version"), lit(1L).as("is_current"))
+    versions.unionByName(inserts)
+  }
+
   /** q35: batch sessionization — the gap-based session assignment st02
     * does with streaming state, expressed as pure window algebra over
     * the complete history (the form a backfill or training-data
@@ -737,6 +804,8 @@ object Relational {
     "q38_resample_ffill"    -> (resampleFfill _),
     "q39_melt_measures"     -> (meltMeasures _),
     "q40_interpolate"       -> (interpolateGaps _),
+    "q41_grouping_sets"     -> (groupingSetsSummary _),
+    "q42_scd2_merge"        -> (scd2Merge _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -963,6 +1032,40 @@ object Relational {
                 CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM lineitem
          GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    // three UNION ALL branches restate the per-key outcome matrix the
+    // Spark side derives from one join + explode; compare is sort-based
+    "q42_scd2_merge" ->
+      """WITH dim AS (
+           SELECT c_custkey AS k, c_mktsegment AS seg,
+                  CAST(round(c_acctbal*100) AS BIGINT) AS bal
+           FROM customer),
+         chg AS (
+           SELECT o_custkey AS k,
+                  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS newbal,
+                  count(*) AS n
+           FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+         SELECT d.k, d.seg, d.bal,
+                CAST(1 AS BIGINT) AS version,
+                CAST(CASE WHEN c.newbal IS NOT NULL AND c.newbal <> d.bal
+                     THEN 0 ELSE 1 END AS BIGINT) AS is_current
+         FROM dim d LEFT JOIN chg c USING (k)
+         UNION ALL
+         SELECT d.k, d.seg, c.newbal AS bal,
+                CAST(2 AS BIGINT), CAST(1 AS BIGINT)
+         FROM dim d JOIN chg c USING (k) WHERE c.newbal <> d.bal
+         UNION ALL
+         SELECT c.k + 10000000, 'NEW', c.newbal,
+                CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+         FROM chg c WHERE c.n >= 3""",
+    "q41_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                count(*) AS n_rows,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))""",
     "q34_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
                 coalesce(l_linestatus, 'ALL') AS status,

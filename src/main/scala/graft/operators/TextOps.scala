@@ -172,6 +172,56 @@ object TextOps {
           col("kth").cast("double"), 2).as("est_distinct"))
   }
 
+  /** t31: KMV SKETCH ALGEBRA — the property that makes k-minimum-values
+    * the distributed distinct-counter (t13 builds one global sketch;
+    * this entry exercises MERGE): per-language vocabulary sketches are
+    * built independently, then the corpus-wide sketch is derived purely
+    * FROM THE SKETCHES — min-k of the union of per-language k-mins
+    * equals the min-k of the union of the underlying sets, exactly (the
+    * k smallest global hashes are each ≤ their language's kth-min, so
+    * none can be dropped by per-language pre-cutting). At 100 TB this
+    * is the shape that matters: shards sketch locally, only k·8-byte
+    * states merge upward, the raw token stream never re-shuffles for
+    * the global count.
+    *
+    * Per-language k-mins plan through TopKPerKey (the rank-filter
+    * rewrite — bounded heaps, no per-key sort); the merge is a distinct
+    * + global top-k over ≤ k·|langs| rows. A sketch smaller than k IS
+    * the exact distinct set, so the estimate switches to the exact
+    * count there — deterministic in both engines. */
+  def kmvUnion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val scale = 1152921504606846976.0          // 2^60: h64's hash range
+    val hashes = Tables.documents(s, d)
+      .select(col("lang"), explode(TextSim.words(col("text"))).as("tok"))
+      .select(col("lang"), TextSim.h64(col("tok")).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perLang = hashes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def estimate(grouped: DataFrame): DataFrame =
+      grouped.select(col("lang"), col("n_sk"), col("kth"),
+        when(col("n_sk") < k, col("n_sk").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(scale) /
+                           col("kth").cast("double"), 2)).as("est_distinct"))
+    val langRows = estimate(perLang.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth")))
+    // the merged sketch: built from per-language sketches ONLY
+    val union = perLang.select(col("h")).distinct()
+      .orderBy(col("h")).limit(k)
+    val unionRows = estimate(union
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+      .select(lit("ALL").as("lang"), col("n_sk"), col("kth")))
+    val out = langRows.unionByName(unionRows).localCheckpoint(true)
+    hashes.unpersist(false)
+    perLang.unpersist(false)
+    out
+  }
+
   /** The composed corpus-cleaning pipeline a training-data run actually
     * executes: quality gate (alphabetic ratio ≥ 0.6, ≥ 20 tokens) →
     * exact dedup (keep lowest doc_id per fingerprint) → per-language
@@ -682,6 +732,7 @@ object TextOps {
     "t27_skew_dedup"   -> (skewChunkDedup _),
     "t28_oov_rate"     -> (oovRate _),
     "t29_pii_scrub"    -> (piiScrub _),
+    "t31_kmv_union"    -> (kmvUnion _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -974,6 +1025,25 @@ object TextOps {
          FROM j GROUP BY 1""",
     // same deterministic plant, same RE2-simple patterns, same
     // email-then-phone replacement order.
+    // same per-language k-min + sketch-only merge; the union CTE reads
+    // ONLY the per-language sketches, mirroring the mergeability claim
+    "t31_kmv_union" ->
+      """WITH hashes AS (
+           SELECT DISTINCT lang, ('0x'||substr(md5(tok),1,15))::BIGINT AS h
+           FROM (SELECT lang, unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS tok
+                 FROM documents)),
+         perlang AS (
+           SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+           FROM hashes),
+         sk AS (SELECT lang, h FROM perlang WHERE rn <= 64),
+         langrows AS (SELECT lang, count(*) AS n_sk, max(h) AS kth FROM sk GROUP BY 1),
+         u AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT 64),
+         urow AS (SELECT 'ALL' AS lang, count(*) AS n_sk, max(h) AS kth FROM u)
+         SELECT lang, n_sk, kth,
+                CASE WHEN n_sk < 64 THEN CAST(n_sk AS DOUBLE)
+                     ELSE round(63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE), 2)
+                END AS est_distinct
+         FROM (SELECT * FROM langrows UNION ALL SELECT * FROM urow)""",
     "t29_pii_scrub" ->
       """WITH src AS (
            SELECT doc_id,

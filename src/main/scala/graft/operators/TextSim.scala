@@ -362,12 +362,76 @@ object TextSim {
   def dedupClustersQuery(s: SparkSession, d: String): DataFrame =
     dedupClusters(spread(Tables.documents(s, d)))
 
+  /** t30: prefix-filtering exact-Jaccard self-join (the AllPairs/PPJoin
+    * family — Bayardo et al. WWW'07, public algorithm) — the
+    * DETERMINISTIC near-dup scale path next to the probabilistic
+    * MinHash-LSH one (t09): for threshold t = 0.8, two shingle sets can
+    * reach Jaccard ≥ t only if |A∩B| ≥ ceil(t·|A|), and under ANY global
+    * token order an overlap of o forces the first |A|−o+1 tokens of A to
+    * intersect B's corresponding prefix. So candidates come from an
+    * inverted index over each doc's PREFIX tokens only — the
+    * n − ceil(0.8n) + 1 RAREST shingles (global document frequency
+    * ascending, shingle text as tie-break): ~20% of each doc's tokens,
+    * and the least-common ones at that, so posting lists stay short BY
+    * CONSTRUCTION (a token frequent enough to build a hot list is too
+    * common to be in any long doc's prefix). A size filter
+    * (4·max(na,nb) ≤ 5·min(na,nb), integer form of the t-bound on
+    * length ratio) prunes cross-length pairs before the distinct.
+    * Exact Jaccard verification then runs once per surviving pair —
+    * output is ONLY the verified ≥ 0.8 pairs, so the prefix mechanics
+    * are provably lossless (the oracle recomputes the same truth).
+    *
+    * Shuffle discipline: the candidate join moves (sh, doc_id, n)
+    * triples only; document frequency is a (sh, count) aggregate; the
+    * shingle arrays join back per side on doc_id exactly as in t09.
+    * Unlike LSH there are no hash-family false negatives — this is the
+    * pipeline you run when the dedup must be exact, at the price of the
+    * df-ranking shuffle. */
+  def prefixJoinPairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles3(col("ws"))).as("shset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = base.select(col("doc_id"), size(col("shset")).as("n"),
+                           explode(col("shset")).as("sh"))
+    val dfreq = toks.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
+    // rarest-first rank per doc; prefix length p = n − ceil(4n/5) + 1,
+    // all-integer so both engines agree exactly
+    val pref = toks.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("sh"))))
+      .filter(col("rn") <= col("n") - floor((col("n") * 4 + 4) / 5) + 1)
+      .select(col("sh"), col("doc_id"), col("n"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shsets = base.select(col("doc_id"), col("shset"))
+    val out = cand
+      .join(shsets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), "doc_a")
+      .join(shsets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        size(array_union(col("sa"), col("sb"))).as("uni"))
+      .filter(col("inter") * 10 >= col("uni") * 8)
+      .localCheckpoint(true)   // verified pair list: tiny vs corpus
+    base.unpersist(false)
+    out
+  }
+
+  def prefixJoinQuery(s: SparkSession, d: String): DataFrame =
+    prefixJoinPairs(spread(Tables.documents(s, d)))
+
   val queries: Map[String, Q] = Map(
     "t06_minhash_sig"  -> (minhashSigQuery _),
     "t07_lsh_buckets"  -> (lshBucketsQuery _),
     "t08_simhash"      -> (simhashQuery _),
     "t09_neardup_pairs" -> (nearDupQuery _),
     "t21_dedup_clusters" -> (dedupClustersQuery _),
+    "t30_prefix_join"  -> (prefixJoinQuery _),
   )
 
   private val sigSql =
@@ -432,6 +496,40 @@ object TextSim {
        FROM hs""".replace("[g_flag]", "'g'"),
     "t09_neardup_pairs" -> (sigSql + pairCtes + """
        SELECT doc_a, doc_b, inter, uni FROM rawpairs"""),
+    // t30 recomputes the full prefix-filter pipeline: same df ranking,
+    // same integer prefix length, same size filter, same verification —
+    // equality proves the Spark candidates are lossless AND exact.
+    "t30_prefix_join" -> """
+       WITH d AS (
+         SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+         FROM documents),
+       sh AS (
+         SELECT doc_id, [ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                         for i in generate_series(1, len(ws)-2)] AS shs
+         FROM d WHERE len(ws) >= 3),
+       shset AS (SELECT doc_id, list_distinct(shs) AS shset FROM sh),
+       toks AS (SELECT doc_id, len(shset) AS n, unnest(shset) AS sh FROM shset),
+       dfreq AS (SELECT sh, count(*) AS dfreq FROM toks GROUP BY 1),
+       ranked AS (
+         SELECT t.doc_id, t.n, t.sh,
+                row_number() OVER (PARTITION BY t.doc_id ORDER BY f.dfreq, t.sh) AS rn
+         FROM toks t JOIN dfreq f USING (sh)),
+       pref AS (
+         SELECT doc_id, n, sh FROM ranked
+         WHERE rn <= n - (4*n + 4) // 5 + 1),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM pref a JOIN pref b
+           ON a.sh = b.sh AND a.doc_id < b.doc_id
+          AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4),
+       ver AS (
+         SELECT doc_a, doc_b,
+                len(list_intersect(sa.shset, sb.shset)) AS inter,
+                len(list_distinct(list_concat(sa.shset, sb.shset))) AS uni
+         FROM cand
+         JOIN shset sa ON sa.doc_id = cand.doc_a
+         JOIN shset sb ON sb.doc_id = cand.doc_b)
+       SELECT doc_a, doc_b, inter, uni FROM ver WHERE inter*10 >= uni*8""",
     // same pair pipeline, then transitive closure (DuckDB recursive CTE:
     // UNION-dedup guarantees termination on cycles) -> min reachable id
     // per node = the component canonical. Feasible for the oracle because

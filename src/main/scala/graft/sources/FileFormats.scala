@@ -329,6 +329,40 @@ object FileFormats {
     boxAggregate(s.read.parquet(tmp), 64, 191, 216, 263)
   }
 
+  /** src08: SCHEMA EVOLUTION via mergeSchema — the lakehouse reality the
+    * other src entries don't touch: a long-lived table's files span
+    * schema generations (columns appended over months of pipeline
+    * revisions), and a reader must reconcile the union of footers
+    * instead of trusting file 0. Here the same table is written in two
+    * generations under one root — gen1 carries (o_orderkey, cents),
+    * gen2 additionally o_orderpriority — and the root is read back with
+    * `mergeSchema=true`: Spark unions the footer schemas at planning
+    * time and pre-evolution files surface the new column as NULL.
+    * The aggregate groups on the evolved column with the NULL bucket
+    * made explicit, so equality with the oracle (same split semantics
+    * inlined as a CASE on the unsplit source) proves BOTH generations'
+    * rows survive, land in the right buckets, and lose nothing.
+    * At 100 TB: footer-schema merge is a planning-time cost on file
+    * METADATA (per-file footers, no data read), which is why appending
+    * a column to a petabyte table is free — the alternative, rewriting
+    * every historical file, is the thing this mechanism exists to
+    * avoid. */
+  def mergeSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("evolve")
+    val orders = Tables.orders(s, d).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderpriority"))
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "cents")
+      .write.mode("overwrite").parquet(s"$root/gen1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$root/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$root/gen1", s"$root/gen2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>")).as("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+           sum(col("o_orderkey")).as("sum_keys"))
+  }
+
   val queries: Map[String, Q] = Map(
     "src01_csv_roundtrip"  -> (csvRoundtrip _),
     "src02_json_roundtrip" -> (jsonRoundtrip _),
@@ -337,6 +371,7 @@ object FileFormats {
     "src05_orc_roundtrip"  -> (orcRoundtrip _),
     "src06_dynamic_prune"  -> (dynamicPrune _),
     "src07_zorder_skip"    -> (zorderSkip _),
+    "src08_schema_evolve"  -> (mergeSchemaEvolution _),
   )
 
   private val oracle =
@@ -367,6 +402,15 @@ object FileFormats {
                 CAST(sum(event_id) AS BIGINT) AS sum_ids,
                 count(DISTINCT user_id) AS n_users
          FROM events WHERE event_type IN ('click', 'view')""",
+    // the generation split (even keys = gen1, pre-evolution) inlined as
+    // a CASE on the unsplit source
+    "src08_schema_evolve" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                     ELSE '<pre-evolution>' END AS priority,
+                count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+         FROM orders GROUP BY 1""",
     // same 2-D box on the unpartitioned source; 473352 = epoch hour of
     // 2024-01-01, the layout's quantization base.
     "src07_zorder_skip" ->

@@ -24,6 +24,66 @@ class OperatorsSpec extends SparkSpec {
     assert(os.subsetOf(qs), s"orphan oracles: ${os -- qs}")
   }
 
+  test("t31 kmv union: merging per-language sketches equals sketching the raw union") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.kmvUnion(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val all = out("ALL")
+    // direct global sketch from the raw token stream (no per-lang pre-cut)
+    val direct = graft.core.Tables.documents(spark, sfDir)
+      .select(explode(TextSim.words(col("text"))).as("tok"))
+      .select(TextSim.h64(col("tok")).as("h")).distinct()
+      .orderBy(col("h")).limit(64).collect().map(_.getLong(0))
+    assert(all._1 == direct.length && all._2 == direct.max,
+      s"merged sketch (n=${all._1}, kth=${all._2}) != direct (n=${direct.length}, kth=${direct.max})")
+    // every per-language kth is >= the global kth (pre-cut keeps supersets)
+    out.filter(_._1 != "ALL").foreach { case (lang, (_, kth)) =>
+      assert(kth >= all._2, s"$lang kth $kth below global kth ${all._2}")
+    }
+  }
+
+  test("q42 scd2: outcome matrix — changed keys version out, others ride through") {
+    val rows = Relational.scd2Merge(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, vs) =>
+      if (k >= 10000000L) {          // insert branch
+        assert(vs.length == 1 && vs.head._2 == "NEW" && vs.head._5 == 1L)
+      } else if (vs.length == 2) {   // changed: one closed v1 + one current v2
+        val v1 = vs.find(_._4 == 1L).get; val v2 = vs.find(_._4 == 2L).get
+        assert(v1._5 == 0L && v2._5 == 1L, s"key $k version flags wrong")
+        assert(v1._3 != v2._3, s"key $k versioned without a value change")
+      } else {                       // unchanged/untouched: single current row
+        assert(vs.length == 1 && vs.head._4 == 1L && vs.head._5 == 1L)
+      }
+    }
+    // exactly one current row per original key; the fixture produces all
+    // three outcome classes
+    assert(byKey.exists(_._2.length == 2), "no changed keys in fixture")
+    assert(byKey.keys.exists(_ >= 10000000L), "no inserted keys in fixture")
+    assert(byKey.exists { case (k, vs) => k < 10000000L && vs.length == 1 })
+  }
+
+  test("t30 prefix join: exact, and a superset of LSH-verified pairs") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val pj = TextSim.prefixJoinPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // output contract: verified >= 0.8 only, ordered pairs
+    pj.foreach { case (a, b, inter, uni) =>
+      assert(a < b, s"unordered pair ($a,$b)")
+      assert(inter * 10 >= uni * 8, s"unverified pair ($a,$b): $inter/$uni")
+    }
+    // the probabilistic path can only MISS pairs (LSH false negatives),
+    // never find one the exact path lacks: t09-verified ⊆ t30
+    val lshVerified = TextSim.nearDupPairs(docs)
+      .filter("inter * 10 >= uni * 8")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pj.map(p => (p._1, p._2)).toSet
+    assert(lshVerified.subsetOf(exact),
+      s"LSH found pairs the exact join missed: ${lshVerified -- exact}")
+    assert(pj.nonEmpty, "fixture should contain at least one near-dup pair")
+  }
+
   test("q01 pricing summary: six flag/status groups, exact counts") {
     val rows = Relational.pricingSummary(spark, sfDir).collect()
     assert(rows.length == 6)

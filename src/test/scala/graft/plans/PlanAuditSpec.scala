@@ -211,7 +211,12 @@ class PlanAuditSpec extends SparkSpec {
     // (tsqr treeAggregate, 2-TFLOP GEMM) with no Catalyst joins anywhere,
     // and the returned plan is a one-row checksum LocalTableScan — there
     // is nothing for this sweep to catch there, at real cost.
-    val skipped = graft.array.ArrayQueries.flagship
+    // a20/a21 likewise: constructing their DataFrame runs the eager
+    // blocked substitution loop (RDD-only, no Catalyst joins) and
+    // returns an ExternalRDD coords scan — nothing for the sweep, at
+    // tens of seconds of real solve cost.
+    val skipped = graft.array.ArrayQueries.flagship ++
+      Set("a20_tri_solve", "a21_spd_solve")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skipped.contains(name) }
       .flatMap { case (name, fn) =>
