@@ -555,6 +555,61 @@ object Streams {
            countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** st10: CHECKPOINT-RESUMED incremental ingest — the restartability
+    * half of exactly-once that st08 (idempotent sink) doesn't cover: a
+    * file-source stream drains with `Trigger.AvailableNow` into a
+    * parquet sink, STOPS, new files land, and a SECOND run against the
+    * SAME checkpoint resumes from the committed offset log — processing
+    * only the new generation, never re-reading the old one. This is the
+    * production incremental-ETL loop (cron-driven AvailableNow runs): at
+    * 100 TB/day the guarantee that a restart costs one generation, not a
+    * re-scan of history, is the whole point of the checkpoint.
+    *
+    * Proof is in the oracle equality: generation 1 = even event_ids,
+    * generation 2 = odd — if run 2 re-processed gen 1 the sink doubles
+    * those rows (hash mismatch); if the resume missed gen 2 the counts
+    * fall short. The parquet sink's own `_spark_metadata` commit log
+    * makes the read-back exactly-once too. StreamingSpec additionally
+    * pins run 2's numInputRows to exactly the gen-2 row count. */
+  def streamedIncrementalResume(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+    val run = sinkSeq.incrementAndGet()
+    val srcDir = graft.sources.FileFormats.scratch(s"st10_src_$run")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val ckpt = graft.sources.FileFormats.scratch(s"st10_ckpt_$run")
+    val outDir = graft.sources.FileFormats.scratch(s"st10_out_$run")
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+              round(col("value") * 100).cast("long").as("cents"))
+    def stage(df: DataFrame, idx: Int): Unit = {
+      val tmp = graft.sources.FileFormats.scratch(s"st10_stage_$run")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val target = java.nio.file.Paths.get(srcDir, f"f$idx%02d.parquet")
+      java.nio.file.Files.move(part.toPath, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + idx * 60000L))
+    }
+    def drain(): Unit = {
+      val q = s.readStream
+        .schema("event_id LONG, event_type STRING, cents LONG")
+        .parquet(srcDir)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stage(ev.filter(col("event_id") % 2 === 0), 0)
+    drain()
+    stage(ev.filter(col("event_id") % 2 === 1), 1)
+    drain()                      // same checkpoint: resumes past gen 1
+    s.read.parquet(outDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+           sum(col("event_id")).as("sum_ids"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_window" -> (streamedEventCounts _),
     "st02_sessions"      -> (streamedSessions _),
@@ -565,9 +620,17 @@ object Streams {
     "st07_stream_join"   -> (streamedAttribution _),
     "st08_upsert_sink"   -> (streamedUpsert _),
     "st09_stream_outer"  -> (streamedAttributionOuter _),
+    "st10_incremental_resume" -> (streamedIncrementalResume _),
   )
 
   val oracles: Map[String, String] = Map(
+    // doubled gen-1 rows (re-processing) or missing gen-2 rows (failed
+    // resume) both break this equality
+    "st10_incremental_resume" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(sum(event_id) AS BIGINT) AS sum_ids
+         FROM events GROUP BY 1""",
     "st01_stream_window" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                 count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -276,4 +276,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq("A", "B", "C"),
       s"expected exactly-once {A,B,C}, got $rows")
   }
+
+  test("st10 resume: the second AvailableNow run inputs ONLY the new generation") {
+    // source-offset half of exactly-once (the test above covers state
+    // restore): after a completed drain, a resumed run's input row count
+    // must equal the newly staged generation — not the whole directory.
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_resume_").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    val outDir = s"$base/out"; val ckpt = s"$base/state"
+    def stage(n: Int, idx: Int): Unit = {
+      val tmp = s"$base/stage_$idx"
+      (0 until n).map(i => idx * 100 + i).toDF("v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(srcDir, f"f$idx%02d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def drain(): Long = {
+      val q = spark.readStream.schema("v INT").parquet(srcDir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    stage(5, 0)
+    assert(drain() == 5L)
+    stage(3, 1)
+    val second = drain()
+    assert(second == 3L, s"resumed run re-read old files: input rows $second, want 3")
+    assert(spark.read.parquet(outDir).count() == 8L)
+  }
 }
