@@ -360,7 +360,10 @@ object ArrayQueries {
     * exact, cond(A) small enough that round(x) = x₀ — hash-matched
     * against the closed-form x₀. */
   def spdSolve1k(s: SparkSession, d: String): DataFrame = {
-    val n = 1024L; val bs = 128
+    // bs=256 (4 panels, 2×4 substitution steps): the sequential step
+    // count — pure scheduling latency at fixture scale — halves vs
+    // bs=128 with identical results; a18 covers the many-panel shape.
+    val n = 1024L; val bs = 256
     val base = DMatrix.randInt(s, n, n, bs, 109L, mod = 10L)
     val a = base.transpose.multiply(base) + (DMatrix.eye(s, n, bs) * (10.0 * n))
     val x0 = DMatrix.tabulate(s, n, 1, bs)((i, _) =>
