@@ -559,6 +559,29 @@ object Relational {
     versions.unionByName(inserts)
   }
 
+  /** q43: the DISTRIBUTION-RANK window family — ntile / percent_rank /
+    * cume_dist per key in one pass, the per-entity scoring layer of any
+    * analytics stack (quartile tags, percentile positions). One keyed
+    * window = one hashpartitioning(o_custkey) exchange serves all three
+    * functions. The ORDER BY is made TOTAL (cents, o_orderkey): with
+    * ties, ntile's bucket assignment is row-order-dependent, so a
+    * non-total sort would be nondeterministic across engines — the
+    * tie-break is correctness, not style. percent_rank/cume_dist are
+    * exact rational divisions on small denominators, identical IEEE
+    * results both engines; round(6) guards display-width skew only. */
+  def windowRanks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+  }
+
   /** q35: batch sessionization — the gap-based session assignment st02
     * does with streaming state, expressed as pure window algebra over
     * the complete history (the form a backfill or training-data
@@ -806,6 +829,7 @@ object Relational {
     "q40_interpolate"       -> (interpolateGaps _),
     "q41_grouping_sets"     -> (groupingSetsSummary _),
     "q42_scd2_merge"        -> (scd2Merge _),
+    "q43_window_ranks"      -> (windowRanks _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1032,6 +1056,16 @@ object Relational {
                 CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM lineitem
          GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q43_window_ranks" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderkey,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_custkey, o_orderkey,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                round(percent_rank() OVER w, 6) AS pr,
+                round(cume_dist() OVER w, 6) AS cd
+         FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY cents, o_orderkey)""",
     // three UNION ALL branches restate the per-key outcome matrix the
     // Spark side derives from one join + explode; compare is sort-based
     "q42_scd2_merge" ->

@@ -279,12 +279,42 @@ object Similarity {
   def ivfQuery(s: SparkSession, d: String): DataFrame =
     ivfTopK(TextSim.spread(Tables.embeddings(s, d)), 1, k = 8)
 
+  /** Exact maximum-inner-product top-k (MIPS) — retrieval where
+    * magnitude matters (un-normalized embeddings: recommender scores,
+    * learned rankers): rank by ⟨q,x⟩ itself, not cosine. Same
+    * broadcast-queries / stream-corpus shape as [[bruteKnn]], but the
+    * score is a PURE INTEGER dot product — bit-exact cross-engine with
+    * no float division at all. The at-scale ANN path is the standard
+    * norm-augmentation reduction (append sqrt(M²−‖x‖²) to each corpus
+    * vector, 0 to queries: inner-product order becomes cosine order in
+    * the augmented space, so the e02–e05 LSH/IVF machinery applies
+    * unchanged) — SimilaritySpec pins the reduction's order-equivalence
+    * on the fixture. */
+  def bruteMips(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("n_id"), quantize(col("embedding")).as("nv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("n_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), dotInt(col("qv"), col("nv")).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("dot"))
+  }
+
+  /** e07: exact top-3 inner-product neighbors for every 50th vector. */
+  def mipsQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = TextSim.spread(Tables.embeddings(s, d))
+    bruteMips(emb, emb.filter(col("vec_id") % 50 === 0), 3)
+  }
+
   val queries: Map[String, Q] = Map(
     "e01_knn_cosine"  -> (knnQuery _),
     "e02_lsh_buckets" -> (bucketsQuery _),
     "e03_ann_bucket"  -> (annQuery _),
     "e04_embed_neardup" -> (embedNearDupQuery _),
     "e05_ivf_ann"     -> (ivfQuery _),
+    "e07_mips"        -> (mipsQuery _),
   )
 
   private val quantSql =
@@ -350,6 +380,18 @@ object Similarity {
                      FROM cand JOIN q qa ON qa.vec_id = cand.vec_a
                                JOIN q qb ON qb.vec_id = cand.vec_b)
           SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.3""",
+    // rank by the raw integer dot — no float division anywhere
+    "e07_mips" ->
+      s"""WITH $quantSql,
+          pairs AS (
+            SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                   CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
+            FROM q a JOIN q b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
+          SELECT q_id, n_id, rank, dot FROM (
+            SELECT q_id, n_id, dot,
+                   row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) AS rank
+            FROM pairs) t
+          WHERE rank <= 3""",
     "e05_ivf_ann" ->
       s"""WITH $quantSql,
           assign AS (

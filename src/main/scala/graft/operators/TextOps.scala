@@ -222,6 +222,43 @@ object TextOps {
     out
   }
 
+  /** t32: UNIGRAM-SURPRISAL quality scoring — the LM-perplexity-style
+    * filter (CCNet/Gopher rank documents by language-model perplexity;
+    * the unigram surprisal Σ −log₂ p(tok) is its deterministic
+    * first-order surrogate). Cross-engine float logs are a hash hazard,
+    * so the log is INTEGER: floor(log₂ x) = length(bin(x)) − 1, and the
+    * per-token surprise is bitlen(N_total) − bitlen(cnt_tok) — exact in
+    * both engines via binary-string length.
+    *
+    * Scale shape: one (tok, cnt) aggregate (partial combine before its
+    * exchange), one probe join of occurrences × freq — at fixture scale
+    * the vocabulary broadcasts; at warehouse scale it degrades to a
+    * sort-merge join where the hot-token skew ("the" = one giant key
+    * against a 1-row build side) is exactly what AQE's skew-split
+    * handles (pinned generally in PlanAuditSpec) — then a per-doc
+    * aggregate of two longs. The corpus total joins as a broadcast
+    * 1-row frame (never a driver collect). */
+  def surprisalScore(s: SparkSession, d: String): DataFrame = {
+    val toks = TextSim.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(TextSim.words(col("text"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("n_total"))
+    val out = toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (length(bin(col("n_total"))) - length(bin(col("cnt")))).as("surprise"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(col("surprise")).cast("long").as("surprise_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("surprise_sum"),
+        floor(col("surprise_sum") * 1000 / col("n_tokens")).cast("long")
+          .as("mean_permille"))
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    out
+  }
+
   /** The composed corpus-cleaning pipeline a training-data run actually
     * executes: quality gate (alphabetic ratio ≥ 0.6, ≥ 20 tokens) →
     * exact dedup (keep lowest doc_id per fingerprint) → per-language
@@ -733,6 +770,7 @@ object TextOps {
     "t28_oov_rate"     -> (oovRate _),
     "t29_pii_scrub"    -> (piiScrub _),
     "t31_kmv_union"    -> (kmvUnion _),
+    "t32_surprisal"    -> (surprisalScore _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -1025,6 +1063,22 @@ object TextOps {
          FROM j GROUP BY 1""",
     // same deterministic plant, same RE2-simple patterns, same
     // email-then-phone replacement order.
+    // integer log2 via binary-string length — identical in both engines
+    "t32_surprisal" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+           FROM documents),
+         toks AS (SELECT doc_id, unnest(ws) AS tok FROM d WHERE len(ws) >= 1),
+         freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM freq),
+         scored AS (
+           SELECT doc_id,
+                  length(bin(tot.n_total)) - length(bin(cnt)) AS surprise
+           FROM toks JOIN freq USING (tok), tot)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(surprise) AS BIGINT) AS surprise_sum,
+                CAST(sum(surprise) * 1000 // count(*) AS BIGINT) AS mean_permille
+         FROM scored GROUP BY 1""",
     // same per-language k-min + sketch-only merge; the union CTE reads
     // ONLY the per-language sketches, mirroring the mergeability claim
     "t31_kmv_union" ->

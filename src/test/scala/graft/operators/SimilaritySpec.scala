@@ -245,4 +245,39 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expect, s"pair set mismatch: extra=${got -- expect} missing=${expect -- got}")
   }
+
+  test("e07 MIPS: matches local truth, and the norm-augmentation reduction preserves its order") {
+    import org.apache.spark.sql.functions._
+    // local quantized copy of the fixture
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val got = Similarity.mipsQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // 1. exact agreement with a local argmax
+    got.groupBy(_._1).foreach { case (qId, rows) =>
+      val truth = vecs.keys.filter(_ != qId).toSeq
+        .map(n => (n, dot(vecs(qId), vecs(n))))
+        .sortBy { case (n, d) => (-d, n) }.take(3)
+      val gotSorted = rows.sortBy(_._3).map(r => (r._2, r._4)).toSeq
+      assert(gotSorted == truth, s"query $qId: $gotSorted != $truth")
+    }
+    // 2. the MIPS->NN reduction: with x' = [x, sqrt(M2-|x|2)], q' = [q, 0],
+    // cos(q',x') = <q,x>/(|q|·M) — denominator constant per query, so the
+    // augmented-cosine ordering IS the inner-product ordering
+    val m2 = vecs.values.map(v => dot(v, v)).max
+    got.groupBy(_._1).foreach { case (qId, rows) =>
+      val augTop = vecs.keys.filter(_ != qId).toSeq
+        .map { n =>
+          val d = dot(vecs(qId), vecs(n)).toDouble
+          val cos = d / (math.sqrt(dot(vecs(qId), vecs(qId)).toDouble) * math.sqrt(m2.toDouble))
+          (n, cos)
+        }
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1)
+      assert(augTop == rows.sortBy(_._3).map(_._2).toSeq,
+        s"augmented-space ordering diverged for query $qId")
+    }
+  }
 }

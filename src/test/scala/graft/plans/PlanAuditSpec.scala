@@ -204,7 +204,7 @@ class PlanAuditSpec extends SparkSpec {
     // Entries that eagerly localCheckpoint collapse their upstream plan
     // to an RDD scan; their join shapes are asserted by their own specs —
     // this sweep still covers everything visible in the returned plan.
-    val bnljAllowed = Set("e01_knn_cosine", "mm04_hist_knn",
+    val bnljAllowed = Set("e01_knn_cosine", "e07_mips", "mm04_hist_knn",
                           "t13_kmv_sketch", "t18_domain_mix")
     // Flagship-scale linalg entries are excluded: building their final
     // DataFrame executes tens of seconds of eager RDD block algebra
