@@ -373,6 +373,53 @@ object ArrayQueries {
       .select(col("i"), round(col("v")).cast("long").as("x"))
   }
 
+  /** 1-D overlapping stencil (dask `da.map_overlap(f, depth=1,
+    * boundary=0)`): y_i = x_{i-1} + 2·x_i + x_{i+1} over a 10,000-cell
+    * chunked vector — the ghost-cell exchange runs block-to-neighbor
+    * only (2 halo rows per boundary cross the shuffle, never the
+    * vector). Integer-exact, so the window closed form is the oracle. */
+  def mapOverlap(s: SparkSession, d: String): DataFrame = {
+    val x = DMatrix.randInt(s, 10000, 1, 1024, 201L)
+    x.mapOverlapRows(1)((p, c) => p(c - 1) + 2 * p(c) + p(c + 1))
+      .toCoords
+      .select(col("i"), round(col("v")).cast("long").as("y"))
+  }
+
+  /** Column-wise running sum (dask `da.cumsum(axis=0)`) over the shared
+    * 64×48 LCG matrix: two-pass block prefix scan — per-block column
+    * totals shuffle (one small vector per block), exclusive offsets per
+    * block column, then one co-keyed join adds offsets to the local
+    * cumsum. No global sort point. Exact-integer: the fixed
+    * top-to-bottom addition order matches SQL's window frame. */
+  def axisCumsum(s: SparkSession, d: String): DataFrame =
+    matA(s).cumsumAxis0.toCoords
+
+  /** Fixed-range histogram (dask `da.histogram(x, bins=10,
+    * range=(0,1000))`) over a 256² LCG matrix: per-block bincount +
+    * reduceByKey — ≤10 longs per map partition cross the shuffle. */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    DMatrix.randInt(s, 256, 256, 64, 221L).histogram(0.0, 1000.0, 10)
+      .orderBy("bin")
+
+  /** Blocked LU without pivoting (dask `da.linalg.lu`) on a
+    * diagonally-dominant integer matrix (96², chunks 32 — 3 panel
+    * steps), validated through the reconstruction invariant L·U = A:
+    * recon roundoff ≪ 0.5 under the 10n-dominant diagonal, so rounding
+    * recovers the exact integer input — SQL-expressible from the shared
+    * LCG. The factors themselves are exactness-checked in LinAlgSpec. */
+  def luRecon(s: SparkSession, d: String): DataFrame = {
+    val a = DMatrix.randInt(s, 96, 96, 32, 211L, mod = 10L) +
+      (DMatrix.eye(s, 96, 32) * 960.0)
+    val (l, u) = LinAlg.lu(a)
+    l.multiply(u).toCoords
+      .select(col("i"), col("j"), round(col("v")).cast("long").as("v"))
+  }
+
+  /** Concatenate along axis 0 (dask `da.concatenate([a, e], axis=0)`):
+    * pure narrow re-index of the bottom grid — no data movement. */
+  def vstackConcat(s: SparkSession, d: String): DataFrame =
+    matA(s).vstack(matE(s)).toCoords
+
   /** Flagship-scale entry names: Bench runs these once per pass (not
     * REPS×), and PlanAuditSpec's join sweep skips them — their compute is
     * RDD block algebra (no Catalyst joins anywhere) and the returned
@@ -412,6 +459,11 @@ object ArrayQueries {
     "a19_qr_square"      -> (qrSquare _),
     "a20_tri_solve"      -> (triSolve2k _),
     "a21_spd_solve"      -> (spdSolve1k _),
+    "a22_map_overlap"    -> (mapOverlap _),
+    "a23_axis_cumsum"    -> (axisCumsum _),
+    "a24_lu_recon"       -> (luRecon _),
+    "a25_histogram"      -> (histogram _),
+    "a26_vstack"         -> (vstackConcat _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -537,6 +589,29 @@ object ArrayQueries {
       """SELECT i.range AS i,
                 CAST(((7654*1024 + i.range)*1103515245 + 89) % 2147483647 % 100 AS BIGINT) AS x
          FROM range(1024) i""",
+    "a22_map_overlap" ->
+      """WITH x AS (SELECT i.range AS i,
+              CAST(((i.range*1+0)*1103515245+201)%2147483647%1000 AS BIGINT) AS v
+            FROM range(10000) i)
+         SELECT i, COALESCE(lag(v) OVER w, 0) + 2*v + COALESCE(lead(v) OVER w, 0) AS y
+         FROM x WINDOW w AS (ORDER BY i)""",
+    "a23_axis_cumsum" ->
+      s"""WITH ${matSql("a", 64, 48, 7)}
+          SELECT i, j, sum(v) OVER (PARTITION BY j ORDER BY i) AS v FROM a""",
+    "a24_lu_recon" ->
+      s"""WITH ${matSql("b", 96, 96, 211, 10)}
+          SELECT i, j,
+                 CAST(v + (CASE WHEN i = j THEN 960 ELSE 0 END) AS BIGINT) AS v
+          FROM b""",
+    "a25_histogram" ->
+      s"""WITH ${matSql("a", 256, 256, 221)}
+          SELECT CAST(floor(v/100) AS BIGINT) AS bin,
+                 floor(v/100)*100.0 AS bin_lo, count(*) AS n
+          FROM a GROUP BY 1, 2 ORDER BY 1""",
+    "a26_vstack" ->
+      s"""WITH ${matSql("a", 64, 48, 7)}, ${matSql("e", 64, 48, 19)}
+          SELECT i, j, v FROM a
+          UNION ALL SELECT i + 64 AS i, j, v FROM e""",
     // consistent system: the minimizer IS the planted x0, in closed form
     "a17_lstsq_262k" ->
       """SELECT j.range AS j,

@@ -407,6 +407,150 @@ class DMatrix(
     new DMatrix(spark.createDataset(joined), nRows, nCols, blockSize)
   }
 
+  /** 1-D stencil with halo exchange — dask `da.map_overlap(f, depth,
+    * boundary=0)` on a chunked vector (reference surface: dask.array
+    * overlapping computations; the reference executes them as ghost-cell
+    * tasks between neighbor chunks). Spark-first shape: each block
+    * flatMaps out its own payload plus `depth` boundary rows to each
+    * neighbor block, and one keyed reduce assembles the padded block —
+    * the shuffle carries ONLY the 2·depth halo rows per block boundary,
+    * never the vector, so the exchange stays O(depth · nBlocks) at any
+    * scale. Missing halos (the global edges) are zero-padded, so `f`
+    * always sees exactly `depth` cells on each side of the center.
+    *
+    * `f(padded, center)` computes the output cell from the padded window
+    * array; it must only read indices within ±depth of `center`. */
+  def mapOverlapRows(depth: Int)(f: (Array[Double], Int) => Double): DMatrix = {
+    require(nCols == 1, "mapOverlapRows is the 1-D (vector) overlap")
+    require(depth > 0 && depth <= blockSize, s"depth $depth out of (0, $blockSize]")
+    import blocks.sparkSession.implicits._
+    val nb = nbRows
+    // (targetBlock, (slot, rows)): slot 0 = pre-halo, 1 = self, 2 = post
+    val frags = blocks.rdd.flatMap { b =>
+      val out = scala.collection.mutable.ArrayBuffer[(Int, (Int, Array[Double]))]()
+      out += ((b.bi, (1, b.data)))
+      if (b.bi + 1 < nb)
+        out += ((b.bi + 1, (0, b.data.takeRight(math.min(depth, b.rows)))))
+      if (b.bi > 0)
+        out += ((b.bi - 1, (2, b.data.take(math.min(depth, b.rows)))))
+      out.iterator
+    }
+    val m = nRows; val bs = blockSize
+    val stenciled = frags.groupByKey(math.max(1, math.min(nb, blocks.rdd.getNumPartitions)))
+      .map { case (bi, parts) =>
+        val rows = DMatrix.blockDim(m, bs, bi)
+        val padded = new Array[Double](rows + 2 * depth)   // zero edges
+        parts.foreach { case (slot, d) =>
+          val off = slot match {
+            case 0 => depth - d.length      // pre-halo ends at `depth`
+            case 1 => depth
+            case _ => depth + rows          // post-halo starts after self
+          }
+          System.arraycopy(d, 0, padded, off, d.length)
+        }
+        val out = new Array[Double](rows)
+        var i = 0
+        while (i < rows) { out(i) = f(padded, depth + i); i += 1 }
+        Block(bi, 0, rows, 1, out)
+      }
+    new DMatrix(spark.createDataset(stenciled), nRows, 1, blockSize)
+  }
+
+  /** Column-wise running sum down the rows — dask `da.cumsum(axis=0)`.
+    * Two-pass prefix scan, the same shape as the corpus packing scan
+    * (TextOps) but over the block grid: pass 1 computes each block's
+    * per-column totals (a 1×cols vector per block — the matrix itself
+    * never re-shuffles); the totals are grouped per block COLUMN and
+    * turned into exclusive prefix offsets (nbRows vectors per group —
+    * bounded by the grid, not the data); pass 2 joins the offsets back
+    * and adds them to each block's local column cumsum. One narrow map,
+    * one tiny shuffle of nb vectors, one co-keyed join — no global sort
+    * point, so the scan survives a tall matrix at any row count. */
+  def cumsumAxis0: DMatrix = {
+    import blocks.sparkSession.implicits._
+    val colTotals = blocks.rdd.map { b =>
+      val t = new Array[Double](b.cols)
+      var j = 0
+      while (j < b.cols) {
+        var i = 0
+        while (i < b.rows) { t(j) += b.data(i + j * b.rows); i += 1 }
+        j += 1
+      }
+      (b.bj, (b.bi, t))
+    }
+    // exclusive prefix per block column: offsets((bi,bj)) = Σ_{r<bi} totals(r,bj)
+    val offsets = colTotals.groupByKey(math.max(1, nbCols)).flatMap { case (bj, it) =>
+      val sorted = it.toArray.sortBy(_._1)
+      var acc: Array[Double] = null
+      sorted.iterator.map { case (bi, t) =>
+        val off = if (acc == null) new Array[Double](t.length) else acc.clone()
+        acc = if (acc == null) t.clone() else addInto(acc, t)
+        ((bi, bj), off)
+      }
+    }
+    val scanned = blocks.rdd.map(b => ((b.bi, b.bj), b)).join(offsets)
+      .map { case (_, (b, off)) =>
+        val out = new Array[Double](b.data.length)
+        var j = 0
+        while (j < b.cols) {
+          var run = off(j)
+          var i = 0
+          while (i < b.rows) {
+            run += b.data(i + j * b.rows)
+            out(i + j * b.rows) = run
+            i += 1
+          }
+          j += 1
+        }
+        b.copy(data = out)
+      }
+    new DMatrix(spark.createDataset(scanned), nRows, nCols, blockSize)
+  }
+
+  /** Fixed-range histogram — dask `da.histogram(x, bins, range)`.
+    * Per-block local bincount, then reduceByKey on the bin index: the
+    * shuffle carries at most `bins` longs per map partition (map-side
+    * combine), never cells. Out-of-range values are dropped, matching
+    * numpy; the upper edge is inclusive in the last bin. */
+  def histogram(lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    import blocks.sparkSession.implicits._
+    val w = (hi - lo) / bins
+    blocks.rdd.mapPartitions { it =>
+      val counts = new Array[Long](bins)
+      it.foreach { b =>
+        var i = 0
+        while (i < b.data.length) {
+          val v = b.data(i)
+          if (v >= lo && v <= hi) {
+            val bin = math.min(bins - 1, ((v - lo) / w).toInt)
+            counts(bin) += 1
+          }
+          i += 1
+        }
+      }
+      counts.iterator.zipWithIndex.collect { case (c, bIdx) if c > 0 => (bIdx, c) }
+    }.reduceByKey(_ + _)
+      .map { case (bIdx, c) => (bIdx.toLong, lo + bIdx * w, c) }
+      .toDF("bin", "bin_lo", "n")
+  }
+
+  /** Stack below — dask `da.concatenate([a, b], axis=0)`. A pure narrow
+    * map re-indexing the bottom matrix's block rows; no data moves. Needs
+    * this matrix's row count to be block-aligned so the bottom blocks
+    * land on grid boundaries (dask's rechunk-on-concat otherwise —
+    * compose with [[rechunk]] for the unaligned case). */
+  def vstack(other: DMatrix): DMatrix = {
+    require(nCols == other.nCols && blockSize == other.blockSize,
+      "vstack needs matching widths and chunks")
+    require(nRows % blockSize == 0,
+      s"top matrix rows $nRows not aligned to chunk $blockSize: rechunk first")
+    import blocks.sparkSession.implicits._
+    val shift = nbRows
+    val shifted = other.blocks.map(b => b.copy(bi = b.bi + shift))
+    new DMatrix(blocks.union(shifted), nRows + other.nRows, nCols, blockSize)
+  }
+
   /** Full reductions (dask `x.sum()`, `x.mean()`, `x.std()`):
     * single treeAggregate pass over blocks. */
   def stats: (Long, Double, Double, Double, Double) = {

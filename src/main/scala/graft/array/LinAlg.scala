@@ -456,6 +456,146 @@ object LinAlg {
     new DMatrix(spark.createDataset(lower), a.nRows, a.nCols, bs)
   }
 
+  /** Local Doolittle LU (no pivoting) of a bs×bs tile: returns (L unit
+    * lower, U upper). Callers guarantee a diagonally-dominant input, the
+    * same contract dask's `da.linalg.lu` documents (it refuses to pivot
+    * across chunk boundaries). */
+  private def localLu(m: BDM[Double]): (BDM[Double], BDM[Double]) = {
+    val n = m.rows
+    val a = m.copy
+    var k = 0
+    while (k < n) {
+      val piv = a(k, k)
+      var i = k + 1
+      while (i < n) {
+        val f = a(i, k) / piv
+        a(i, k) = f
+        var j = k + 1
+        while (j < n) { a(i, j) -= f * a(k, j); j += 1 }
+        i += 1
+      }
+      k += 1
+    }
+    val l = BDM.eye[Double](n)
+    val u = BDM.zeros[Double](n, n)
+    var j = 0
+    while (j < n) {
+      var i = 0
+      while (i < n) {
+        if (i > j) l(i, j) = a(i, j) else u(i, j) = a(i, j)
+        i += 1
+      }
+      j += 1
+    }
+    (l, u)
+  }
+
+  /** Blocked right-looking LU without pivoting — dask `da.linalg.lu`
+    * (dask also factorizes blockwise with no cross-chunk pivoting and
+    * documents the square-chunked, well-conditioned contract). Same
+    * distributed shape as [[choleskyLower]]: nb sequential panel steps;
+    * per step a bs×bs-local tile LU, one distributed map finishing the
+    * panel column (L_ik = A_ik·U_kk⁻¹) and panel row (U_kj = L_kk⁻¹·A_kj),
+    * and a rank-bs trailing update A_ij −= L_ik·U_kj via two keyed joins —
+    * panels are never broadcast (they are m×bs and would not fit at
+    * scale), and lineage is truncated with localCheckpoint periodically.
+    * Returns (L unit-lower, U upper) as sparse block sets (absent blocks
+    * are zero, like [[DMatrix.tril]]'s output). */
+  def lu(a: DMatrix, checkpointEvery: Int = 6): (DMatrix, DMatrix) = {
+    require(a.nRows == a.nCols, "lu needs a square matrix")
+    val spark = a.blocks.sparkSession
+    val nb = a.nbRows
+    val nParts = math.max(2, math.min(spark.sparkContext.defaultParallelism, nb * nb))
+    var state = a.blocks.rdd.map(b => ((b.bi, b.bj), b)).cache()
+    var prev = state
+    for (k <- 0 until nb) {
+      val diag = state.filter(_._1 == (k, k)).values.first()
+      val (lkk, ukk) = localLu(new BDM(diag.rows, diag.cols, diag.data))
+      val invUkk = inv(ukk)            // bs×bs-small, shipped in closures
+      val invLkk = inv(lkk)
+      val updated = state.flatMap { case ((bi, bj), b) =>
+        if (bi == k && bj == k) None                       // replaced below
+        else if (bj == k && bi > k) {                      // panel column
+          val lik = b.toBreeze * invUkk
+          Some(((bi, bj), b.copy(data = lik.data)))
+        } else if (bi == k && bj > k) {                    // panel row
+          val ukj = invLkk * b.toBreeze
+          Some(((bi, bj), b.copy(data = ukj.data)))
+        } else Some(((bi, bj), b))
+      }
+      val colPanel = updated.filter { case ((bi, bj), _) => bj == k && bi > k }
+        .map { case ((bi, _), b) => (bi, b) }
+      val rowPanel = updated.filter { case ((bi, bj), _) => bi == k && bj > k }
+        .map { case ((_, bj), b) => (bj, b) }
+      val settled = updated.filter { case ((bi, bj), _) => bi <= k || bj <= k }
+      // A_ij -= L_ik · U_kj for i > k, j > k: join on i, then on j
+      val newTrailing = updated.filter { case ((bi, bj), _) => bi > k && bj > k }
+        .map { case ((bi, bj), b) => (bi, (bj, b)) }
+        .leftOuterJoin(colPanel, nParts)
+        .map { case (bi, ((bj, b), likOpt)) => (bj, (bi, b, likOpt)) }
+        .leftOuterJoin(rowPanel, nParts)
+        .map { case (bj, ((bi, b, likOpt), ukjOpt)) =>
+          (likOpt, ukjOpt) match {
+            case (Some(lik), Some(ukj)) =>
+              val upd = b.toBreeze - lik.toBreeze * ukj.toBreeze
+              ((bi, bj), b.copy(data = upd.data))
+            case _ => ((bi, bj), b)
+          }
+        }
+      // packed diag tile: strict-lower(L_kk) + U_kk (Doolittle storage)
+      val packed = {
+        val d = ukk.copy
+        var j = 0
+        while (j < d.cols) {
+          var i = j + 1
+          while (i < d.rows) { d(i, j) = lkk(i, j); i += 1 }
+          j += 1
+        }
+        ((k, k), diag.copy(data = d.data))
+      }
+      var next = settled.union(newTrailing)
+        .union(spark.sparkContext.parallelize(Seq(packed), 1))
+        .coalesce(nParts)
+      if ((k + 1) % checkpointEvery == 0) next.localCheckpoint()
+      next = next.cache()
+      next.count()
+      prev.unpersist(false)
+      prev = next
+      state = next
+    }
+    import spark.implicits._
+    val lBlocks = state.filter { case ((bi, bj), _) => bi >= bj }.values.map { b =>
+      if (b.bi == b.bj) {              // unpack: unit diag + strict lower
+        val out = b.data.clone()
+        var j = 0
+        while (j < b.cols) {
+          var i = 0
+          while (i < b.rows) {
+            if (j > i) out(i + j * b.rows) = 0.0
+            else if (j == i) out(i + j * b.rows) = 1.0
+            i += 1
+          }
+          j += 1
+        }
+        b.copy(data = out)
+      } else b
+    }
+    val uBlocks = state.filter { case ((bi, bj), _) => bi <= bj }.values.map { b =>
+      if (b.bi == b.bj) {              // unpack: upper incl diag
+        val out = b.data.clone()
+        var j = 0
+        while (j < b.cols) {
+          var i = j + 1
+          while (i < b.rows) { out(i + j * b.rows) = 0.0; i += 1 }
+          j += 1
+        }
+        b.copy(data = out)
+      } else b
+    }
+    (new DMatrix(spark.createDataset(lBlocks), a.nRows, a.nCols, a.blockSize),
+     new DMatrix(spark.createDataset(uBlocks), a.nRows, a.nCols, a.blockSize))
+  }
+
   /** Dense bs×bs-local forward/back substitution: solve T·X = rhs for a
     * triangular T (column-major loops, r right-hand sides). */
   private[array] def localTriSolve(t: BDM[Double], rhs: BDM[Double],

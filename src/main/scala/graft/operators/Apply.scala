@@ -93,10 +93,30 @@ object Apply {
       .toDF("k", "n", "total", "max_v")
   }
 
+  /** Bag foldby (dask `db.foldby(key, binop, initial, combine)` — the
+    * combiner-based fold dask recommends over `groupby` precisely
+    * because it pre-aggregates map-side): `aggregateByKey` keeps the
+    * same property in Spark — each map partition folds its rows into
+    * one (count, modular sum-of-squares) accumulator per key BEFORE the
+    * shuffle, so only #keys×#partitions tiny pairs move. Modular
+    * addition is associative+commutative, making the arbitrary binop
+    * still exactly SQL-checkable: (Σv²) mod p == incremental mod. */
+  def bagFoldby(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val P = 1000003L
+    s.range(150000L).rdd.map(v => (v % 11, v))
+      .aggregateByKey((0L, 0L))(
+        { case ((n, m), v) => (n + 1, (m + (v * v) % P) % P) },
+        { case ((n1, m1), (n2, m2)) => (n1 + n2, (m1 + m2) % P) })
+      .map { case (k, (n, m)) => (k, n, m) }
+      .toDF("k", "n_items", "sq_mod")
+  }
+
   val queries: Map[String, Q] = Map(
     "g01_groupby_apply" -> (secondHighestOrder _),
     "g02_typed_agg"     -> (typedSpendStats _),
     "b01_bag_groupby"   -> (bagGroupby _),
+    "b02_bag_foldby"    -> (bagFoldby _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -115,5 +135,11 @@ object Apply {
       """SELECT range % 7 AS k, count(*) AS n,
                 CAST(sum(range) AS BIGINT) AS total, max(range) AS max_v
          FROM range(100000) GROUP BY 1""",
+    // sum(v²) stays < 2^53 so the exact sum's residue equals the
+    // incremental modular fold
+    "b02_bag_foldby" ->
+      """SELECT range % 11 AS k, count(*) AS n_items,
+                CAST(sum(range * range) % 1000003 AS BIGINT) AS sq_mod
+         FROM range(150000) GROUP BY 1""",
   )
 }

@@ -124,4 +124,57 @@ class ArraySpec extends SparkSpec {
       assert(math.abs(colShift(i, j) - (local(i, j) + colMean)) < 1e-9)
     }
   }
+
+  test("map_overlap 1-D: halo stencil matches the local loop, ragged tail, depth > 1") {
+    // 37 = 4 full blocks of 8 + tail of 5: exercises the short last halo
+    val x = DMatrix.randInt(spark, 37, 1, 8, 61L)
+    val xs = x.toLocal(::, 0)
+    def at(i: Int): Double = if (i < 0 || i >= 37) 0.0 else xs(i)
+    val got1 = x.mapOverlapRows(1)((p, c) => p(c - 1) + 2 * p(c) + p(c + 1)).toLocal(::, 0)
+    for (i <- 0 until 37)
+      assert(got1(i) == at(i - 1) + 2 * at(i) + at(i + 1), s"depth-1 stencil at $i")
+    val got3 = x.mapOverlapRows(3)((p, c) => (-3 to 3).map(o => p(c + o)).sum).toLocal(::, 0)
+    for (i <- 0 until 37)
+      assert(got3(i) == (-3 to 3).map(o => at(i + o)).sum, s"depth-3 window at $i")
+  }
+
+  test("cumsum axis 0: block prefix scan matches the sequential column scan") {
+    val a = DMatrix.randInt(spark, 37, 13, 8, 67L)   // ragged on both dims
+    val local = a.toLocal
+    val got = a.cumsumAxis0.toLocal
+    for (j <- 0 until 13) {
+      var run = 0.0
+      for (i <- 0 until 37) {
+        run += local(i, j)
+        assert(got(i, j) == run, s"cumsum at ($i,$j)")
+      }
+    }
+  }
+
+  test("histogram: bins match local counts; out-of-range dropped; top edge inclusive") {
+    val a = DMatrix.randInt(spark, 50, 40, 16, 71L)  // values in [0, 1000)
+    val local = a.toLocal
+    val got = a.histogram(100.0, 900.0, 8).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val want = new Array[Long](8)
+    for (i <- 0 until 50; j <- 0 until 40) {
+      val v = local(i, j)
+      if (v >= 100.0 && v <= 900.0) want(math.min(7, ((v - 100.0) / 100.0).toInt)) += 1
+    }
+    for (b <- 0 until 8 if want(b) > 0) {
+      assert(got(b.toLong)._2 == want(b), s"bin $b count")
+      assert(got(b.toLong)._1 == 100.0 + b * 100.0, s"bin $b edge")
+    }
+    assert(got.values.map(_._2).sum == want.sum, "no phantom bins")
+  }
+
+  test("vstack: concatenation along axis 0 matches vertcat") {
+    val a = DMatrix.randInt(spark, 32, 13, 8, 73L)   // top block-aligned
+    val b = DMatrix.randInt(spark, 21, 13, 8, 79L)   // ragged bottom
+    val got = a.vstack(b)
+    assert(got.nRows == 53 && got.nCols == 13)
+    assert(got.toLocal == BDM.vertcat(a.toLocal, b.toLocal))
+    // unaligned top must be rejected loudly, not silently misplace rows
+    intercept[IllegalArgumentException] { b.vstack(a) }
+  }
 }

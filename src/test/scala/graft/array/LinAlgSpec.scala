@@ -186,4 +186,31 @@ class LinAlgSpec extends SparkSpec {
     val xb = a.toLocal \ (a.toLocal * xTrue)
     assert(maxAbs(x.toLocal - xb) < 1e-7)
   }
+
+  test("lu: unit-lower L, upper U, L*U = A across multiple panels and the checkpoint") {
+    val n = 96; val bs = 16                          // 6 panels, crosses checkpointEvery=2
+    val a = DMatrix.randInt(spark, n, n, bs, 83L, mod = 10L) +
+      (DMatrix.eye(spark, n, bs) * (10.0 * n))       // strictly diagonally dominant
+    val (l, u) = LinAlg.lu(a, checkpointEvery = 2)
+    val lL = l.toLocal; val uL = u.toLocal
+    for (i <- 0 until n; j <- 0 until n) {
+      if (i == j) assert(lL(i, j) == 1.0, s"L diag at $i")
+      if (j > i) assert(lL(i, j) == 0.0, s"L upper at ($i,$j)")
+      if (i > j) assert(uL(i, j) == 0.0, s"U lower at ($i,$j)")
+    }
+    assert(maxAbs(lL * uL - a.toLocal) < 1e-7)
+    // against the dense oracle: LU of a diag-dominant matrix is unique,
+    // so the blocked factors must equal the sequential Doolittle ones
+    val dense = a.toLocal
+    val lu0 = dense.copy
+    for (k <- 0 until n; i <- k + 1 until n) {
+      val f = lu0(i, k) / lu0(k, k)
+      lu0(i, k) = f
+      for (j <- k + 1 until n) lu0(i, j) -= f * lu0(k, j)
+    }
+    for (i <- 0 until n; j <- 0 until n) {
+      if (i > j) assert(math.abs(lL(i, j) - lu0(i, j)) < 1e-9, s"L vs dense at ($i,$j)")
+      else assert(math.abs(uL(i, j) - lu0(i, j)) < 1e-7, s"U vs dense at ($i,$j)")
+    }
+  }
 }
