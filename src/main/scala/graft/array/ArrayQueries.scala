@@ -420,6 +420,31 @@ object ArrayQueries {
   def vstackConcat(s: SparkSession, d: String): DataFrame =
     matA(s).vstack(matE(s)).toCoords
 
+  /** Global top-k cells (dask `da.topk(x.flatten(), 10)`): declared as
+    * orderBy+limit so Catalyst plans TakeOrderedAndProject — per-partition
+    * bounded heaps, only k rows per partition ever move. Deterministic
+    * tiebreak on (i, j). */
+  def globalTopk(s: SparkSession, d: String): DataFrame =
+    DMatrix.randInt(s, 256, 256, 64, 231L).toCoords
+      .orderBy(col("v").desc, col("i"), col("j")).limit(10)
+
+  /** Per-row argmax (dask `da.argmax(axis=1)`): per-block partial
+    * (max, argj) vectors reduced on the block-row key — numpy first-hit
+    * tie semantics, cells never shuffle. */
+  def argmaxRows(s: SparkSession, d: String): DataFrame =
+    matA(s).argmaxAxis1
+
+  /** Diagonal + trace (dask `da.diag` / `da.trace`): the diagonal-block
+    * filter prunes all off-diagonal work; trace rides the a07-style
+    * sentinel row (i = −1). */
+  def diagTrace(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = matS(s)
+    val tr = math.round(m.trace)
+    m.diagVec.select(col("i"), col("v").cast("long").as("v"))
+      .union(Seq((-1L, tr)).toDF("i", "v"))
+  }
+
   /** Flagship-scale entry names: Bench runs these once per pass (not
     * REPS×), and PlanAuditSpec's join sweep skips them — their compute is
     * RDD block algebra (no Catalyst joins anywhere) and the returned
@@ -464,6 +489,9 @@ object ArrayQueries {
     "a24_lu_recon"       -> (luRecon _),
     "a25_histogram"      -> (histogram _),
     "a26_vstack"         -> (vstackConcat _),
+    "a27_global_topk"    -> (globalTopk _),
+    "a28_argmax_rows"    -> (argmaxRows _),
+    "a29_diag_trace"     -> (diagTrace _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -612,6 +640,21 @@ object ArrayQueries {
       s"""WITH ${matSql("a", 64, 48, 7)}, ${matSql("e", 64, 48, 19)}
           SELECT i, j, v FROM a
           UNION ALL SELECT i + 64 AS i, j, v FROM e""",
+    "a27_global_topk" ->
+      s"""WITH ${matSql("a", 256, 256, 231)}
+          SELECT i, j, v FROM a ORDER BY v DESC, i, j LIMIT 10""",
+    "a28_argmax_rows" ->
+      s"""WITH ${matSql("a", 64, 48, 7)},
+          mx AS (SELECT i, max(v) AS max_v FROM a GROUP BY i)
+          SELECT a.i AS i, min(a.j) AS argmax_j, mx.max_v AS max_v
+          FROM a JOIN mx ON a.i = mx.i AND a.v = mx.max_v
+          GROUP BY a.i, mx.max_v""",
+    "a29_diag_trace" ->
+      s"""WITH ${matSql("s", 32, 32, 13)}
+          SELECT i, CAST(v AS BIGINT) AS v FROM s WHERE i = j
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT) AS i, CAST(sum(v) AS BIGINT) AS v
+          FROM s WHERE i = j""",
     // consistent system: the minimizer IS the planted x0, in closed form
     "a17_lstsq_262k" ->
       """SELECT j.range AS j,

@@ -535,6 +535,67 @@ class DMatrix(
       .toDF("bin", "bin_lo", "n")
   }
 
+  /** Per-row argmax — dask `da.argmax(axis=1)` (+ the max itself).
+    * Per-block partial (max, argj) per row, reduceByKey on the block-row
+    * index: the shuffle carries one small pair-vector per block, never
+    * cells. Ties resolve to the smallest column index (numpy argmax). */
+  def argmaxAxis1: DataFrame = {
+    import blocks.sparkSession.implicits._
+    val bs = blockSize
+    blocks.rdd.map { b =>
+      val mx = Array.fill(b.rows)(Double.NegativeInfinity)
+      val aj = new Array[Long](b.rows)
+      var j = 0
+      while (j < b.cols) {
+        val gj = b.bj.toLong * bs + j
+        var i = 0
+        while (i < b.rows) {
+          val v = b.data(i + j * b.rows)
+          if (v > mx(i)) { mx(i) = v; aj(i) = gj }   // within a block, j ascends
+          i += 1
+        }
+        j += 1
+      }
+      (b.bi, (mx, aj))
+    }.reduceByKey { (x, y) =>
+      val (m1, j1) = x; val (m2, j2) = y
+      var i = 0
+      while (i < m1.length) {
+        if (m2(i) > m1(i) || (m2(i) == m1(i) && j2(i) < j1(i))) {
+          m1(i) = m2(i); j1(i) = j2(i)
+        }
+        i += 1
+      }
+      (m1, j1)
+    }.flatMap { case (bi, (m, j)) =>
+      m.indices.iterator.map(r => (bi.toLong * bs + r, j(r), m(r)))
+    }.toDF("i", "argmax_j", "max_v")
+  }
+
+  /** Main diagonal as (i, v) rows — dask `da.diag(x)`. A partition-local
+    * filter touching only the nb diagonal blocks; everything else is
+    * pruned before any work. */
+  def diagVec: DataFrame = {
+    import blocks.sparkSession.implicits._
+    val bs = blockSize
+    blocks.filter((b: Block) => b.bi == b.bj).flatMap { b =>
+      (0 until math.min(b.rows, b.cols)).iterator
+        .map(k => (b.bi.toLong * bs + k, b.data(k + k * b.rows)))
+    }.toDF("i", "v")
+  }
+
+  /** Trace — dask `da.trace(x)`: diagonal-blocks-only treeAggregate. */
+  def trace: Double =
+    blocks.rdd.filter(b => b.bi == b.bj).treeAggregate(0.0)(
+      seqOp = { (acc, b) =>
+        var s = acc
+        var k = 0
+        val n = math.min(b.rows, b.cols)
+        while (k < n) { s += b.data(k + k * b.rows); k += 1 }
+        s
+      },
+      combOp = _ + _)
+
   /** Stack below — dask `da.concatenate([a, b], axis=0)`. A pure narrow
     * map re-indexing the bottom matrix's block rows; no data moves. Needs
     * this matrix's row count to be block-aligned so the bottom blocks

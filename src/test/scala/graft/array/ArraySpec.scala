@@ -168,6 +168,27 @@ class ArraySpec extends SparkSpec {
     assert(got.values.map(_._2).sum == want.sum, "no phantom bins")
   }
 
+  test("argmax axis 1: numpy first-hit ties, ragged blocks, cross-block maxima") {
+    val a = DMatrix.randInt(spark, 21, 37, 8, 91L, mod = 5L)  // mod 5 forces ties
+    val local = a.toLocal
+    val got = a.argmaxAxis1.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (i <- 0 until 21) {
+      var bj = 0L; var bv = Double.NegativeInfinity
+      for (j <- 0 until 37) if (local(i, j) > bv) { bv = local(i, j); bj = j }
+      assert(got(i.toLong) == ((bj, bv)), s"row $i")
+    }
+  }
+
+  test("diag and trace: ragged diagonal, off-diagonal blocks pruned") {
+    val a = DMatrix.randInt(spark, 21, 21, 8, 93L)
+    val local = a.toLocal
+    val d = a.diagVec.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d.size == 21)
+    for (i <- 0 until 21) assert(d(i.toLong) == local(i, i))
+    assert(a.trace == (0 until 21).map(i => local(i, i)).sum)
+  }
+
   test("vstack: concatenation along axis 0 matches vertcat") {
     val a = DMatrix.randInt(spark, 32, 13, 8, 73L)   // top block-aligned
     val b = DMatrix.randInt(spark, 21, 13, 8, 79L)   // ragged bottom
