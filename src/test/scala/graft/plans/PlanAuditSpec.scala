@@ -141,6 +141,18 @@ class PlanAuditSpec extends SparkSpec {
       s"the token probe must broadcast the 1000-row vocab, never shuffle tokens:\n$plan")
   }
 
+  test("a27 global top-k plans TakeOrderedAndProject — bounded heaps, no global sort") {
+    // orderBy.limit must stay the partial-heap operator; a refactor to
+    // e.g. sort().limit() through a range exchange would plan a full
+    // global Sort — the difference between shipping k rows per
+    // partition and range-shuffling every cell at scale.
+    val plan = planString(run("a27_global_topk"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"a27 lost the TakeOrderedAndProject shape:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange rangepartitioning")),
+      s"a27 plans a global range sort:\n$plan")
+  }
+
   test("q35 sessionize: one exchange serves both windows AND the session roll-up") {
     val plan = planString(run("q35_sessionize"))
     val keyed = plan.linesIterator.filter(l =>
