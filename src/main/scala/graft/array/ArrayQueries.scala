@@ -445,6 +445,29 @@ object ArrayQueries {
       .union(Seq((-1L, tr)).toDF("i", "v"))
   }
 
+  /** Matrix norms (dask `da.linalg.norm(x, ord)` for ord = 'fro', 1,
+    * inf) on the shared LCG matrix — Frobenius is returned as the exact
+    * squared sum so all three are integers; partial abs-sum vectors
+    * reduce on the block index, only nb vectors shuffle. */
+  def normsEntry(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (froSq, n1, nInf) = matA(s).norms
+    s.createDataset(Seq((math.round(froSq), math.round(n1), math.round(nInf))))
+      .toDF("fro_sq", "norm1", "norm_inf")
+  }
+
+  /** Multiplicative prefix scan (dask `da.cumprod(axis=0)`) over a ±1
+    * matrix — the generalized [[DMatrix.scanAxis0]] two-pass shape with
+    * a product monoid; ±1 entries keep every partial exactly
+    * representable with no signed-zero hazard. */
+  def axisCumprod(s: SparkSession, d: String): DataFrame = {
+    val a = DMatrix.tabulate(s, 64, 48, 16) { (i, j) =>
+      ((DMatrix.lcg(i, j, 48, 241L) % 2L) * 2L - 1L).toDouble
+    }
+    a.cumprodAxis0.toCoords
+      .select(col("i"), col("j"), col("v").cast("long").as("v"))
+  }
+
   /** Flagship-scale entry names: Bench runs these once per pass (not
     * REPS×), and PlanAuditSpec's join sweep skips them — their compute is
     * RDD block algebra (no Catalyst joins anywhere) and the returned
@@ -492,6 +515,8 @@ object ArrayQueries {
     "a27_global_topk"    -> (globalTopk _),
     "a28_argmax_rows"    -> (argmaxRows _),
     "a29_diag_trace"     -> (diagTrace _),
+    "a30_norms"          -> (normsEntry _),
+    "a31_axis_cumprod"   -> (axisCumprod _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -655,6 +680,18 @@ object ArrayQueries {
           UNION ALL
           SELECT CAST(-1 AS BIGINT) AS i, CAST(sum(v) AS BIGINT) AS v
           FROM s WHERE i = j""",
+    "a30_norms" ->
+      s"""WITH ${matSql("a", 64, 48, 7)}
+          SELECT CAST(sum(v*v) AS BIGINT) AS fro_sq,
+                 CAST((SELECT max(s) FROM (SELECT sum(abs(v)) AS s FROM a GROUP BY j) t1) AS BIGINT) AS norm1,
+                 CAST((SELECT max(s) FROM (SELECT sum(abs(v)) AS s FROM a GROUP BY i) t2) AS BIGINT) AS norm_inf
+          FROM a""",
+    "a31_axis_cumprod" ->
+      """WITH a AS (SELECT ri.range AS i, rj.range AS j,
+              ((((ri.range*48+rj.range)*1103515245+241)%2147483647)%2)*2-1 AS v
+            FROM range(64) ri, range(48) rj)
+         SELECT i, j, CAST(product(v) OVER (PARTITION BY j ORDER BY i) AS BIGINT) AS v
+         FROM a""",
     // consistent system: the minimizer IS the planted x0, in closed form
     "a17_lstsq_262k" ->
       """SELECT j.range AS j,

@@ -466,25 +466,40 @@ class DMatrix(
     * and adds them to each block's local column cumsum. One narrow map,
     * one tiny shuffle of nb vectors, one co-keyed join — no global sort
     * point, so the scan survives a tall matrix at any row count. */
-  def cumsumAxis0: DMatrix = {
+  def cumsumAxis0: DMatrix = scanAxis0(_ + _, 0.0)
+
+  /** Multiplicative twin — dask `da.cumprod(axis=0)`. */
+  def cumprodAxis0: DMatrix = scanAxis0(_ * _, 1.0)
+
+  /** Generalized column-wise prefix scan down the rows for ANY
+    * associative op with identity — the algebraic form shared by
+    * cumsum/cumprod (and the same two-pass shape as the corpus packing
+    * scan in TextOps). Pass 1 folds each block's columns to a 1×cols
+    * total vector; the totals group per block COLUMN into exclusive
+    * prefix offsets (nbRows vectors per group — bounded by the grid,
+    * not the data); pass 2 joins offsets back and completes the local
+    * scan. One narrow map, one tiny shuffle of nb vectors, one co-keyed
+    * join — no global sort point at any row count. */
+  def scanAxis0(op: (Double, Double) => Double, identity: Double): DMatrix = {
     import blocks.sparkSession.implicits._
     val colTotals = blocks.rdd.map { b =>
-      val t = new Array[Double](b.cols)
+      val t = Array.fill(b.cols)(identity)
       var j = 0
       while (j < b.cols) {
         var i = 0
-        while (i < b.rows) { t(j) += b.data(i + j * b.rows); i += 1 }
+        while (i < b.rows) { t(j) = op(t(j), b.data(i + j * b.rows)); i += 1 }
         j += 1
       }
       (b.bj, (b.bi, t))
     }
-    // exclusive prefix per block column: offsets((bi,bj)) = Σ_{r<bi} totals(r,bj)
+    // exclusive prefix per block column: offsets((bi,bj)) = fold_{r<bi} totals(r,bj)
     val offsets = colTotals.groupByKey(math.max(1, nbCols)).flatMap { case (bj, it) =>
       val sorted = it.toArray.sortBy(_._1)
       var acc: Array[Double] = null
       sorted.iterator.map { case (bi, t) =>
-        val off = if (acc == null) new Array[Double](t.length) else acc.clone()
-        acc = if (acc == null) t.clone() else addInto(acc, t)
+        val off = if (acc == null) Array.fill(t.length)(identity) else acc.clone()
+        acc = if (acc == null) t.clone()
+              else { var j = 0; while (j < t.length) { acc(j) = op(acc(j), t(j)); j += 1 }; acc }
         ((bi, bj), off)
       }
     }
@@ -496,7 +511,7 @@ class DMatrix(
           var run = off(j)
           var i = 0
           while (i < b.rows) {
-            run += b.data(i + j * b.rows)
+            run = op(run, b.data(i + j * b.rows))
             out(i + j * b.rows) = run
             i += 1
           }
@@ -505,6 +520,40 @@ class DMatrix(
         b.copy(data = out)
       }
     new DMatrix(spark.createDataset(scanned), nRows, nCols, blockSize)
+  }
+
+  /** Matrix norms — dask `da.linalg.norm(x, ord)`: 'fro' (returned as
+    * the exact squared sum), 1 (max column abs-sum), inf (max row
+    * abs-sum). One pass of per-block partial vectors reduced on the
+    * block index; only nb small vectors shuffle. */
+  def norms: (Double, Double, Double) = {
+    val froSq = blocks.rdd.treeAggregate(0.0)(
+      seqOp = { (acc, b) =>
+        var s = acc; var i = 0
+        while (i < b.data.length) { val v = b.data(i); s += v * v; i += 1 }
+        s
+      }, combOp = _ + _)
+    val colAbs = blocks.rdd.map { b =>
+      val t = new Array[Double](b.cols)
+      var j = 0
+      while (j < b.cols) {
+        var i = 0
+        while (i < b.rows) { t(j) += math.abs(b.data(i + j * b.rows)); i += 1 }
+        j += 1
+      }
+      (b.bj, t)
+    }.reduceByKey(addInto _).map(_._2.max).reduce(math.max)
+    val rowAbs = blocks.rdd.map { b =>
+      val t = new Array[Double](b.rows)
+      var j = 0
+      while (j < b.cols) {
+        var i = 0
+        while (i < b.rows) { t(i) += math.abs(b.data(i + j * b.rows)); i += 1 }
+        j += 1
+      }
+      (b.bi, t)
+    }.reduceByKey(addInto _).map(_._2.max).reduce(math.max)
+    (froSq, colAbs, rowAbs)
   }
 
   /** Fixed-range histogram — dask `da.histogram(x, bins, range)`.

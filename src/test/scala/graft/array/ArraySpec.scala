@@ -151,6 +151,27 @@ class ArraySpec extends SparkSpec {
     }
   }
 
+  test("cumprod axis 0 and norms match local computation") {
+    val a = DMatrix.tabulate(spark, 37, 13, 8) { (i, j) =>
+      ((DMatrix.lcg(i, j, 13, 97L) % 2L) * 2L - 1L).toDouble
+    }
+    val local = a.toLocal
+    val got = a.cumprodAxis0.toLocal
+    for (j <- 0 until 13) {
+      var run = 1.0
+      for (i <- 0 until 37) {
+        run *= local(i, j)
+        assert(got(i, j) == run, s"cumprod at ($i,$j)")
+      }
+    }
+    val b = DMatrix.randInt(spark, 21, 34, 8, 17L)
+    val bl = b.toLocal
+    val (froSq, n1, nInf) = b.norms
+    assert(froSq == bsum(bl *:* bl))
+    assert(n1 == (0 until 34).map(j => bsum(breeze.numerics.abs(bl(::, j)))).max)
+    assert(nInf == (0 until 21).map(i => bsum(breeze.numerics.abs(bl(i, ::).t))).max)
+  }
+
   test("histogram: bins match local counts; out-of-range dropped; top edge inclusive") {
     val a = DMatrix.randInt(spark, 50, 40, 16, 71L)  // values in [0, 1000)
     val local = a.toLocal
