@@ -468,6 +468,21 @@ object ArrayQueries {
       .select(col("i"), col("j"), col("v").cast("long").as("v"))
   }
 
+  /** Matrix inverse (dask `da.linalg.inv`) on a diagonally-dominant
+    * integer matrix (96², chunks 32): blocked LU + two wide triangular
+    * solves (rhs = I spans 3 block columns, solved as concurrent
+    * chains). Validated through the reconstruction invariant A·A⁻¹ = I:
+    * recon roundoff ≪ 0.5 under the dominant diagonal, so rounding
+    * recovers the exact identity — trivially SQL-expressible. The
+    * inverse itself is tolerance-checked against Breeze in LinAlgSpec. */
+  def inverseRecon(s: SparkSession, d: String): DataFrame = {
+    val a = DMatrix.randInt(s, 96, 96, 32, 251L, mod = 10L) +
+      (DMatrix.eye(s, 96, 32) * 960.0)
+    val x = LinAlg.inverse(a)
+    a.multiply(x).toCoords
+      .select(col("i"), col("j"), round(col("v")).cast("long").as("v"))
+  }
+
   /** Flagship-scale entry names: Bench runs these once per pass (not
     * REPS×), and PlanAuditSpec's join sweep skips them — their compute is
     * RDD block algebra (no Catalyst joins anywhere) and the returned
@@ -517,6 +532,7 @@ object ArrayQueries {
     "a29_diag_trace"     -> (diagTrace _),
     "a30_norms"          -> (normsEntry _),
     "a31_axis_cumprod"   -> (axisCumprod _),
+    "a32_inverse"        -> (inverseRecon _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -692,6 +708,10 @@ object ArrayQueries {
             FROM range(64) ri, range(48) rj)
          SELECT i, j, CAST(product(v) OVER (PARTITION BY j ORDER BY i) AS BIGINT) AS v
          FROM a""",
+    "a32_inverse" ->
+      """SELECT ri.range AS i, rj.range AS j,
+                CAST(CASE WHEN ri.range = rj.range THEN 1 ELSE 0 END AS BIGINT) AS v
+         FROM range(96) ri, range(96) rj""",
     // consistent system: the minimizer IS the planted x0, in closed form
     "a17_lstsq_262k" ->
       """SELECT j.range AS j,

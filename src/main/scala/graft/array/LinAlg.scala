@@ -715,6 +715,56 @@ object LinAlg {
     new DMatrix(spark.createDataset(state.values), b.nRows, b.nCols, bs)
   }
 
+  /** General (multi-block-column) triangular solve: T·X = B where B is
+    * n×r with r spanning several block columns — the rhs shape
+    * `da.linalg.inv` needs (B = I is n wide). Each rhs block column is
+    * an INDEPENDENT skinny solve chain, so they run as concurrent Spark
+    * job chains from a small driver pool (dask's task graph gets the
+    * same cross-column parallelism); results reassemble by restoring
+    * the column index — wall-clock stays ~nb sequential steps, not
+    * nb·nbCols. At fixture scale each chain caches its own triangle
+    * pass; a shared-factor variant would be the next optimization if
+    * wide solves became hot. */
+  def solveTriangularWide(t: DMatrix, b: DMatrix, lower: Boolean = true): DMatrix = {
+    if (b.nbCols == 1) return solveTriangular(t, b, lower)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val spark = t.blocks.sparkSession
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(4, b.nbCols))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val bs = b.blockSize
+      val futures = (0 until b.nbCols).map { bj =>
+        Future {
+          import spark.implicits._
+          val width = DMatrix.blockDim(b.nCols, bs, bj)
+          val colBlocks = b.blocks.filter((blk: Block) => blk.bj == bj)
+            .map(blk => blk.copy(bj = 0))
+          val col = new DMatrix(colBlocks, b.nRows, width, bs)
+          // stays distributed: re-tag the column index on the solved
+          // blocks (the X column never visits the driver)
+          solveTriangular(t, col, lower).blocks.map(blk => blk.copy(bj = bj))
+        }
+      }
+      val all = futures.map(f => Await.result(f, Duration.Inf)).reduce(_ union _)
+      new DMatrix(all, b.nRows, b.nCols, bs)
+    } finally pool.shutdown()
+  }
+
+  /** Matrix inverse — dask `da.linalg.inv(a)` (dask routes through its
+    * blocked LU + triangular solves exactly like this): A⁻¹ solves
+    * A·X = I via [[lu]] then two wide triangular solves. Note the
+    * honest scale envelope: an explicit inverse is a DENSE n² result by
+    * definition (same in dask) — the factor-and-solve path above is
+    * what survives when only A⁻¹·b is needed. */
+  def inverse(a: DMatrix): DMatrix = {
+    require(a.nRows == a.nCols, "inverse needs a square matrix")
+    val (l, u) = lu(a)
+    val eye = DMatrix.eye(a.blocks.sparkSession, a.nRows, a.blockSize)
+    val y = solveTriangularWide(l, eye, lower = true)    // L·Y = I
+    solveTriangularWide(u, y, lower = false)             // U·X = Y
+  }
+
   /** SPD linear solve — dask's `da.linalg.solve` default path: Cholesky
     * A = L·Lᵀ, then two distributed triangular substitutions
     * (L·y = B forward, Lᵀ·x = y backward). Everything stays blocked and

@@ -213,4 +213,22 @@ class LinAlgSpec extends SparkSpec {
       else assert(math.abs(uL(i, j) - lu0(i, j)) < 1e-7, s"U vs dense at ($i,$j)")
     }
   }
+
+  test("wide triangular solve and inverse match Breeze") {
+    val n = 64; val bs = 16
+    val a = DMatrix.randInt(spark, n, n, bs, 87L, mod = 10L) +
+      (DMatrix.eye(spark, n, bs) * (10.0 * n))
+    val aL = a.toLocal
+    // wide rhs spanning multiple block columns, incl. a ragged last one
+    val rhs = DMatrix.randInt(spark, n, 40, bs, 89L, mod = 10L)
+    val (l, u) = LinAlg.lu(a)
+    val yWide = LinAlg.solveTriangularWide(l, rhs, lower = true)
+    assert(maxAbs(l.toLocal * yWide.toLocal - rhs.toLocal) < 1e-8)
+    val xWide = LinAlg.solveTriangularWide(u, yWide, lower = false)
+    assert(maxAbs(aL * xWide.toLocal - rhs.toLocal) < 1e-7,
+      "LU + two wide solves must solve A·X = B")
+    val inv = LinAlg.inverse(a)
+    assert(maxAbs(inv.toLocal - breeze.linalg.inv(aL)) < 1e-10)
+    assert(maxAbs(aL * inv.toLocal - BDM.eye[Double](n)) < 1e-10)
+  }
 }
