@@ -483,6 +483,21 @@ object ArrayQueries {
       .select(col("i"), col("j"), round(col("v")).cast("long").as("v"))
   }
 
+  /** Short-fat SVD (the `da.linalg.svd` shape with m < n — dask routes
+    * it through the transpose, as does [[LinAlg.svdShortFat]]): same
+    * exact invariants as a07 on the transposed problem — the
+    * DISTRIBUTED right factor's Gram VᵀV rounds to the identity and
+    * Σσᵢ² = ‖A‖²_F exactly. */
+  def svdWideValues(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = DMatrix.randInt(s, 64, 2048, 128, 261L)
+    val (_, sv, v) = LinAlg.svdShortFat(a)
+    val frob = math.round(sv.toArray.map(x => x * x).sum)
+    val vv = v.transpose.multiply(v).toCoords
+      .select(col("i"), col("j"), round(col("v")).cast("long").as("v"))
+    vv.union(Seq((-1L, -1L, frob)).toDF("i", "j", "v"))
+  }
+
   /** Flagship-scale entry names: Bench runs these once per pass (not
     * REPS×), and PlanAuditSpec's join sweep skips them — their compute is
     * RDD block algebra (no Catalyst joins anywhere) and the returned
@@ -533,6 +548,7 @@ object ArrayQueries {
     "a30_norms"          -> (normsEntry _),
     "a31_axis_cumprod"   -> (axisCumprod _),
     "a32_inverse"        -> (inverseRecon _),
+    "a33_svd_wide"       -> (svdWideValues _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -712,6 +728,15 @@ object ArrayQueries {
       """SELECT ri.range AS i, rj.range AS j,
                 CAST(CASE WHEN ri.range = rj.range THEN 1 ELSE 0 END AS BIGINT) AS v
          FROM range(96) ri, range(96) rj""",
+    "a33_svd_wide" ->
+      s"""WITH fr AS (SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+                 CAST(sum(v*v) AS BIGINT) AS v
+            FROM (SELECT ((ri.range*2048+rj.range)*1103515245+261)%2147483647%1000 AS v
+                  FROM range(64) ri, range(2048) rj) t)
+          SELECT ri.range AS i, rj.range AS j,
+                 CAST(CASE WHEN ri.range = rj.range THEN 1 ELSE 0 END AS BIGINT) AS v
+          FROM range(64) ri, range(64) rj
+          UNION ALL SELECT * FROM fr""",
     // consistent system: the minimizer IS the planted x0, in closed form
     "a17_lstsq_262k" ->
       """SELECT j.range AS j,

@@ -456,6 +456,17 @@ object LinAlg {
     new DMatrix(spark.createDataset(lower), a.nRows, a.nCols, bs)
   }
 
+  /** SVD of a SHORT-FAT matrix (m < n) — dask's `da.linalg.svd` routes
+    * this shape through the transpose exactly like this: Aᵀ is
+    * tall-skinny, Aᵀ = U'·Σ·V'ᵀ, so A = V'·Σ·U'ᵀ. The big (n-sized)
+    * factor stays distributed — it is U' of the transposed problem —
+    * and only the m×m-small left factor lives on the driver. */
+  def svdShortFat(a: DMatrix): (BDM[Double], BDV[Double], DMatrix) = {
+    require(a.nRows < a.nCols, s"svdShortFat needs a wide input (${a.nRows}×${a.nCols})")
+    val (uT, s, vT) = svdTallSkinny(a.transpose)
+    (vT, s, uT)
+  }
+
   /** Local Doolittle LU (no pivoting) of a bs×bs tile: returns (L unit
     * lower, U upper). Callers guarantee a diagonally-dominant input, the
     * same contract dask's `da.linalg.lu` documents (it refuses to pivot

@@ -231,4 +231,17 @@ class LinAlgSpec extends SparkSpec {
     assert(maxAbs(inv.toLocal - breeze.linalg.inv(aL)) < 1e-10)
     assert(maxAbs(aL * inv.toLocal - BDM.eye[Double](n)) < 1e-10)
   }
+
+  test("short-fat svd: transpose routing, singular values match Breeze, V orthonormal") {
+    val a = DMatrix.rand(spark, 24, 300, 50, 101L)
+    val (u, s, v) = LinAlg.svdShortFat(a)
+    val bsvd.SVD(_, sRef, _) = bsvd.reduced(a.toLocal)
+    for (k <- 0 until 24) assert(math.abs(s(k) - sRef(k)) < 1e-8, s"sigma $k")
+    val vL = v.toLocal
+    assert(maxAbs(vL.t * vL - BDM.eye[Double](24)) < 1e-8)
+    // U·Σ·Vᵀ reconstructs A
+    val us = u.copy
+    for (k <- 0 until 24) us(::, k) :*= s(k)
+    assert(maxAbs(us * vL.t - a.toLocal) < 1e-8)
+  }
 }
