@@ -210,6 +210,36 @@ class ArraySpec extends SparkSpec {
     assert(a.trace == (0 until 21).map(i => local(i, i)).sum)
   }
 
+  test("property: scan/overlap/argmax agree with local oracles across random ragged shapes") {
+    val rng = new scala.util.Random(4242)
+    for (_ <- 1 to 5) {
+      val m = 9 + rng.nextInt(40); val n = 3 + rng.nextInt(20)
+      val bs = 4 + rng.nextInt(9); val seed = rng.nextLong().abs % 1000 + 1
+      val a = DMatrix.randInt(spark, m, n, bs, seed)
+      val local = a.toLocal
+      val cs = a.cumsumAxis0.toLocal
+      for (j <- 0 until n) {
+        var run = 0.0
+        for (i <- 0 until m) { run += local(i, j); assert(cs(i, j) == run, s"($m,$n,$bs,$seed) cumsum($i,$j)") }
+      }
+      val am = a.argmaxAxis1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (i <- 0 until m) {
+        var bj = 0L; var bv = Double.NegativeInfinity
+        for (j <- 0 until n) if (local(i, j) > bv) { bv = local(i, j); bj = j }
+        assert(am(i.toLong) == bj, s"($m,$n,$bs,$seed) argmax row $i")
+      }
+      val depth = 1 + rng.nextInt(math.min(3, bs))
+      val x = DMatrix.randInt(spark, m, 1, bs, seed + 7)
+      val xs = x.toLocal(::, 0)
+      def at(i: Int): Double = if (i < 0 || i >= m) 0.0 else xs(i)
+      val ov = x.mapOverlapRows(depth)((p, c) => (-depth to depth).map(o => p(c + o)).sum)
+        .toLocal(::, 0)
+      for (i <- 0 until m)
+        assert(ov(i) == (-depth to depth).map(o => at(i + o)).sum,
+          s"($m,$bs,$seed) overlap depth $depth at $i")
+    }
+  }
+
   test("vstack: concatenation along axis 0 matches vertcat") {
     val a = DMatrix.randInt(spark, 32, 13, 8, 73L)   // top block-aligned
     val b = DMatrix.randInt(spark, 21, 13, 8, 79L)   // ragged bottom
