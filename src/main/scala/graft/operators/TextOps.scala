@@ -744,6 +744,38 @@ object TextOps {
         when(col("n_emails") + col("n_phones") > 0, 1L).otherwise(0L))
   }
 
+  /** t33: exact repeated-substring detection — the character-level dedup
+    * primitive from "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022; that work builds a suffix array, the
+    * distributed equivalent is windowed hashing): slide 64-char windows
+    * at stride 16 over every document and surface windows whose EXACT
+    * text recurs anywhere in the corpus (within or across documents) —
+    * boilerplate, licenses, templated spans.
+    *
+    * Distributed shape: the window text is digested to md5 IN the scan
+    * projection, so the corpus-sized exchange carries (32-char digest,
+    * packed owner) pairs, never window text — the same digest-only
+    * election as t25. The aggregate combines map-side; output keeps only
+    * digests seen ≥ 2 times with occurrence/document counts and the
+    * earliest owner (doc, pos) for span recovery. At 100 TB this is one
+    * pass + one digest-keyed exchange; stride trades recall for window
+    * count exactly as in the published pipelines. */
+  def substringDedup(s: SparkSession, d: String): DataFrame = {
+    val W = 64; val S = 16
+    TextSim.spread(Tables.documents(s, d))
+      .filter(length(col("text")) >= W)
+      .select(col("doc_id"), col("text"))
+      .withColumn("p",
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST((length(text) - $W) div $S AS BIGINT))")))
+      .select(col("doc_id"), col("p"),
+              expr(s"md5(CAST(substring(text, CAST(p*$S+1 AS INT), $W) AS BINARY))").as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"),
+           countDistinct(col("doc_id")).as("n_docs"),
+           min(col("doc_id") * 1000000 + col("p")).as("owner_pack"))
+      .filter(col("n_occ") > 1)
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
@@ -771,6 +803,7 @@ object TextOps {
     "t29_pii_scrub"    -> (piiScrub _),
     "t31_kmv_union"    -> (kmvUnion _),
     "t32_surprisal"    -> (surprisalScore _),
+    "t33_substring_dedup" -> (substringDedup _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -1064,6 +1097,18 @@ object TextOps {
     // same deterministic plant, same RE2-simple patterns, same
     // email-then-phone replacement order.
     // integer log2 via binary-string length — identical in both engines
+    // windows digest in the scan projection; only (digest, packed owner)
+    // pairs reach the group-by — the oracle mirrors the window grid
+    "t33_substring_dedup" ->
+      """WITH w AS (
+           SELECT d.doc_id AS doc_id, t.p AS p,
+                  md5(substr(d.text, CAST(t.p*16+1 AS BIGINT), 64)) AS h
+           FROM documents d,
+                unnest(generate_series(0, (length(d.text)-64)//16)) AS t(p)
+           WHERE length(d.text) >= 64)
+         SELECT h, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+                min(doc_id*1000000 + p) AS owner_pack
+         FROM w GROUP BY h HAVING count(*) > 1""",
     "t32_surprisal" ->
       """WITH d AS (
            SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws

@@ -153,6 +153,16 @@ class PlanAuditSpec extends SparkSpec {
       s"a27 plans a global range sort:\n$plan")
   }
 
+  test("t33 substring dedup: the corpus exchange carries digests, never window text") {
+    val plan = planString(run("t33_substring_dedup"))
+    assert(plan.contains("partial_count"), s"t33 lost map-side combine:\n$plan")
+    // every partial-aggregate row must be digest-keyed: window text is
+    // hashed in the scan projection and must not survive to the shuffle
+    val partials = plan.linesIterator.filter(_.contains("partial_")).toList
+    assert(partials.nonEmpty && partials.forall(l => !l.contains("text#")),
+      s"t33 shuffles window text:\n${partials.mkString("\n")}")
+  }
+
   test("q35 sessionize: one exchange serves both windows AND the session roll-up") {
     val plan = planString(run("q35_sessionize"))
     val keyed = plan.linesIterator.filter(l =>
