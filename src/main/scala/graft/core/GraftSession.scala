@@ -96,11 +96,22 @@ object GraftSession {
     } catch { case _: Exception => () }
 
   /** Local session sized from SPARK_GRAFT_CPUS (default 32, matching the
-    * harness). */
+    * harness). SPARK_GRAFT_CONF="k=v;k=v" applies LAST, so a drive can
+    * flip runtime knobs (spark.sql.adaptive.enabled=false,
+    * spark.sql.shuffle.partitions=N, …) without code changes — this is
+    * how the config-robustness gates in BENCH_NOTES are produced, and
+    * the deployment escape hatch for cluster-specific tuning. */
   def local(): SparkSession = {
     sweepStaleScratch(new java.io.File("/dev/shm/graft-scratch"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    val b = builder(s"local[$cpus]", cpus)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => b.config(k.trim, v.trim)
+        case _ => ()
+      }
+    })
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     breezeWarm
     s
