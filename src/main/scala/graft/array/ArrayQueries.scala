@@ -498,6 +498,39 @@ object ArrayQueries {
     vv.union(Seq((-1L, -1L, frob)).toDF("i", "j", "v"))
   }
 
+  /** 2-D rechunk (dask `da.rechunk`) as a first-class gate entry: the
+    * shared 64×48 chunks-16 matrix re-tiled to chunks-24 — a RAGGED
+    * target grid (64 = 24+24+16) crossing every source block boundary,
+    * so every re-tiling case (split, merge, offset copy) executes. The
+    * values must be exactly the source matrix (rechunk is data
+    * movement, never arithmetic): the oracle is the shared LCG itself.
+    * One narrow flatMap + one keyed shuffle whose volume equals the
+    * matrix size — the same single-pass cost at any scale. */
+  def rechunkEntry(s: SparkSession, d: String): DataFrame = {
+    val r = matA(s).rechunk(24)
+    require(r.blockSize == 24, s"rechunk did not re-tile: bs=${r.blockSize}")
+    r.toCoords
+  }
+
+  /** Column covariance (dask `da.cov(x, rowvar=False)`) in the exact
+    * integer domain: emits n²·cov_pop[j,k] = n·Σᵢxᵢⱼxᵢₖ − (Σᵢxᵢⱼ)(Σᵢxᵢₖ)
+    * — every term an exact integer ≪ 2⁵³, so the 48×48 covariance
+    * structure is hash-matched cross-engine with no float division
+    * anywhere (callers divide by n² or n(n−1) locally). Plan: one
+    * distributed Gram (AᵀA — the a03 machinery) plus the per-column sum
+    * vector joined back on both coordinates; only nb-sized partials
+    * shuffle, never cells. */
+  def covEntry(s: SparkSession, d: String): DataFrame = {
+    val a = matA(s)                                    // 64×48, integer LCG
+    val g = a.transpose.multiply(a).toCoords           // G[j,k] = Σ_i x_ij·x_ik
+    val cs = a.sumAxis0                                // (j, col_sum)
+    g.join(cs.select(col("j").as("i"), col("col_sum").as("si")), "i")
+      .join(cs.select(col("j"), col("col_sum").as("sj")), "j")
+      .select(col("i"), col("j"),
+              (lit(64L) * col("v") - col("si") * col("sj"))
+                .cast("long").as("cov_n"))
+  }
+
   /** Flagship-scale entry names: Bench runs these once per pass (not
     * REPS×), and PlanAuditSpec's join sweep skips them — their compute is
     * RDD block algebra (no Catalyst joins anywhere) and the returned
@@ -549,6 +582,8 @@ object ArrayQueries {
     "a31_axis_cumprod"   -> (axisCumprod _),
     "a32_inverse"        -> (inverseRecon _),
     "a33_svd_wide"       -> (svdWideValues _),
+    "a34_rechunk"        -> (rechunkEntry _),
+    "a35_cov"            -> (covEntry _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -737,6 +772,18 @@ object ArrayQueries {
                  CAST(CASE WHEN ri.range = rj.range THEN 1 ELSE 0 END AS BIGINT) AS v
           FROM range(64) ri, range(64) rj
           UNION ALL SELECT * FROM fr""",
+    // rechunk moves data, never values: the oracle is the LCG matrix itself
+    "a34_rechunk" ->
+      s"""WITH ${matSql("a", 64, 48, 7)}
+          SELECT i, j, v FROM a""",
+    "a35_cov" ->
+      s"""WITH ${matSql("a", 64, 48, 7)},
+          g AS (SELECT x.j AS i, y.j AS j, sum(x.v * y.v) AS g
+                FROM a x JOIN a y ON x.i = y.i GROUP BY 1, 2),
+          s AS (SELECT j, sum(v) AS s FROM a GROUP BY 1)
+          SELECT g.i, g.j,
+                 CAST(64*g.g - si.s*sj.s AS BIGINT) AS cov_n
+          FROM g JOIN s si ON si.j = g.i JOIN s sj ON sj.j = g.j""",
     // consistent system: the minimizer IS the planted x0, in closed form
     "a17_lstsq_262k" ->
       """SELECT j.range AS j,

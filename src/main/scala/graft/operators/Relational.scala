@@ -582,6 +582,63 @@ object Relational {
         round(cume_dist().over(w), 6).as("cd"))
   }
 
+  /** q44: `dd.describe()` parity — count / mean / std / min / max /
+    * quartiles for three lineitem measures in one pass, long-form (one
+    * row per measure). Scale shape is the q30 discipline: rows first
+    * collapse to per-(measure, value) frequencies (the only full-width
+    * exchange — output cardinality is the distinct-value count, not the
+    * row count), then moments come from EXACT decimal sums over the
+    * frequency table (sum(v²·cnt) ≈ 6·10¹⁹ at sf0.1 overflows both Long
+    * and the 2⁵³ double-exact range — decimal(38,0) keeps every term
+    * exact at any SF) and quartiles from the weighted percentile. The
+    * float mean/std are computed by a double formula mirrored
+    * token-for-token in the oracle SQL, so both engines run the
+    * identical IEEE expression tree on identical inputs. */
+  def describeStats(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.lineitem(s, d)
+      .select(round(col("l_quantity")).cast("long").as("qty"),
+              round(col("l_extendedprice") * 100).cast("long").as("price"),
+              round(col("l_discount") * 100).cast("long").as("disc"))
+      .selectExpr("stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (measure, v)")
+      .groupBy(col("measure"), col("v")).agg(count(lit(1)).as("cnt"))
+    val vd = col("v").cast("decimal(38,0)")
+    val n = col("cnt_total").cast("double")
+    freq.groupBy(col("measure"))
+      .agg(sum(col("cnt")).as("cnt_total"),
+           sum(vd * col("cnt")).as("s1"),
+           sum(vd * vd * col("cnt")).as("s2"),
+           min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+           expr("percentile(v, 0.25, cnt)").as("q1"),
+           expr("percentile(v, 0.5, cnt)").as("q2"),
+           expr("percentile(v, 0.75, cnt)").as("q3"))
+      .select(col("measure"), col("cnt_total").as("cnt"),
+        round(col("s1").cast("double") / n, 6).as("mean"),
+        round(sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / n) / (n - 1)), 6)
+          .as("std"),
+        col("min_v"), col("max_v"),
+        round(col("q1"), 4).as("p25"), round(col("q2"), 4).as("p50"),
+        round(col("q3"), 4).as("p75"))
+  }
+
+  /** q45: per-key rolling exact MEDIAN (`ddf.rolling(5).median()`) —
+    * the order-statistic window q08's rolling mean can't express: an
+    * interpolated percentile over the trailing 5-row frame. Integer
+    * cents make every median an exact .0/.5 double cross-engine.
+    * Scale shape: one hashpartitioning(user_id) exchange + one sort —
+    * identical to q38/q35; the percentile buffer holds ≤ 5 values per
+    * frame step, O(1) memory per row regardless of partition span. */
+  def rollingMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .select(col("user_id"), col("event_id"),
+              round(expr("percentile(cents, 0.5)").over(w), 4).as("med"))
+  }
+
   /** q35: batch sessionization — the gap-based session assignment st02
     * does with streaming state, expressed as pure window algebra over
     * the complete history (the form a backfill or training-data
@@ -830,6 +887,8 @@ object Relational {
     "q41_grouping_sets"     -> (groupingSetsSummary _),
     "q42_scd2_merge"        -> (scd2Merge _),
     "q43_window_ranks"      -> (windowRanks _),
+    "q44_describe"          -> (describeStats _),
+    "q45_rolling_median"    -> (rollingMedian _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1066,6 +1125,31 @@ object Relational {
                 round(percent_rank() OVER w, 6) AS pr,
                 round(cume_dist() OVER w, 6) AS cd
          FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY cents, o_orderkey)""",
+    // the double mean/std formula mirrors the Spark expression tree
+    // token-for-token (identical IEEE ops on exact decimal sums)
+    "q44_describe" ->
+      """WITH m AS (
+           SELECT 'qty' AS measure, CAST(round(l_quantity) AS BIGINT) AS v FROM lineitem
+           UNION ALL SELECT 'price', CAST(round(l_extendedprice*100) AS BIGINT) FROM lineitem
+           UNION ALL SELECT 'disc', CAST(round(l_discount*100) AS BIGINT) FROM lineitem)
+         SELECT measure, count(*) AS cnt,
+                round(CAST(sum(v) AS DOUBLE)/count(*), 6) AS mean,
+                round(sqrt((CAST(sum(v*v) AS DOUBLE)
+                            - CAST(sum(v) AS DOUBLE)*CAST(sum(v) AS DOUBLE)/count(*))
+                           / (count(*)-1)), 6) AS std,
+                min(v) AS min_v, max(v) AS max_v,
+                round(quantile_cont(v, 0.25), 4) AS p25,
+                round(quantile_cont(v, 0.50), 4) AS p50,
+                round(quantile_cont(v, 0.75), 4) AS p75
+         FROM m GROUP BY 1""",
+    "q45_rolling_median" ->
+      """SELECT user_id, event_id,
+                round(quantile_cont(cents, 0.5) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med
+         FROM (SELECT user_id, event_id, ts,
+                      CAST(round(value*100) AS BIGINT) AS cents
+               FROM events) t""",
     // three UNION ALL branches restate the per-key outcome matrix the
     // Spark side derives from one join + explode; compare is sort-based
     "q42_scd2_merge" ->

@@ -308,6 +308,90 @@ object Similarity {
     bruteMips(emb, emb.filter(col("vec_id") % 50 === 0), 3)
   }
 
+  // ---- product quantization (PQ/ADC) ----
+
+  /** PQ geometry: 64-dim vectors split into `PqM` subspaces of `PqDim`
+    * dims, `PqK` centroids per subspace → one 4-bit code per subspace,
+    * m·log2(k) = 32 bits per vector. At 100 TB this is the point: the
+    * scanned "index" is 4 bytes/vector instead of 256 (the raw floats) —
+    * a 64× reduction in the bytes the top-k scan touches. */
+  val PqM = 8; val PqDim = 8; val PqK = 16
+
+  /** (vec_id, sub, sv, sn): each vector's `PqM` subvectors with their
+    * norms, unpivoted via `stack` (a generator but not an Explode — same
+    * single-projection discipline as [[bandedLsh]]). */
+  private def subVectors(emb: DataFrame): DataFrame = {
+    val svCols = (0 until PqM).map(sub =>
+      slice(col("qv"), sub * PqDim + 1, PqDim).as(s"s$sub"))
+    val stackArgs = (0 until PqM).map(sub => s"${sub}L, s$sub").mkString(", ")
+    emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .select(col("vec_id") +: svCols: _*)
+      .selectExpr("vec_id", s"stack($PqM, $stackArgs) AS (sub, sv)")
+      .withColumn("sn", graft.functions.ArrayDotLong.dotLong(col("sv"), col("sv")))
+  }
+
+  /** PQ encode: per (vector, subspace), the id of the nearest codebook
+    * centroid by exact integer squared-L2. Codebook = the subvectors of
+    * the `PqK` lowest-id corpus vectors — the same deterministic
+    * stand-in for an offline-trained codebook as [[ivfCells]] (swapping
+    * in k-means centroids changes no plan shape). The codebook is
+    * broadcast (m·k·subDim longs — bytes); encoding is map-side, the
+    * corpus never shuffles to be indexed. Argmin ties break toward the
+    * lower centroid id via the packed `d2·16 + id` key. */
+  private def centsFrom(sv: DataFrame): DataFrame =
+    sv.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cent_id"), col("sub").as("csub"),
+              col("sv").as("cv"), col("sn").as("cn"))
+
+  private def pqCodesFrom(sv: DataFrame): DataFrame = {
+    val d2 = col("sn") - lit(2L) * dotInt(col("sv"), col("cv")) + col("cn")
+    sv.join(broadcast(centsFrom(sv)), col("sub") === col("csub"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(d2 * PqK + col("cent_id")).as("key"))
+      .select(col("vec_id"), col("sub"), (col("key") % PqK).as("code"))
+  }
+
+  def pqCodes(emb: DataFrame): DataFrame = pqCodesFrom(subVectors(emb))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query keeps its
+    * exact subvectors; each corpus vector is represented by its codes.
+    * distance(q, x) ≈ Σ_sub d2(q_sub, centroid[sub, code_sub(x)]) —
+    * computed by joining the code table against a broadcast per-query
+    * lookup table (queries × m × k exact integer distances), then one
+    * partial-aggregated sum per (query, neighbor). The corpus side of
+    * the join carries only (vec_id, sub, code) — never the vectors —
+    * so the scan cost is the compressed index, and the only exchange is
+    * the (q_id, n_id) partial-sum aggregation. Real deployments compose
+    * this with [[ivfCells]] (IVF-PQ: probe a cell list, ADC-scan within);
+    * the gate keeps them separate so each stays an equi-join oracle. */
+  def pqTopK(emb: DataFrame, topK: Int): DataFrame = {
+    val sv = subVectors(emb).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqCodesFrom(sv)
+    val lutD2 = col("sn") - lit(2L) * dotInt(col("sv"), col("cv")) + col("cn")
+    val lut = sv.filter(col("vec_id") % 50 === 0)
+      .join(broadcast(centsFrom(sv)), col("sub") === col("csub"))
+      .select(col("vec_id").as("q_id"), col("sub").as("lsub"),
+              col("cent_id"), lutD2.as("d2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
+    val out = codes.join(broadcast(lut),
+        col("sub") === col("lsub") && col("code") === col("cent_id") &&
+          col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adist"))
+      .localCheckpoint(true)
+    sv.unpersist(false)
+    out
+  }
+
+  /** e08: PQ-compressed ADC top-3 for every 50th vector (exact oracle —
+    * every distance is an exact integer, so codes, LUT, and the summed
+    * approximate distances are bit-identical cross-engine). */
+  def pqQuery(s: SparkSession, d: String): DataFrame =
+    pqTopK(TextSim.spread(Tables.embeddings(s, d)), 3)
+
   val queries: Map[String, Q] = Map(
     "e01_knn_cosine"  -> (knnQuery _),
     "e02_lsh_buckets" -> (bucketsQuery _),
@@ -315,6 +399,7 @@ object Similarity {
     "e04_embed_neardup" -> (embedNearDupQuery _),
     "e05_ivf_ann"     -> (ivfQuery _),
     "e07_mips"        -> (mipsQuery _),
+    "e08_pq_adc"      -> (pqQuery _),
   )
 
   private val quantSql =
@@ -391,6 +476,32 @@ object Similarity {
             SELECT q_id, n_id, dot,
                    row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) AS rank
             FROM pairs) t
+          WHERE rank <= 3""",
+    // PQ/ADC: integer-exact end to end — codebook = subvectors of the 16
+    // lowest-id vectors, codes by packed argmin, ADC = summed LUT lookups
+    "e08_pq_adc" ->
+      s"""WITH $quantSql,
+          sv AS (SELECT vec_id, CAST(sub.range AS BIGINT) AS sub,
+                   [qv[CAST(sub.range*8 + d + 1 AS BIGINT)] for d in generate_series(0,7)] AS sv
+                 FROM q, range(8) sub),
+          cents AS (SELECT vec_id AS cent_id, sub, sv AS cv FROM sv WHERE vec_id < 16),
+          codes AS (SELECT s.vec_id, s.sub,
+                      CAST(min((CAST(list_dot_product(s.sv,s.sv) AS BIGINT)
+                                - 2*CAST(list_dot_product(s.sv,c.cv) AS BIGINT)
+                                + CAST(list_dot_product(c.cv,c.cv) AS BIGINT))*16 + c.cent_id) % 16 AS BIGINT) AS code
+                    FROM sv s JOIN cents c ON s.sub = c.sub GROUP BY s.vec_id, s.sub),
+          lut AS (SELECT s.vec_id AS q_id, s.sub, c.cent_id,
+                    CAST(list_dot_product(s.sv,s.sv) AS BIGINT)
+                    - 2*CAST(list_dot_product(s.sv,c.cv) AS BIGINT)
+                    + CAST(list_dot_product(c.cv,c.cv) AS BIGINT) AS d2
+                  FROM sv s JOIN cents c ON s.sub = c.sub WHERE s.vec_id % 50 = 0),
+          adist AS (SELECT l.q_id, co.vec_id AS n_id, CAST(sum(l.d2) AS BIGINT) AS adist
+                    FROM codes co JOIN lut l ON l.sub = co.sub AND l.cent_id = co.code
+                    WHERE l.q_id <> co.vec_id GROUP BY 1,2)
+          SELECT q_id, n_id, rank, adist FROM (
+            SELECT q_id, n_id, adist,
+                   row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+            FROM adist) t
           WHERE rank <= 3""",
     "e05_ivf_ann" ->
       s"""WITH $quantSql,

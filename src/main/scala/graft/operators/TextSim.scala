@@ -362,6 +362,33 @@ object TextSim {
   def dedupClustersQuery(s: SparkSession, d: String): DataFrame =
     dedupClusters(spread(Tables.documents(s, d)))
 
+  /** t34: leakage-guarded train/eval split — the assignment step an
+    * eval-hygienic pipeline runs AFTER near-dup clustering: a plain
+    * per-doc hash split would strand one near-duplicate in train and
+    * its twin in eval (the classic benchmark-leak), so the split is
+    * decided by the md5 of the doc's CLUSTER representative (t21's
+    * connected-component canonical; singleton docs represent
+    * themselves), putting every member of a near-dup cluster on the
+    * same side by construction. Deterministic and retry-idempotent like
+    * t15's sampler — re-running moves no document. Scale shape: the CC
+    * labels are (id, label) longs; the final assignment is one left
+    * join on doc_id + a map-side hash — no new heavy exchange beyond
+    * what t21 already does. */
+  def leakFreeSplit(docs: DataFrame, evalPct: Int = 10): DataFrame = {
+    val clusters = dedupClusters(docs).select(col("doc_id"), col("canonical"))
+    val h = conv(substring(md5(col("rep").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("canonical"), col("doc_id")).as("rep"))
+      .select(col("doc_id"), col("rep"),
+              when(h < evalPct, lit("eval")).otherwise(lit("train")).as("split"))
+  }
+
+  def leakFreeSplitQuery(s: SparkSession, d: String): DataFrame =
+    leakFreeSplit(spread(Tables.documents(s, d)))
+
   /** t30: prefix-filtering exact-Jaccard self-join (the AllPairs/PPJoin
     * family — Bayardo et al. WWW'07, public algorithm) — the
     * DETERMINISTIC near-dup scale path next to the probabilistic
@@ -432,6 +459,7 @@ object TextSim {
     "t09_neardup_pairs" -> (nearDupQuery _),
     "t21_dedup_clusters" -> (dedupClustersQuery _),
     "t30_prefix_join"  -> (prefixJoinQuery _),
+    "t34_leak_split"   -> (leakFreeSplitQuery _),
   )
 
   private val sigSql =
@@ -549,5 +577,23 @@ object TextSim {
        FROM comp c
        JOIN (SELECT canonical, count(*) AS cluster_size FROM comp GROUP BY 1) s
          USING (canonical)"""),
+    // t21's component CTEs + singleton fallback + the t15 md5 keep-hash
+    "t34_leak_split" -> (sigSql.replaceFirst("WITH ", "WITH RECURSIVE ") + pairCtes + """,
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM rawpairs WHERE inter*10 >= uni*8
+         UNION
+         SELECT doc_b AS src, doc_a AS dst FROM rawpairs WHERE inter*10 >= uni*8),
+       reach AS (
+         SELECT src AS id, src AS r FROM edges
+         UNION
+         SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+       comp AS (SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY 1),
+       rep AS (
+         SELECT d0.doc_id, coalesce(comp.canonical, d0.doc_id) AS rep
+         FROM documents d0 LEFT JOIN comp ON comp.doc_id = d0.doc_id)
+       SELECT doc_id, rep,
+              CASE WHEN ('0x'||substr(md5(CAST(rep AS VARCHAR)),1,15))::BIGINT % 100 < 10
+                   THEN 'eval' ELSE 'train' END AS split
+       FROM rep"""),
   )
 }

@@ -240,6 +240,29 @@ class ArraySpec extends SparkSpec {
     }
   }
 
+  test("rechunk: ragged re-tiling preserves every value and re-tiles the grid") {
+    val a = DMatrix.randInt(spark, 64, 48, 16, 7L)
+    val r = a.rechunk(24)                 // 64 = 24+24+16: ragged target rows
+    assert(r.blockSize == 24)
+    assert(r.toLocal == a.toLocal)
+    // round-trip through a second ragged grid still exact
+    assert(r.rechunk(10).toLocal == a.toLocal)
+  }
+
+  test("cov: n²·cov_pop matches the local Breeze covariance exactly") {
+    val a = DMatrix.randInt(spark, 64, 48, 16, 7L)
+    val local = a.toLocal
+    val got = graft.array.ArrayQueries.covEntry(spark, "")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val n = 64
+    for (j <- 0 until 48; k <- 0 until 48 by 7) {
+      val cj = local(::, j); val ck = local(::, k)
+      val expect = n.toLong * math.round(bsum(cj *:* ck)) -
+        math.round(bsum(cj)) * math.round(bsum(ck))
+      assert(got((j.toLong, k.toLong)) == expect, s"cov_n($j,$k)")
+    }
+  }
+
   test("vstack: concatenation along axis 0 matches vertcat") {
     val a = DMatrix.randInt(spark, 32, 13, 8, 73L)   // top block-aligned
     val b = DMatrix.randInt(spark, 21, 13, 8, 79L)   // ragged bottom

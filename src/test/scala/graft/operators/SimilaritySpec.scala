@@ -280,4 +280,66 @@ class SimilaritySpec extends SparkSpec {
         s"augmented-space ordering diverged for query $qId")
     }
   }
+
+  test("e08 PQ/ADC: codes and ADC ranking match an independent local model") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def sub(v: Array[Long], s: Int): Array[Long] = v.slice(s * 8, s * 8 + 8)
+    // local codebook + encoder (independent re-derivation of the semantics)
+    val cents = (0 until 16).map(c => c -> vecs(c.toLong)).toMap
+    def code(v: Array[Long], s: Int): Int =
+      (0 until 16).map(c => (d2(sub(v, s), sub(cents(c), s)), c)).min._2
+    // 1. the distributed codes equal the local encoder on every (vec, sub)
+    val gotCodes = Similarity.pqCodes(graft.core.Tables.embeddings(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotCodes.size == vecs.size * 8)
+    vecs.keys.foreach { id =>
+      (0 until 8).foreach { s =>
+        assert(gotCodes((id, s.toLong)) == code(vecs(id), s), s"code($id,$s)")
+      }
+    }
+    // 2. ADC top-3 matches the local asymmetric-distance ranking
+    val got = Similarity.pqQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    got.groupBy(_._1).foreach { case (qId, rows) =>
+      val truth = vecs.keys.filter(_ != qId).toSeq
+        .map { n =>
+          val adist = (0 until 8).map(s =>
+            d2(sub(vecs(qId), s), sub(cents(code(vecs(n), s)), s))).sum
+          (n, adist)
+        }
+        .sortBy { case (n, a) => (a, n) }.take(3)
+      assert(rows.sortBy(_._3).map(r => (r._2, r._4)).toSeq == truth,
+        s"ADC ranking diverged for query $qId")
+    }
+  }
+
+  test("t34 leak-free split: clusters never straddle the boundary, every doc assigned once") {
+    val docs = TextSim.spread(graft.core.Tables.documents(spark, sfDir))
+    val split = TextSim.leakFreeSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // exactly one assignment per document, covering the corpus
+    assert(split.map(_._1).distinct.length == split.length)
+    assert(split.length == docs.count())
+    // no cluster straddles: every rep maps to exactly one split value
+    split.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster rep=$rep straddles the train/eval boundary")
+    }
+    // near-dup members really do share the rep (spot-check against t21)
+    val clusters = TextSim.dedupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bySplit = split.map(s => s._1 -> s._2).toMap
+    clusters.foreach { case (doc, canon) =>
+      assert(bySplit(doc) == canon, s"doc $doc: split rep != cluster canonical")
+    }
+    // both sides populated on the fixture (hash split, ~10% eval)
+    val evalN = split.count(_._3 == "eval")
+    assert(evalN > 0 && evalN < split.length,
+      s"degenerate split: $evalN of ${split.length} in eval")
+  }
 }
