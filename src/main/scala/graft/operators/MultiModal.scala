@@ -264,6 +264,45 @@ object MultiModal {
            max(col("asset_id")).as("last_asset"))
   }
 
+  /** mm07: overlapping-window feature extraction over audio payloads —
+    * the STFT/VAD framing shape (window 16, hop 8: every frame shares
+    * half its samples with the next) that mm02's disjoint stride can't
+    * express. Per frame, "energy" = Σ(centered byte)² — an exact
+    * integer standing in for the spectral magnitude a real DSP kernel
+    * would emit; per asset, the summary a voice-activity or loudness
+    * filter consumes: frame count, total energy, and the PEAK frame
+    * (ties → earliest, via a packed `energy·64 + (63−frame)` argmax —
+    * the e05 packed-key trick). flatMap frames (UDTF shape, blobs never
+    * shuffle; the per-frame stream is map-side) + one partial-agged
+    * groupBy on asset_id. */
+  def audioFrameEnergy(assets: DataFrame, win: Int = 16, hop: Int = 8): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(col("kind") === "audio")
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nf = if (bytes.length < win) 0 else (bytes.length - win) / hop + 1
+        (0 until nf).iterator.map { f =>
+          var e = 0L; var t = f * hop
+          while (t < f * hop + win) {
+            val c = (bytes(t) & 0xff) - 128; e += c.toLong * c; t += 1
+          }
+          (id, f.toLong, e)
+        }
+      }
+      .toDF("asset_id", "frame_idx", "energy")
+  }
+
+  def audioEnergyQuery(s: SparkSession, d: String): DataFrame =
+    audioFrameEnergy(synthesizeAssets(s, 200))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_frames"),
+           sum(col("energy")).as("total_energy"),
+           max(col("energy") * 64 + (lit(63) - col("frame_idx"))).as("pk"))
+      .select(col("asset_id"), col("n_frames"), col("total_energy"),
+              (lit(63) - col("pk") % 64).as("peak_frame"),
+              expr("pk div 64").as("peak_energy"))
+
   val queries: Map[String, Q] = Map(
     "mm01_decode_meta"  -> (decodeQuery _),
     "mm02_frame_sample" -> (framesQuery _),
@@ -271,6 +310,7 @@ object MultiModal {
     "mm04_hist_knn"     -> (histKnnQuery _),
     "mm05_phash_neardup" -> (phashQuery _),
     "mm06_shard_pack"   -> (shardPack _),
+    "mm07_audio_energy" -> (audioEnergyQuery _),
   )
 
   private val byteSql = "(((B)*1103515245+99)%2147483647)%256"
@@ -371,5 +411,18 @@ object MultiModal {
                 CAST(sum(len) AS BIGINT) AS sum_bytes,
                 min(asset_id) AS first_asset, max(asset_id) AS last_asset
          FROM c GROUP BY 1""",
+    // overlapping frames (win 16, hop 8); packed argmax mirrors the Spark agg
+    "mm07_audio_energy" ->
+      s"""WITH au AS (SELECT r.range AS asset_id, 64 + CAST(r.range % 32 AS INT) AS len
+                      FROM range(200) r WHERE r.range % 3 = 1),
+          fr AS (SELECT asset_id, f.range AS frame_idx,
+                   CAST((SELECT sum(power(${byteSql.replace("B", "asset_id*64 + f.range*8 + t.range")} - 128, 2))
+                         FROM range(16) t) AS BIGINT) AS energy
+                 FROM au, range(11) f WHERE f.range <= (len - 16) // 8)
+          SELECT asset_id, count(*) AS n_frames,
+                 CAST(sum(energy) AS BIGINT) AS total_energy,
+                 CAST(63 - max(energy*64 + (63 - frame_idx)) % 64 AS BIGINT) AS peak_frame,
+                 CAST(max(energy*64 + (63 - frame_idx)) // 64 AS BIGINT) AS peak_energy
+          FROM fr GROUP BY 1""",
   )
 }

@@ -582,6 +582,55 @@ object Relational {
         round(cume_dist().over(w), 6).as("cd"))
   }
 
+  /** q46: `dd.merge_asof(direction='nearest', tolerance=...)` — the two
+    * directions q26's carry-forward can't express: each click event
+    * aligns to the NEAREST purchase of the same user within 24 h,
+    * backward winning distance ties (pandas semantics). Scale shape is
+    * the q26 union-window trick doubled: tag both sides, UNION, then
+    * TWO running `last(..., ignoreNulls)` windows over the same
+    * hashpartitioning(k) — ascending (t, side) for the backward
+    * neighbor, descending t (orders still first at equal t) for the
+    * forward one. One exchange, two sorts, O(1) state per row — never
+    * an inequality join. Purchases pre-collapsed to one row per (k, t)
+    * (max event_id) so the winner is unambiguous cross-engine. */
+  def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val tol = 86400L
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("k"), unix_timestamp(col("ts")).as("t"))
+      .agg(max(col("event_id")).as("pid"))
+      .select(col("k"), col("t"), col("t").as("pt"), col("pid"),
+              lit(0).as("side"), lit(null).cast("long").as("event_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("k"), unix_timestamp(col("ts")).as("t"),
+              lit(null).cast("long").as("pt"), lit(null).cast("long").as("pid"),
+              lit(1).as("side"), col("event_id"))
+    val frame = Window.unboundedPreceding
+    val wB = Window.partitionBy(col("k")).orderBy(col("t"), col("side"))
+      .rowsBetween(frame, Window.currentRow)
+    val wF = Window.partitionBy(col("k")).orderBy(col("t").desc, col("side"))
+      .rowsBetween(frame, Window.currentRow)
+    val withNbrs = p.unionByName(c)
+      .withColumn("bpid", last(col("pid"), ignoreNulls = true).over(wB))
+      .withColumn("bt", last(col("pt"), ignoreNulls = true).over(wB))
+      .withColumn("fpid", last(col("pid"), ignoreNulls = true).over(wF))
+      .withColumn("ft", last(col("pt"), ignoreNulls = true).over(wF))
+      .filter(col("side") === 1)
+    val bd = when(col("bpid").isNotNull && (col("t") - col("bt")) <= tol,
+                  col("t") - col("bt"))
+    val fd = when(col("fpid").isNotNull && (col("ft") - col("t")) <= tol,
+                  col("ft") - col("t"))
+    withNbrs
+      .select(col("event_id"), col("k"), col("t"),
+              bd.as("bd"), fd.as("fd"), col("bpid"), col("fpid"))
+      .filter(col("bd").isNotNull || col("fd").isNotNull)
+      .select(col("event_id"), col("k"), col("t"),
+        when(col("bd").isNotNull && (col("fd").isNull || col("bd") <= col("fd")),
+             col("bpid")).otherwise(col("fpid")).as("near_id"),
+        when(col("bd").isNotNull && (col("fd").isNull || col("bd") <= col("fd")),
+             col("bd")).otherwise(col("fd")).as("near_dist"))
+  }
+
   /** q44: `dd.describe()` parity — count / mean / std / min / max /
     * quartiles for three lineitem measures in one pass, long-form (one
     * row per measure). Scale shape is the q30 discipline: rows first
@@ -889,6 +938,7 @@ object Relational {
     "q43_window_ranks"      -> (windowRanks _),
     "q44_describe"          -> (describeStats _),
     "q45_rolling_median"    -> (rollingMedian _),
+    "q46_asof_nearest"      -> (asofNearest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1150,6 +1200,34 @@ object Relational {
          FROM (SELECT user_id, event_id, ts,
                       CAST(round(value*100) AS BIGINT) AS cents
                FROM events) t""",
+    // oracle = two native ASOF joins (backward + forward) + the same
+    // tolerance/tie CASE the Spark side evaluates
+    "q46_asof_nearest" ->
+      """WITH p AS (
+           SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  max(event_id) AS pid
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (
+           SELECT event_id, user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events WHERE event_type = 'click'),
+         sel AS (
+           SELECT c.event_id, c.k, c.t,
+                  b.pid AS bpid, b.t AS bt, f.pid AS fpid, f.t AS ft
+           FROM c
+           ASOF LEFT JOIN p b ON c.k = b.k AND c.t >= b.t
+           ASOF LEFT JOIN p f ON c.k = f.k AND c.t <= f.t),
+         dist AS (
+           SELECT event_id, k, t,
+                  CASE WHEN bpid IS NOT NULL AND t - bt <= 86400 THEN t - bt END AS bd,
+                  CASE WHEN fpid IS NOT NULL AND ft - t <= 86400 THEN ft - t END AS fd,
+                  bpid, fpid
+           FROM sel)
+         SELECT event_id, k, t,
+                CASE WHEN bd IS NOT NULL AND (fd IS NULL OR bd <= fd)
+                     THEN bpid ELSE fpid END AS near_id,
+                CASE WHEN bd IS NOT NULL AND (fd IS NULL OR bd <= fd)
+                     THEN bd ELSE fd END AS near_dist
+         FROM dist WHERE bd IS NOT NULL OR fd IS NOT NULL""",
     // three UNION ALL branches restate the per-key outcome matrix the
     // Spark side derives from one join + explode; compare is sort-based
     "q42_scd2_merge" ->

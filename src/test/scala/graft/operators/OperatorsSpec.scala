@@ -354,4 +354,58 @@ class OperatorsSpec extends SparkSpec {
     assert(nP < nQL && nQL < nQ && nQ < nT,
       s"degenerate fixture: a funnel stage dropped nothing ($nT,$nQ,$nQL,$nP)")
   }
+
+  test("q46 nearest-asof matches a brute-force local scan (tolerance, tie -> backward)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // collapse to max event_id per (user, t) like the operator does
+      .groupBy(p => (p._1, p._2)).map { case ((u, t), ps) => (u, t, ps.map(_._3).max) }
+      .toSeq
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tol = 86400L
+    val expect = clicks.flatMap { case (eid, u, t) =>
+      val mine = purchases.filter(_._1 == u)
+      val back = mine.filter(_._2 <= t).sortBy(p => (-p._2, -p._3)).headOption
+        .filter(p => t - p._2 <= tol)
+      val fwd = mine.filter(_._2 >= t).sortBy(p => (p._2, -p._3)).headOption
+        .filter(p => p._2 - t <= tol)
+      (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (t - b._2 <= f._2 - t) Some((eid, b._3, t - b._2))
+          else Some((eid, f._3, f._2 - t))
+        case (Some(b), None) => Some((eid, b._3, t - b._2))
+        case (None, Some(f)) => Some((eid, f._3, f._2 - t))
+        case _ => None
+      }
+    }.toSet
+    val got = Relational.asofNearest(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect,
+      s"nearest-asof mismatch: extra=${(got -- expect).take(3)} missing=${(expect -- got).take(3)}")
+  }
+
+  test("mm07 audio frames: overlap framing and peak selection match a local loop") {
+    import org.apache.spark.sql.functions._
+    def lcgByte(idx: Long): Int = (((idx * 1103515245L + 99L) % 2147483647L) % 256L).toInt
+    val got = MultiModal.audioEnergyQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val audioIds = (0L until 200L).filter(_ % 3 == 1)
+    assert(got.keySet == audioIds.toSet)
+    audioIds.foreach { id =>
+      val len = 64 + (id % 32).toInt
+      val bytes = Array.tabulate(len)(t => lcgByte(id * 64L + t))
+      val energies = (0 to (len - 16) / 8).map { f =>
+        (f * 8 until f * 8 + 16).map { t => val c = bytes(t) - 128; c.toLong * c }.sum
+      }
+      val peakE = energies.max
+      val peakF = energies.indexOf(peakE)   // earliest peak
+      assert(got(id) == ((energies.length.toLong, energies.sum, peakF.toLong, peakE)),
+        s"asset $id")
+    }
+  }
 }
