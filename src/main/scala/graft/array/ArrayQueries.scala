@@ -531,6 +531,13 @@ object ArrayQueries {
                 .cast("long").as("cov_n"))
   }
 
+  /** Rectangular slice (dask basic slicing `x[10:43, 5:29]`) — offsets
+    * chosen to start and end mid-block on both axes, so the crop path
+    * (not just whole-block passthrough) is what the oracle checks. The
+    * oracle is the shared LCG evaluated at the SHIFTED indices. */
+  def sliceEntry(s: SparkSession, d: String): DataFrame =
+    matA(s).slice(10, 43, 5, 29).toCoords
+
   /** Flagship-scale entry names: Bench runs these once per pass (not
     * REPS×), and PlanAuditSpec's join sweep skips them — their compute is
     * RDD block algebra (no Catalyst joins anywhere) and the returned
@@ -584,6 +591,7 @@ object ArrayQueries {
     "a33_svd_wide"       -> (svdWideValues _),
     "a34_rechunk"        -> (rechunkEntry _),
     "a35_cov"            -> (covEntry _),
+    "a36_slice"          -> (sliceEntry _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -784,6 +792,11 @@ object ArrayQueries {
           SELECT g.i, g.j,
                  CAST(64*g.g - si.s*sj.s AS BIGINT) AS cov_n
           FROM g JOIN s si ON si.j = g.i JOIN s sj ON sj.j = g.j""",
+    // the slice in source coordinates: out(i,j) = lcg(i+10, j+5)
+    "a36_slice" ->
+      s"""SELECT ri.range AS i, rj.range AS j,
+          ${lcgSql("(ri.range+10)", "(rj.range+5)", 48, 7, 1000)} AS v
+          FROM range(33) ri, range(24) rj""",
     // consistent system: the minimizer IS the planted x0, in closed form
     "a17_lstsq_262k" ->
       """SELECT j.range AS j,

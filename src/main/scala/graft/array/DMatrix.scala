@@ -124,14 +124,22 @@ class DMatrix(
          ((r0 - tbi.toLong * newBs).toInt, (c0 - tbj.toLong * newBs).toInt, pr, pc, piece))
       }
     }
+    assemblePieces(pieces, m, n, newBs)
+  }
+
+  /** Assemble `((tbi,tbj), (rowOff, colOff, pr, pc, data))` pieces into
+    * an (m × n, bs) grid — the shared tail of [[rechunk]] and [[slice]].
+    * groupByKey is safe here: the per-key payload is exactly one target
+    * block's worth of data (its pieces tile it disjointly). */
+  private def assemblePieces(
+      pieces: org.apache.spark.rdd.RDD[((Int, Int), (Int, Int, Int, Int, Array[Double]))],
+      m: Long, n: Long, bs: Int): DMatrix = {
     val nParts = math.max(1, math.min(blocks.rdd.getNumPartitions,
-      DMatrix.nBlocks(m, newBs) * DMatrix.nBlocks(n, newBs)))
+      DMatrix.nBlocks(m, bs) * DMatrix.nBlocks(n, bs)))
     import blocks.sparkSession.implicits._
-    // groupByKey is safe here: the per-key payload is exactly one target
-    // block's worth of data (its pieces tile it disjointly).
     val assembled = pieces.groupByKey(nParts).map { case ((tbi, tbj), ps) =>
-      val rows = DMatrix.blockDim(m, newBs, tbi)
-      val cols = DMatrix.blockDim(n, newBs, tbj)
+      val rows = DMatrix.blockDim(m, bs, tbi)
+      val cols = DMatrix.blockDim(n, bs, tbj)
       val data = new Array[Double](rows * cols)
       ps.foreach { case (ro, co, pr, pc, pd) =>
         var cc = 0
@@ -142,7 +150,47 @@ class DMatrix(
       }
       Block(tbi, tbj, rows, cols, data)
     }
-    new DMatrix(spark.createDataset(assembled), m, n, newBs)
+    new DMatrix(blocks.sparkSession.createDataset(assembled), m, n, bs)
+  }
+
+  /** Rectangular slice `A[r0 until r1, c0 until c1]` (dask basic
+    * slicing `x[a:b, c:d]`): blocks outside the window are FILTERED
+    * before any data is touched (the block-grid analog of partition
+    * pruning), each surviving block ships only its intersection, and
+    * the result re-tiles on the same chunk size at a fresh origin — so
+    * both the narrow crop and the keyed assemble scale with the SLICE
+    * volume, not the source matrix. */
+  def slice(r0: Long, r1: Long, c0: Long, c1: Long): DMatrix = {
+    require(0 <= r0 && r0 < r1 && r1 <= nRows && 0 <= c0 && c0 < c1 && c1 <= nCols,
+      s"bad slice [$r0,$r1)×[$c0,$c1) of ${nRows}×$nCols")
+    val bs = blockSize
+    val pieces = blocks.rdd.filter { b =>
+      val gr0 = b.bi.toLong * bs; val gc0 = b.bj.toLong * bs
+      gr0 < r1 && gr0 + b.rows > r0 && gc0 < c1 && gc0 + b.cols > c0
+    }.flatMap { b =>
+      val gr0 = b.bi.toLong * bs; val gc0 = b.bj.toLong * bs
+      // source-block ∩ slice window, in OUTPUT coordinates (origin r0,c0)
+      val sr0 = math.max(gr0, r0) - r0; val sr1 = math.min(gr0 + b.rows, r1) - r0
+      val sc0 = math.max(gc0, c0) - c0; val sc1 = math.min(gc0 + b.cols, c1) - c0
+      for {
+        tbi <- ((sr0 / bs).toInt to ((sr1 - 1) / bs).toInt).iterator
+        tbj <- ((sc0 / bs).toInt to ((sc1 - 1) / bs).toInt).iterator
+      } yield {
+        val or0 = math.max(sr0, tbi.toLong * bs); val or1 = math.min(sr1, (tbi + 1).toLong * bs)
+        val oc0 = math.max(sc0, tbj.toLong * bs); val oc1 = math.min(sc1, (tbj + 1).toLong * bs)
+        val pr = (or1 - or0).toInt; val pc = (oc1 - oc0).toInt
+        val piece = new Array[Double](pr * pc)
+        var cc = 0
+        while (cc < pc) {                     // column-major crop copy
+          val srcOff = ((oc0 + c0 - gc0).toInt + cc) * b.rows + (or0 + r0 - gr0).toInt
+          System.arraycopy(b.data, srcOff, piece, cc * pr, pr)
+          cc += 1
+        }
+        ((tbi, tbj),
+         ((or0 - tbi.toLong * bs).toInt, (oc0 - tbj.toLong * bs).toInt, pr, pc, piece))
+      }
+    }
+    assemblePieces(pieces, r1 - r0, c1 - c0, bs)
   }
 
   /** Blocked GEMM (reference flagship: `da.matmul`, 10k×10k blocks 1k —

@@ -389,6 +389,27 @@ object TextSim {
   def leakFreeSplitQuery(s: SparkSession, d: String): DataFrame =
     leakFreeSplit(spread(Tables.documents(s, d)))
 
+  /** t35: MinHash signature ALGEBRA — the mergeable-state property that
+    * makes MinHash a 100 TB sketch (the t31 KMV argument, for Jaccard):
+    * min over docs of (min over each doc's shingles of f_k) = min over
+    * the UNION of the shingles, so a per-language corpus signature is
+    * the plain elementwise MIN of its documents' signatures — shards
+    * sketch locally, only 16 longs per (shard, language) merge upward,
+    * and the result provably equals re-sketching the concatenated
+    * corpus (TextSimSpec pins the equality). Shape: per-doc signatures
+    * (map-only over the documents scan), posexplode to (lang, k, h),
+    * one partial-agged min per (lang, k) — the raw shingle sets never
+    * cross an exchange. */
+  def minhashMerge(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang")).join(minhashSignatures(docs), "doc_id")
+      .select(col("lang"), posexplode(col("sig")))
+      .groupBy(col("lang"), col("pos").cast("long").as("k"))
+      .agg(min(col("col")).as("min_h"))
+      .select(col("lang"), col("k"), col("min_h"))
+
+  def minhashMergeQuery(s: SparkSession, d: String): DataFrame =
+    minhashMerge(spread(Tables.documents(s, d)))
+
   /** t30: prefix-filtering exact-Jaccard self-join (the AllPairs/PPJoin
     * family — Bayardo et al. WWW'07, public algorithm) — the
     * DETERMINISTIC near-dup scale path next to the probabilistic
@@ -460,6 +481,7 @@ object TextSim {
     "t21_dedup_clusters" -> (dedupClustersQuery _),
     "t30_prefix_join"  -> (prefixJoinQuery _),
     "t34_leak_split"   -> (leakFreeSplitQuery _),
+    "t35_minhash_merge" -> (minhashMergeQuery _),
   )
 
   private val sigSql =
@@ -595,5 +617,11 @@ object TextSim {
               CASE WHEN ('0x'||substr(md5(CAST(rep AS VARCHAR)),1,15))::BIGINT % 100 < 10
                    THEN 'eval' ELSE 'train' END AS split
        FROM rep"""),
+    // elementwise-min merge of the per-doc signatures (sigSql's sig list)
+    "t35_minhash_merge" -> (sigSql + """
+       SELECT d2.lang, k.range AS k,
+              min(sig[CAST(k.range + 1 AS BIGINT)]) AS min_h
+       FROM sig JOIN documents d2 ON d2.doc_id = sig.doc_id, range(16) k
+       GROUP BY 1, 2"""),
   )
 }

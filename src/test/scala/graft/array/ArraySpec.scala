@@ -249,6 +249,22 @@ class ArraySpec extends SparkSpec {
     assert(r.rechunk(10).toLocal == a.toLocal)
   }
 
+  test("slice: mid-block windows, block-aligned windows, and full-width slices match local") {
+    val a = DMatrix.randInt(spark, 64, 48, 16, 7L)
+    val local = a.toLocal
+    def check(r0: Int, r1: Int, c0: Int, c1: Int): Unit = {
+      val got = a.slice(r0, r1, c0, c1)
+      assert(got.nRows == r1 - r0 && got.nCols == c1 - c0)
+      assert(got.toLocal == local(r0 until r1, c0 until c1).copy, s"[$r0,$r1)x[$c0,$c1)")
+    }
+    check(10, 43, 5, 29)     // starts/ends mid-block both axes
+    check(16, 48, 16, 32)    // exactly block-aligned
+    check(0, 64, 47, 48)     // single column, full height
+    check(63, 64, 0, 48)     // single row crossing all column blocks
+    intercept[IllegalArgumentException] { a.slice(0, 0, 0, 10) }
+    intercept[IllegalArgumentException] { a.slice(0, 65, 0, 10) }
+  }
+
   test("cov: n²·cov_pop matches the local Breeze covariance exactly") {
     val a = DMatrix.randInt(spark, 64, 48, 16, 7L)
     val local = a.toLocal

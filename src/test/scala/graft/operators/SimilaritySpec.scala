@@ -342,4 +342,27 @@ class SimilaritySpec extends SparkSpec {
     assert(evalN > 0 && evalN < split.length,
       s"degenerate split: $evalN of ${split.length} in eval")
   }
+
+  test("t35 minhash merge: elementwise-min of doc signatures equals the union re-sketch") {
+    import org.apache.spark.sql.functions._
+    val docs = TextSim.spread(graft.core.Tables.documents(spark, sfDir))
+    val merged = TextSim.minhashMerge(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // re-sketch each language's UNION of shingle-hash sets directly
+    val ws = TextSim.words(col("text"))
+    val hs = docs
+      .select(col("lang"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("lang"),
+        transform(TextSim.shingles3(col("ws")), s => TextSim.h64(s) % TextSim.P).as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1))
+    val P = TextSim.P
+    hs.groupBy(_._1).foreach { case (lang, rows) =>
+      val union = rows.flatMap(_._2).toSet
+      (0 until 16).foreach { k =>
+        val expect = union.map(h => ((1L + k * 104729L) * h + 12345L + k * 7919L) % P).min
+        assert(merged((lang, k.toLong)) == expect, s"merged sig($lang, $k)")
+      }
+    }
+  }
 }
