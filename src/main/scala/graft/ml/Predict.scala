@@ -217,14 +217,94 @@ object Predict {
            sum(col("pred")).as("n_pos"))
   }
 
+  /** ml06: 5-fold cross-validation from MERGEABLE sufficient statistics
+    * — the distributed-CV algebra: one groupBy(fold) pass collects each
+    * fold's exact {n, Σx, Σy, Σx², Σxy}; every fold's TRAINING stats
+    * are then total − fold (pure subtraction in the exact decimal
+    * domain — no second data pass per fold, the same shard-local/merge-
+    * upward shape as t31/t35 sketches), closed-form per-fold models,
+    * and one broadcast join scores every row against its own held-out
+    * fold's model. Fold assignment is the t15/q32 deterministic md5
+    * hash (retry-idempotent, engine-independent). Validation error is
+    * the sum of |rounded residual| — integer, so exact cross-engine.
+    * Scale: two passes over the data total (stats + scoring),
+    * regardless of fold count. */
+  def kfoldCv(s: SparkSession, d: String): DataFrame = {
+    val folds = 5
+    val h = conv(substring(md5(concat_ws("_", col("l_orderkey"),
+      col("l_linenumber"))), 1, 15), 16, 10).cast("long") % folds
+    val r = Tables.lineitem(s, d).select(
+        round(col("l_quantity") * 100).cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"),
+        h.as("fold"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val xd = col("x").cast("decimal(19,0)"); val yd = col("y").cast("decimal(19,0)")
+    val fs = r.groupBy(col("fold")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(xd * xd).as("sxx"), sum(xd * yd).as("sxy"))
+    val tot = fs.agg(sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
+      sum(col("sy")).as("tsy"), sum(col("sxx")).as("tsxx"), sum(col("sxy")).as("tsxy"))
+    // training stats = total − fold, subtracted EXACTLY, then one cast
+    val nC = (col("tn") - col("n")).cast("double")
+    val sxC = (col("tsx") - col("sx")).cast("double")
+    val syC = (col("tsy") - col("sy")).cast("double")
+    val sxxC = (col("tsxx") - col("sxx")).cast("double")
+    val sxyC = (col("tsxy") - col("sxy")).cast("double")
+    val slope = (nC * sxyC - sxC * syC) / (nC * sxxC - sxC * sxC)
+    val models = fs.crossJoin(broadcast(tot))
+      .select(col("fold"), (col("tn") - col("n")).as("n_train"), col("n").as("n_val"),
+              slope.as("slope"), ((syC - slope * sxC) / nC).as("icept"))
+    val resid = col("y").cast("double") -
+      (col("icept") + col("slope") * col("x").cast("double"))
+    val out = r.join(broadcast(models), "fold")
+      .select(col("fold"), col("n_train"), col("n_val"), col("slope"), col("icept"),
+              abs(round(resid)).cast("long").as("ae"))
+      .groupBy(col("fold"), col("n_train"), col("n_val"))
+      .agg(round(max(col("slope")), 6).as("slope"),
+           round(max(col("icept")), 4).as("icept"),
+           sum(col("ae")).as("sae"))
+      .localCheckpoint(true)
+    r.unpersist(false)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "ml01_predict"       -> (predictLineitem _),
     "ml02_predict_bench" -> (predictGenerated _),
     "ml03_predict_svc"   -> (predictSvc _),
     "ml05_predict_kernel" -> (predictKernel _),
+    "ml06_kfold_cv"      -> (kfoldCv _),
   )
 
   val oracles: Map[String, String] = Map(
+    // complement stats subtracted in the exact integer domain, cast to
+    // double ONCE; the closed-form + residual trees mirror Spark's
+    "ml06_kfold_cv" ->
+      """WITH c AS (SELECT CAST(round(l_quantity*100) AS BIGINT) AS x,
+                           CAST(round(l_extendedprice*100) AS BIGINT) AS y,
+                           ('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 15))::BIGINT % 5 AS fold
+                    FROM lineitem),
+         fs AS (SELECT fold, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(CAST(x AS HUGEINT)*x) AS sxx, sum(CAST(x AS HUGEINT)*y) AS sxy
+                FROM c GROUP BY 1),
+         tot AS (SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+                        sum(sxx) AS tsxx, sum(sxy) AS tsxy FROM fs),
+         m AS (SELECT fold, tn - n AS n_train, n AS n_val,
+                      CAST(tn - n AS DOUBLE) AS nc, CAST(tsx - sx AS DOUBLE) AS sxc,
+                      CAST(tsy - sy AS DOUBLE) AS syc, CAST(tsxx - sxx AS DOUBLE) AS sxxc,
+                      CAST(tsxy - sxy AS DOUBLE) AS sxyc
+               FROM fs, tot),
+         m2 AS (SELECT fold, n_train, n_val, nc, sxc, syc,
+                       (nc*sxyc - sxc*syc) / (nc*sxxc - sxc*sxc) AS slope
+                FROM m),
+         m3 AS (SELECT fold, n_train, n_val, slope,
+                       (syc - slope*sxc) / nc AS icept FROM m2)
+         SELECT c.fold, CAST(m3.n_train AS BIGINT) AS n_train,
+                CAST(m3.n_val AS BIGINT) AS n_val,
+                round(max(m3.slope), 6) AS slope, round(max(m3.icept), 4) AS icept,
+                CAST(sum(abs(CAST(round(CAST(c.y AS DOUBLE)
+                  - (m3.icept + m3.slope * CAST(c.x AS DOUBLE))) AS BIGINT))) AS BIGINT) AS sae
+         FROM c JOIN m3 USING (fold) GROUP BY 1, 2, 3""",
     "ml01_predict" ->
       """WITH c AS (SELECT l_orderkey, l_linenumber,
                 CAST(round(l_quantity * 100) AS BIGINT) AS x,

@@ -631,6 +631,26 @@ object Relational {
              col("bd")).otherwise(col("fd")).as("near_dist"))
   }
 
+  /** q47: MULTISET set ops — `exceptAll` / `intersectAll`, the
+    * bag-semantics counterparts of q09/q10/q21's distinct-set forms
+    * (dask bags and SQL ALL variants preserve multiplicity: an item
+    * appearing 5× in A and 2× in B survives EXCEPT ALL 3×). Spark
+    * plans both as a replication-count aggregate + generate — one
+    * exchange per input, no distinct sort. Output is rolled up to
+    * (key, multiplicity) so the gate compare is order-free. */
+  def multisetOps(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val a = li.filter(col("l_shipdate") >= "1997-01-01")
+      .select(col("l_suppkey").as("k"), col("l_linenumber").as("ln"))
+    val b = li.filter(col("l_returnflag") === "R")
+      .select(col("l_suppkey").as("k"), col("l_linenumber").as("ln"))
+    val ex = a.exceptAll(b).groupBy(col("k"), col("ln"))
+      .agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("k"), col("ln"), col("n"))
+    val in = a.intersectAll(b).groupBy(col("k"), col("ln"))
+      .agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("k"), col("ln"), col("n"))
+    ex.unionByName(in)
+  }
+
   /** q44: `dd.describe()` parity — count / mean / std / min / max /
     * quartiles for three lineitem measures in one pass, long-form (one
     * row per measure). Scale shape is the q30 discipline: rows first
@@ -939,6 +959,7 @@ object Relational {
     "q44_describe"          -> (describeStats _),
     "q45_rolling_median"    -> (rollingMedian _),
     "q46_asof_nearest"      -> (asofNearest _),
+    "q47_multiset_ops"      -> (multisetOps _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1200,6 +1221,16 @@ object Relational {
          FROM (SELECT user_id, event_id, ts,
                       CAST(round(value*100) AS BIGINT) AS cents
                FROM events) t""",
+    "q47_multiset_ops" ->
+      """WITH a AS (SELECT l_suppkey AS k, l_linenumber AS ln FROM lineitem
+                    WHERE l_shipdate >= '1997-01-01'),
+            b AS (SELECT l_suppkey AS k, l_linenumber AS ln FROM lineitem
+                  WHERE l_returnflag = 'R')
+         SELECT 'except' AS op, k, ln, count(*) AS n
+         FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2, 3
+         UNION ALL
+         SELECT 'intersect', k, ln, count(*)
+         FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2, 3""",
     // oracle = two native ASOF joins (backward + forward) + the same
     // tolerance/tie CASE the Spark side evaluates
     "q46_asof_nearest" ->

@@ -43,6 +43,12 @@ object PlanDump {
       "OOV-rate scoring: the top-1000 vocabulary plans as TakeOrderedAndProject (map-side pre-cut to k) and the token probe is a BroadcastHashJoin — exploded tokens never shuffle; the only corpus-sized exchange carries (doc_id, two longs) partials.",
     "q42_scd2_merge" ->
       "SCD type-2 merge: ONE join of dimension × aggregated change batch (change side partial-aggregated before its exchange; at gate scale AQE broadcasts it) feeding a map-only when/array/explode that emits 1–2 version rows per key — no window, no second pass.",
+    "q45_rolling_median" ->
+      "Rolling exact median: the interpolated-percentile window rides ONE hashpartitioning(user_id) exchange + one sort — identical cost shape to the rolling mean; the frame buffer holds <= 5 rows per step.",
+    "q46_asof_nearest" ->
+      "Nearest-direction as-of join: ZERO join operators — both direction neighbors come from running last() windows (ascending + descending) over one full union exchange; the purchase collapse pre-aggregates its own small exchange.",
+    "q44_describe" ->
+      "describe(): rows collapse to per-(measure, value) frequencies first (partial-combined), so the moment/quartile pass aggregates the distinct-value table, never the raw rows.",
   )
 
   def main(args: Array[String]): Unit = {

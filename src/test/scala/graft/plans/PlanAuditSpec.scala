@@ -174,6 +174,42 @@ class PlanAuditSpec extends SparkSpec {
       s"the single exchange must key on user_id:\n${keyed.head}")
   }
 
+  test("q45 rolling median: exactly one keyed exchange serves the percentile window") {
+    val plan = planString(run("q45_rolling_median"))
+    val keyed = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(keyed.size == 1 && keyed.head.contains("user_id"),
+      s"rolling median must shuffle once on user_id; got:\n${keyed.mkString("\n")}")
+  }
+
+  test("q46 nearest-asof: both direction windows ride ONE full exchange; no inequality join") {
+    val plan = planString(run("q46_asof_nearest"))
+    // the purchase collapse pre-aggregates its own (k, t) exchange over
+    // the small filtered side; the union windows must add exactly one
+    // more, keyed on k — and the plan must contain zero join operators
+    // (the whole point: as-of via windows, never an inequality join).
+    val keyed = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(keyed.size == 2,
+      s"nearest-asof must shuffle exactly twice (collapse + window); got ${keyed.size}:\n${keyed.mkString("\n")}")
+    assert(!plan.contains("Join"), s"nearest-asof must be join-free:\n$plan")
+    assert("Window \\[".r.findAllIn(plan).length == 2,
+      "expected exactly the two direction windows")
+  }
+
+  test("e08 PQ encode: codebook broadcasts, corpus never shuffles pre-aggregation") {
+    import org.apache.spark.sql.functions.col
+    val codes = graft.operators.Similarity.pqCodes(
+      graft.core.Tables.embeddings(spark, sfDir))
+    codes.write.mode("overwrite").format("noop").save()
+    val plan = planString(codes)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the centroid join must broadcast:\n$plan")
+    val keyed = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(keyed.size == 1 && keyed.head.contains("vec_id"),
+      s"only the (vec_id, sub) argmin aggregation may shuffle; got:\n${keyed.mkString("\n")}")
+    assert(plan.contains("partial_min"),
+      s"the argmin must combine map-side:\n$plan")
+  }
+
   test("AQE skew-join safety net: a hot-key shuffle join gets its skewed partition split") {
     // t27 eliminates join skew by key construction; this pins the OTHER
     // mechanism the 100 TB story leans on — when a skewed shuffle join
@@ -227,7 +263,10 @@ class PlanAuditSpec extends SparkSpec {
     // to an RDD scan; their join shapes are asserted by their own specs —
     // this sweep still covers everything visible in the returned plan.
     val bnljAllowed = Set("e01_knn_cosine", "e07_mips", "mm04_hist_knn",
-                          "t13_kmv_sketch", "t18_domain_mix")
+                          "t13_kmv_sketch", "t18_domain_mix",
+                          // ml06: crossJoin(broadcast(<1-row totals>)) —
+                          // attaching the total sufficient statistics
+                          "ml06_kfold_cv")
     // Flagship-scale linalg entries are excluded: building their final
     // DataFrame executes tens of seconds of eager RDD block algebra
     // (tsqr treeAggregate, 2-TFLOP GEMM) with no Catalyst joins anywhere,
