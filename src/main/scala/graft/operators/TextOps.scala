@@ -776,7 +776,41 @@ object TextOps {
       .filter(col("n_occ") > 1)
   }
 
+  /** t36: deterministic GLOBAL corpus shuffle — the "shuffle before
+    * training" step every epoch pipeline runs: a pseudo-random but
+    * reproducible total permutation of the corpus, as (doc_id →
+    * position). Order key = salted md5 of the doc id (salt "shuf_"
+    * decorrelates this permutation from the t15 sampling and t34 split
+    * hashes; changing the salt re-shuffles — that's the epoch knob).
+    * Positions come from the q37 two-pass rank: range-partition by the
+    * hash, count per partition (P longs to the driver), broadcast
+    * exclusive offsets, stream positions — NEVER a single-partition
+    * row_number. Retry-idempotent and engine-independent like every
+    * hash-keyed stage in this module. */
+  def globalShuffle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5(concat(lit("shuf_"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val sorted = Tables.documents(s, d)
+      .select(col("doc_id"), h.as("h"))
+      .repartitionByRange(col("h"), col("doc_id"))
+      .sortWithinPartitions(col("h"), col("doc_id"))
+      .as[(Long, Long)].rdd
+    val counts = sorted
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var c = 0L; it.foreach(_ => c += 1); Iterator.single((pid, c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = s.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    sorted.mapPartitionsWithIndex { case (pid, it) =>
+        var r = offsets.value(pid)
+        it.map { case (id, hv) => r += 1; (id, hv, r) }
+      }
+      .toDF("doc_id", "h", "pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t36_global_shuffle" -> (globalShuffle _),
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
     "t03_quality"      -> (qualityScore _),
@@ -1098,6 +1132,11 @@ object TextOps {
     // email-then-phone replacement order.
     // integer log2 via binary-string length — identical in both engines
     // windows digest in the scan projection; only (digest, packed owner)
+    "t36_global_shuffle" ->
+      """SELECT doc_id, h, row_number() OVER (ORDER BY h, doc_id) AS pos
+         FROM (SELECT doc_id,
+                      ('0x' || substr(md5('shuf_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+               FROM documents) t""",
     // pairs reach the group-by — the oracle mirrors the window grid
     "t33_substring_dedup" ->
       """WITH w AS (
