@@ -809,8 +809,44 @@ object TextOps {
       .toDF("doc_id", "h", "pos")
   }
 
+  /** t37: INTRA-document chunk dedup — the C4 rule applied within one
+    * document (repeated boilerplate paragraphs inside a page collapse
+    * to their first occurrence). t25's cross-document form needs a
+    * corpus-wide owner election; within a single document the dedup is
+    * pure per-row array algebra, so the whole operator is MAP-ONLY:
+    * chunk the word array (the t25 10-word granularity), keep chunk i
+    * iff its FIRST occurrence index is i (array_position — identical
+    * 1-based first-match semantics in DuckDB's list_position), then
+    * reassemble and fingerprint. Zero exchanges at any corpus size.
+    * The fixture has no natural 10-word repeats, so (the t27
+    * discipline) a third of the docs get the cookie banner planted
+    * TWICE at the front — those docs must lose exactly one chunk,
+    * every other doc must pass through byte-identical. */
+  def intraDocDedup(s: SparkSession, d: String): DataFrame = {
+    val banner = "click here to accept cookies and continue to the site"
+    val chunks = transform(
+      sequence(lit(0L), expr("(size(ws)+9) div 10").cast("long") - 1L),
+      i => array_join(slice(col("ws"), (i * 10 + 1).cast("int"), lit(10)), " "))
+    TextSim.spread(Tables.documents(s, d))
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+             concat(lit(banner + " " + banner + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), chunks.as("chunks"))
+      .select(col("doc_id"), col("chunks"),
+        filter(col("chunks"), (c, i) =>
+          array_position(col("chunks"), c) === (i + 1).cast("long")).as("kept"))
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("kept_md5"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t36_global_shuffle" -> (globalShuffle _),
+    "t37_intradoc_dedup" -> (intraDocDedup _),
     "t01_token_count"  -> (tokenCounts _),
     "t02_lang_profile" -> (langProfile _),
     "t03_quality"      -> (qualityScore _),
@@ -1132,6 +1168,23 @@ object TextOps {
     // email-then-phone replacement order.
     // integer log2 via binary-string length — identical in both engines
     // windows digest in the scan projection; only (digest, packed owner)
+    "t37_intradoc_dedup" ->
+      """WITH d AS (SELECT doc_id,
+                 string_split(CASE WHEN doc_id % 3 = 0
+                   THEN 'click here to accept cookies and continue to the site click here to accept cookies and continue to the site ' || text
+                   ELSE text END, ' ') AS ws
+               FROM documents WHERE length(text) > 0),
+         c AS (SELECT doc_id,
+                 [array_to_string(ws[i*10+1 : i*10+10], ' ')
+                  for i in generate_series(0, (len(ws)+9)//10 - 1)] AS chunks
+               FROM d),
+         k AS (SELECT doc_id, chunks,
+                 [chunks[i] for i in generate_series(1, len(chunks))
+                  if list_position(chunks, chunks[i]) = i] AS kept
+               FROM c)
+         SELECT doc_id, len(chunks) AS n_chunks, len(kept) AS n_kept,
+                md5(array_to_string(kept, ' ')) AS kept_md5
+         FROM k""",
     "t36_global_shuffle" ->
       """SELECT doc_id, h, row_number() OVER (ORDER BY h, doc_id) AS pos
          FROM (SELECT doc_id,
