@@ -651,6 +651,30 @@ object Relational {
     ex.unionByName(in)
   }
 
+  /** q48: RUNNING DISTINCT COUNT per key — `count(DISTINCT x) OVER w`,
+    * which Spark's window operator rejects outright (DISTINCT
+    * aggregates are unsupported in windows). Expressed Spark-first as
+    * the first-occurrence trick: a row is the first sighting of its
+    * (user, event_type) iff row_number over that pair is 1; the running
+    * SUM of first-sighting flags IS the running distinct count. Two
+    * windows, but both hash-partition by user_id (the pair window's
+    * partition keys are a superset), so ONE exchange serves both — the
+    * same subset-rule plan shape as q35. State per row is O(1), vs the
+    * O(|distinct|) a collect_set-based window would carry. */
+  def runningDistinct(s: SparkSession, d: String): DataFrame = {
+    val wPair = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("first_seen",
+        when(row_number().over(wPair) === 1, lit(1L)).otherwise(lit(0L)))
+      .select(col("user_id"), col("event_id"),
+              sum(col("first_seen")).over(wRun).as("n_types"))
+  }
+
   /** q44: `dd.describe()` parity — count / mean / std / min / max /
     * quartiles for three lineitem measures in one pass, long-form (one
     * row per measure). Scale shape is the q30 discipline: rows first
@@ -960,6 +984,7 @@ object Relational {
     "q45_rolling_median"    -> (rollingMedian _),
     "q46_asof_nearest"      -> (asofNearest _),
     "q47_multiset_ops"      -> (multisetOps _),
+    "q48_running_distinct"  -> (runningDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1221,6 +1246,14 @@ object Relational {
          FROM (SELECT user_id, event_id, ts,
                       CAST(round(value*100) AS BIGINT) AS cents
                FROM events) t""",
+    // DuckDB runs the DISTINCT window natively; Spark's first-sighting
+    // running sum must agree with it exactly
+    "q48_running_distinct" ->
+      """SELECT user_id, event_id,
+                count(DISTINCT event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types
+         FROM events""",
     "q47_multiset_ops" ->
       """WITH a AS (SELECT l_suppkey AS k, l_linenumber AS ln FROM lineitem
                     WHERE l_shipdate >= '1997-01-01'),

@@ -392,6 +392,45 @@ object Similarity {
   def pqQuery(s: SparkSession, d: String): DataFrame =
     pqTopK(TextSim.spread(Tables.embeddings(s, d)), 3)
 
+  /** IVF-PQ — the production ANN composition (the FAISS IVFPQ shape):
+    * [[ivfCells]] bounds WHICH vectors are candidates (the query's
+    * coarse cell; nprobe=1 keeps the oracle one equi-join, like e05)
+    * and [[pqCodes]] bounds WHAT each candidate costs (an m-lookup ADC
+    * sum over 4-bit codes instead of a d-dim exact distance). At
+    * warehouse scale the scan term drops from N·d floats to
+    * (N/cells)·m byte-lookups per query. Join shape: the corpus side
+    * is (vec_id, cell, sub, code) — codes and cells joined once on
+    * vec_id, both narrow — probed by a BROADCAST of the per-query
+    * (cell, LUT) table; the only exchange is the (q_id, n_id)
+    * partial-agged ADC sum. */
+  def ivfPqTopK(emb: DataFrame, topK: Int, cellsK: Int = 8): DataFrame = {
+    val sv = subVectors(emb).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = pqCodesFrom(sv).join(ivfCells(emb, cellsK), "vec_id")
+    val lutD2 = col("sn") - lit(2L) * dotInt(col("sv"), col("cv")) + col("cn")
+    val lut = sv.filter(col("vec_id") % 50 === 0)
+      .join(broadcast(centsFrom(sv)), col("sub") === col("csub"))
+      .select(col("vec_id").as("q_id"), col("sub").as("lsub"),
+              col("cent_id"), lutD2.as("d2"))
+      .join(ivfCells(emb, cellsK).filter(col("vec_id") % 50 === 0)
+              .select(col("vec_id").as("q_id"), col("cell").as("qcell")), "q_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
+    val out = cand.join(broadcast(lut),
+        col("sub") === col("lsub") && col("code") === col("cent_id") &&
+          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adist"))
+      .localCheckpoint(true)
+    sv.unpersist(false)
+    out
+  }
+
+  /** e09: IVF-PQ nearest same-cell neighbor by ADC (exact oracle). */
+  def ivfPqQuery(s: SparkSession, d: String): DataFrame =
+    ivfPqTopK(TextSim.spread(Tables.embeddings(s, d)), 1)
+
   val queries: Map[String, Q] = Map(
     "e01_knn_cosine"  -> (knnQuery _),
     "e02_lsh_buckets" -> (bucketsQuery _),
@@ -400,6 +439,7 @@ object Similarity {
     "e05_ivf_ann"     -> (ivfQuery _),
     "e07_mips"        -> (mipsQuery _),
     "e08_pq_adc"      -> (pqQuery _),
+    "e09_ivf_pq"      -> (ivfPqQuery _),
   )
 
   private val quantSql =
@@ -503,6 +543,40 @@ object Similarity {
                    row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
             FROM adist) t
           WHERE rank <= 3""",
+    // IVF cell equality gates the e08 ADC join; otherwise identical CTEs
+    "e09_ivf_pq" ->
+      s"""WITH $quantSql,
+          assign AS (
+            SELECT v.vec_id,
+                   CAST(min((list_dot_product(v.qv, v.qv)
+                             - 2*list_dot_product(v.qv, c.qv)
+                             + list_dot_product(c.qv, c.qv)) * 256 + c.vec_id) % 256
+                        AS BIGINT) AS cell
+            FROM q v, q c WHERE c.vec_id < 8 GROUP BY v.vec_id),
+          sv AS (SELECT vec_id, CAST(sub.range AS BIGINT) AS sub,
+                   [qv[CAST(sub.range*8 + d + 1 AS BIGINT)] for d in generate_series(0,7)] AS sv
+                 FROM q, range(8) sub),
+          cents AS (SELECT vec_id AS cent_id, sub, sv AS cv FROM sv WHERE vec_id < 16),
+          codes AS (SELECT s.vec_id, s.sub,
+                      CAST(min((CAST(list_dot_product(s.sv,s.sv) AS BIGINT)
+                                - 2*CAST(list_dot_product(s.sv,c.cv) AS BIGINT)
+                                + CAST(list_dot_product(c.cv,c.cv) AS BIGINT))*16 + c.cent_id) % 16 AS BIGINT) AS code
+                    FROM sv s JOIN cents c ON s.sub = c.sub GROUP BY s.vec_id, s.sub),
+          lut AS (SELECT s.vec_id AS q_id, s.sub, c.cent_id,
+                    CAST(list_dot_product(s.sv,s.sv) AS BIGINT)
+                    - 2*CAST(list_dot_product(s.sv,c.cv) AS BIGINT)
+                    + CAST(list_dot_product(c.cv,c.cv) AS BIGINT) AS d2
+                  FROM sv s JOIN cents c ON s.sub = c.sub WHERE s.vec_id % 50 = 0),
+          adist AS (SELECT l.q_id, co.vec_id AS n_id, CAST(sum(l.d2) AS BIGINT) AS adist
+                    FROM codes co JOIN lut l ON l.sub = co.sub AND l.cent_id = co.code
+                    JOIN assign ac ON ac.vec_id = co.vec_id
+                    JOIN assign aq ON aq.vec_id = l.q_id AND aq.cell = ac.cell
+                    WHERE l.q_id <> co.vec_id GROUP BY 1,2)
+          SELECT q_id, n_id, rank, adist FROM (
+            SELECT q_id, n_id, adist,
+                   row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+            FROM adist) t
+          WHERE rank <= 1""",
     "e05_ivf_ann" ->
       s"""WITH $quantSql,
           assign AS (

@@ -408,4 +408,22 @@ class OperatorsSpec extends SparkSpec {
         s"asset $id")
     }
   }
+
+  test("q48 running distinct count equals a brute-force local scan") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("t"),
+              col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = rows.groupBy(_._1).iterator.flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._2))
+      val seen = scala.collection.mutable.Set[String]()
+      sorted.iterator.map { e => seen += e._4; (e._2, seen.size.toLong) }
+    }.toMap
+    val got = Relational.runningDistinct(spark, sfDir).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (eid, n) =>
+      assert(got(eid) == n, s"event $eid: got ${got(eid)}, want $n") }
+  }
 }

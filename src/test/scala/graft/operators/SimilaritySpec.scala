@@ -365,4 +365,39 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("e09 IVF-PQ: cell gating + ADC ranking match the composed local model") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def sub(v: Array[Long], s: Int): Array[Long] = v.slice(s * 8, s * 8 + 8)
+    // local IVF assignment (e05 semantics: packed d2*256+id argmin, mod 256)
+    def cell(v: Array[Long]): Long = {
+      (0 until 8).map { c =>
+        val cv = vecs(c.toLong)
+        (dot(v, v) - 2 * dot(v, cv) + dot(cv, cv)) * 256L + c
+      }.min % 256L
+    }
+    val cents = (0 until 16).map(c => c -> vecs(c.toLong)).toMap
+    def code(v: Array[Long], s: Int): Int =
+      (0 until 16).map(c => (d2(sub(v, s), sub(cents(c), s)), c)).min._2
+    val got = Similarity.ivfPqQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    got.groupBy(_._1).foreach { case (qId, rows) =>
+      val qc = cell(vecs(qId))
+      val truth = vecs.keys.filter(n => n != qId && cell(vecs(n)) == qc).toSeq
+        .map { n =>
+          val adist = (0 until 8).map(s =>
+            d2(sub(vecs(qId), s), sub(cents(code(vecs(n), s)), s))).sum
+          (n, adist)
+        }.sortBy { case (n, a) => (a, n) }.take(1)
+      assert(rows.map(r => (r._2, r._3)).toSeq == truth,
+        s"IVF-PQ top-1 diverged for query $qId")
+    }
+  }
 }
