@@ -531,6 +531,46 @@ object ArrayQueries {
                 .cast("long").as("cov_n"))
   }
 
+  /** Correlation matrix (dask `da.corrcoef(x, rowvar=False)`): a35's
+    * exact-integer n²·cov matrix normalized by its diagonal —
+    * corr[j,k] = cov_n[j,k] / sqrt(cov_n[j,j]·cov_n[k,k]) (the n²
+    * factors cancel, so no extra scaling). All inputs to the float tail
+    * are exact integers, the multiply/sqrt/divide sequence is identical
+    * IEEE ops in both engines, and round(·,6) pins the printable value.
+    * Plan: the a35 Gram + column-sum pipeline, then the 48-row diagonal
+    * joined back twice — broadcast-sized at any matrix width that has a
+    * computable dense correlation matrix. */
+  def corrcoefEntry(s: SparkSession, d: String): DataFrame = {
+    val covn = covEntry(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val diag = covn.filter(col("i") === col("j"))
+      .select(col("i").as("dj"), col("cov_n").as("dv"))
+    val out = covn
+      .join(broadcast(diag.select(col("dj").as("i"), col("dv").as("di"))), "i")
+      .join(broadcast(diag.select(col("dj").as("j"), col("dv").as("djj"))), "j")
+      .select(col("i"), col("j"),
+              round(col("cov_n").cast("double") /
+                    sqrt(col("di").cast("double") * col("djj").cast("double")), 6)
+                .as("corr"))
+      .localCheckpoint(true)
+    covn.unpersist(false)
+    out
+  }
+
+  /** Circular shift + row reversal (dask `da.roll` / `da.flipud`) on a
+    * RAGGED 53×21 grid (bs 16): the roll's wrap seam and the flip's
+    * mirrored tail both land mid-block, so the piece-split paths (not
+    * just whole-block re-keys) are what the oracle checks. Pure data
+    * movement — the oracle is the shared LCG evaluated at the inverse
+    * index map. One narrow flatMap + one keyed assemble each. */
+  def rollFlipEntry(s: SparkSession, d: String): DataFrame = {
+    val a = DMatrix.randInt(s, 53, 21, 16, 31L)
+    a.rollRows(17).toCoords
+      .select(lit("roll").as("op"), col("i"), col("j"), col("v"))
+      .unionByName(a.flipRows.toCoords
+        .select(lit("flip").as("op"), col("i"), col("j"), col("v")))
+  }
+
   /** Rectangular slice (dask basic slicing `x[10:43, 5:29]`) — offsets
     * chosen to start and end mid-block on both axes, so the crop path
     * (not just whole-block passthrough) is what the oracle checks. The
@@ -592,6 +632,8 @@ object ArrayQueries {
     "a34_rechunk"        -> (rechunkEntry _),
     "a35_cov"            -> (covEntry _),
     "a36_slice"          -> (sliceEntry _),
+    "a37_corrcoef"       -> (corrcoefEntry _),
+    "a38_roll_flip"      -> (rollFlipEntry _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -792,6 +834,31 @@ object ArrayQueries {
           SELECT g.i, g.j,
                  CAST(64*g.g - si.s*sj.s AS BIGINT) AS cov_n
           FROM g JOIN s si ON si.j = g.i JOIN s sj ON sj.j = g.j""",
+    // a35's cov_n CTE normalized by its own diagonal — identical float
+    // op sequence (cast, multiply, sqrt, divide, round 6)
+    "a37_corrcoef" ->
+      s"""WITH ${matSql("a", 64, 48, 7)},
+          g AS (SELECT x.j AS i, y.j AS j, sum(x.v * y.v) AS g
+                FROM a x JOIN a y ON x.i = y.i GROUP BY 1, 2),
+          s AS (SELECT j, sum(v) AS s FROM a GROUP BY 1),
+          covn AS (SELECT g.i, g.j,
+                          CAST(64*g.g - si.s*sj.s AS BIGINT) AS cov_n
+                   FROM g JOIN s si ON si.j = g.i JOIN s sj ON sj.j = g.j),
+          diag AS (SELECT i AS dj, cov_n AS dv FROM covn WHERE i = j)
+          SELECT c.i, c.j,
+                 round(CAST(c.cov_n AS DOUBLE) /
+                       sqrt(CAST(di.dv AS DOUBLE) * CAST(dj2.dv AS DOUBLE)), 6) AS corr
+          FROM covn c JOIN diag di ON di.dj = c.i JOIN diag dj2 ON dj2.dj = c.j""",
+    // pure index remaps of the LCG: roll out(i,j) = a((i−17) mod 53, j),
+    // flip out(i,j) = a(52−i, j)
+    "a38_roll_flip" ->
+      s"""SELECT 'roll' AS op, ri.range AS i, rj.range AS j,
+                 ${lcgSql("((ri.range+36)%53)", "rj.range", 21, 31, 1000)} AS v
+          FROM range(53) ri, range(21) rj
+          UNION ALL
+          SELECT 'flip', ri.range, rj.range,
+                 ${lcgSql("(52-ri.range)", "rj.range", 21, 31, 1000)}
+          FROM range(53) ri, range(21) rj""",
     // the slice in source coordinates: out(i,j) = lcg(i+10, j+5)
     "a36_slice" ->
       s"""SELECT ri.range AS i, rj.range AS j,

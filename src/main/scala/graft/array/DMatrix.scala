@@ -153,6 +153,75 @@ class DMatrix(
     new DMatrix(blocks.sparkSession.createDataset(assembled), m, n, bs)
   }
 
+  /** Circular row shift (dask `da.roll(x, k, axis=0)`): pure data
+    * movement — source row g lands at (g + k) mod m. Each block splits
+    * at the wrap seam into ≤ 2 spans whose destinations are contiguous,
+    * each span then splits on destination block boundaries (the rechunk
+    * pattern) — narrow column-major copies, one keyed assemble, volume
+    * = matrix size in exactly one pass. */
+  def rollRows(shift: Long): DMatrix = {
+    val m = nRows; val n = nCols; val bs = blockSize
+    val k = ((shift % m) + m) % m
+    if (k == 0) return this
+    val wrapSrc = m - k                       // source row whose dest is 0
+    val pieces = blocks.rdd.flatMap { b =>
+      val gr0 = b.bi.toLong * bs
+      val spans = Seq((gr0, math.min(gr0 + b.rows, wrapSrc)),
+                      (math.max(gr0, wrapSrc), gr0 + b.rows))
+        .filter { case (s0, s1) => s0 < s1 }
+      for {
+        (s0, s1) <- spans.iterator
+        d0 = (s0 + k) % m                     // contiguous dest start of the span
+        tbi <- ((d0 / bs).toInt to ((d0 + (s1 - s0) - 1) / bs).toInt).iterator
+      } yield {
+        val dd0 = math.max(d0, tbi.toLong * bs)
+        val dd1 = math.min(d0 + (s1 - s0), (tbi + 1).toLong * bs)
+        val srcStart = (s0 + (dd0 - d0) - gr0).toInt
+        val pr = (dd1 - dd0).toInt; val pc = b.cols
+        val piece = new Array[Double](pr * pc)
+        var cc = 0
+        while (cc < pc) {                     // column-major span copy
+          System.arraycopy(b.data, cc * b.rows + srcStart, piece, cc * pr, pr)
+          cc += 1
+        }
+        ((tbi, b.bj), ((dd0 - tbi.toLong * bs).toInt, 0, pr, pc, piece))
+      }
+    }
+    assemblePieces(pieces, m, n, bs)
+  }
+
+  /** Row reversal (dask `da.flipud` / `da.flip(x, 0)`): source row g
+    * lands at m−1−g, so block [gr0, gr0+rows) mirrors to the contiguous
+    * dest range [m−gr0−rows, m−gr0), split on destination block
+    * boundaries exactly like [[rechunk]] (on a block-aligned grid each
+    * block yields one piece; a ragged tail just splits in two). The
+    * reversed copy happens during the narrow piece extraction — the
+    * assemble shuffle moves each cell once. */
+  def flipRows: DMatrix = {
+    val m = nRows; val n = nCols; val bs = blockSize
+    val pieces = blocks.rdd.flatMap { b =>
+      val gr0 = b.bi.toLong * bs
+      val d0 = m - gr0 - b.rows               // dest range [d0, d0 + rows)
+      for (tbi <- ((d0 / bs).toInt to ((d0 + b.rows - 1) / bs).toInt).iterator) yield {
+        val dd0 = math.max(d0, tbi.toLong * bs)
+        val dd1 = math.min(d0 + b.rows, (tbi + 1).toLong * bs)
+        val pr = (dd1 - dd0).toInt; val pc = b.cols
+        val out = new Array[Double](pr * pc)
+        var cc = 0
+        while (cc < pc) {                     // dest row dd ← source row m−1−dd
+          var r = 0
+          while (r < pr) {
+            out(cc * pr + r) = b.data(cc * b.rows + (m - 1 - (dd0 + r) - gr0).toInt)
+            r += 1
+          }
+          cc += 1
+        }
+        ((tbi, b.bj), ((dd0 - tbi.toLong * bs).toInt, 0, pr, pc, out))
+      }
+    }
+    assemblePieces(pieces, m, n, bs)
+  }
+
   /** Rectangular slice `A[r0 until r1, c0 until c1]` (dask basic
     * slicing `x[a:b, c:d]`): blocks outside the window are FILTERED
     * before any data is touched (the block-grid analog of partition

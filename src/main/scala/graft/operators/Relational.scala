@@ -344,23 +344,21 @@ object Relational {
   }
 
   /** quantile (dask `df.quantile`): exact interpolated percentiles of
-    * line-item cents per return flag. Values are pre-aggregated to
-    * (value, count) first — the percentile buffer is then bounded by
-    * DISTINCT values (with map-side combine) instead of holding every
-    * row, which is the difference between a bounded aggregate and an
-    * OOM at warehouse row counts; `percentile(..., freq)` interpolates
-    * identically. Rounded to 4 decimals: both engines interpolate
-    * linearly on the same exact integers, rounding absorbs the
-    * final-operation ulp. */
+    * line-item cents per return flag. Rows collapse to a per-(flag,
+    * value) frequency table (the only corpus-sized exchange), then the
+    * quartiles come from [[quartilesByKey]]'s rank-arithmetic prefix
+    * scan — never from a percentile aggregate whose per-key reducer map
+    * would hold every distinct value (the bound that becomes an OOM at
+    * warehouse row counts). Rounded to 4 decimals: both engines
+    * interpolate linearly on the same exact integers, rounding absorbs
+    * the final-operation ulp. */
   def percentiles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_returnflag"),
-              round(col("l_extendedprice") * 100).cast("long").as("cents"))
-      .groupBy(col("l_returnflag"), col("cents")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("l_returnflag"))
-      .agg(round(expr("percentile(cents, 0.25, cnt)"), 4).as("p25"),
-           round(expr("percentile(cents, 0.5, cnt)"), 4).as("p50"),
-           round(expr("percentile(cents, 0.75, cnt)"), 4).as("p75"))
+    quartilesByKey(
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+                round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy(col("l_returnflag"), col("cents")).agg(count(lit(1)).as("cnt")))
+      .toDF("l_returnflag", "p25", "p50", "p75")
 
   /** q32: approximate group quantiles by deterministic hash sampling —
     * the at-scale companion to q30's exact path. q30 maps every row into
@@ -675,43 +673,139 @@ object Relational {
               sum(col("first_seen")).over(wRun).as("n_types"))
   }
 
+  /** Exact interpolated quartiles (the `percentile(v, p, cnt)` /
+    * `quantile_cont` value, HALF_UP-rounded to 4 dp) per key over a
+    * `(key, v, cnt)` frequency frame — by RANK ARITHMETIC over a
+    * range-partitioned prefix scan (the t20 two-pass discipline), not
+    * the percentile aggregate: percentile's ObjectHashAggregate buffers
+    * EVERY distinct value of a key in one reducer's map (~0.6M (v,cnt)
+    * entries per measure for q44's price at sf0.1 — measured ~4 s, and
+    * at warehouse scale that single-reducer map is an OOM, not a
+    * slowdown). Here the frequency table range-partitions on (key, v)
+    * into P bounded sorted runs; pass 1 collects one subtotal per
+    * (partition, key) (bounded driver state), pass 2 streams each run
+    * once with its broadcast prefix offset and emits ONLY the ≤ 6 rows
+    * per key whose global index range covers a quartile rank — the
+    * value at rank k sits on the unique row whose [cum, cum+cnt)
+    * covers k, and r = p·(n−1) interpolates between its two bracketing
+    * ranks exactly as percentile does. Both passes run on the same RDD
+    * object, so the range shuffle is planned once and reused; per-task
+    * state is one running long per key. Returns (key, p25, p50, p75) —
+    * callers rename positionally via toDF. */
+  /** Per-key stats carried out of [[rankScan]]'s first pass: row count,
+    * exact Σv·cnt and Σv²·cnt (BigInt — s2 ≈ 6·10¹⁹ at sf0.1 overflows
+    * Long and the 2⁵³ double-exact range), min, max. */
+  private final case class KeyMoments(n: Long, s1: BigInt, s2: BigInt,
+                                      minV: Long, maxV: Long)
+
+  /** The scan under q30/q44 (see [[quartilesByKey]] for the rank
+    * algebra): ONE range exchange of the frequency table into P sorted
+    * runs; pass 1 streams each run once collecting per-(partition, key)
+    * subtotals AND exact moment partials (bounded driver state — P·keys
+    * rows); pass 2 reuses the same shuffle (same RDD object) and emits
+    * only the ≤ 6 rows per key whose index range covers a quartile
+    * rank. Returns (moments by key, (p25,p50,p75) by key). */
+  private def rankScan(freq: DataFrame)
+      : (Map[String, KeyMoments], Map[String, (Double, Double, Double)]) = {
+    val s = freq.sparkSession
+    import s.implicits._
+    val sorted = freq.toDF("k", "v", "cnt")
+      .repartitionByRange(col("k"), col("v"))
+      .sortWithinPartitions(col("k"), col("v"))
+      .as[(String, Long, Long)].rdd
+    val partStats = sorted.mapPartitionsWithIndex { case (pid, it) =>
+      val acc = scala.collection.mutable.LinkedHashMap[String, KeyMoments]()
+      it.foreach { case (k, v, c) =>
+        val p = acc.getOrElse(k,
+          KeyMoments(0L, BigInt(0), BigInt(0), Long.MaxValue, Long.MinValue))
+        val vc = BigInt(v) * c
+        acc(k) = KeyMoments(p.n + c, p.s1 + vc, p.s2 + vc * v,
+          math.min(p.minV, v), math.max(p.maxV, v))
+      }
+      acc.iterator.map { case (k, st) => (pid, k, st) }
+    }.collect()
+    val moments: Map[String, KeyMoments] = partStats.groupBy(_._2).map {
+      case (k, a) => k -> a.map(_._3).reduce { (x, y) =>
+        KeyMoments(x.n + y.n, x.s1 + y.s1, x.s2 + y.s2,
+          math.min(x.minV, y.minV), math.max(x.maxV, y.maxV))
+      }
+    }
+    val offsets: Map[(Int, String), Long] = partStats.groupBy(_._2).flatMap {
+      case (k, a) =>
+        val byPid = a.sortBy(_._1)
+        byPid.map(_._1).zip(byPid.map(_._3.n).scanLeft(0L)(_ + _))
+          .map { case (pid, off) => (pid, k) -> off }
+    }
+    val ps = Seq(0.25, 0.5, 0.75)
+    val probes: Map[String, Seq[Long]] = moments.map { case (k, st) =>
+      k -> ps.flatMap { p => val r = p * (st.n - 1)
+        Seq(math.floor(r).toLong, math.ceil(r).toLong) }.distinct
+    }
+    val bcOff = s.sparkContext.broadcast(offsets)
+    val bcProbes = s.sparkContext.broadcast(probes)
+    val probeVals: Map[(String, Long), Long] = sorted
+      .mapPartitionsWithIndex { case (pid, it) =>
+        val cums = scala.collection.mutable.HashMap[String, Long]()
+        it.flatMap { case (k, v, c) =>
+          val start = cums.getOrElse(k, bcOff.value.getOrElse((pid, k), 0L))
+          cums(k) = start + c
+          bcProbes.value(k).iterator
+            .filter(i => i >= start && i < start + c).map(i => ((k, i), v))
+        }
+      }.collect().toMap                       // ≤ 6 rows per key
+    def quart(k: String, p: Double): Double = {
+      val r = p * (moments(k).n - 1)
+      val k0 = math.floor(r).toLong; val k1 = math.ceil(r).toLong
+      val lo = probeVals((k, k0)).toDouble; val hi = probeVals((k, k1)).toDouble
+      val q = lo + (r - k0) * (hi - lo)       // percentile's interpolation
+      java.math.BigDecimal.valueOf(q)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    (moments,
+     moments.keys.map(k => k -> ((quart(k, 0.25), quart(k, 0.5), quart(k, 0.75)))).toMap)
+  }
+
+  private def quartilesByKey(freq: DataFrame): DataFrame = {
+    val s = freq.sparkSession
+    import s.implicits._
+    val (_, quarts) = rankScan(freq)
+    quarts.keys.toSeq.sorted
+      .map(k => (k, quarts(k)._1, quarts(k)._2, quarts(k)._3))
+      .toDF("k", "p25", "p50", "p75")
+  }
+
   /** q44: `dd.describe()` parity — count / mean / std / min / max /
-    * quartiles for three lineitem measures in one pass, long-form (one
-    * row per measure). Scale shape is the q30 discipline: rows first
-    * collapse to per-(measure, value) frequencies (the only full-width
-    * exchange — output cardinality is the distinct-value count, not the
-    * row count), then moments come from EXACT decimal sums over the
-    * frequency table (sum(v²·cnt) ≈ 6·10¹⁹ at sf0.1 overflows both Long
-    * and the 2⁵³ double-exact range — decimal(38,0) keeps every term
-    * exact at any SF) and quartiles from the weighted percentile. The
-    * float mean/std are computed by a double formula mirrored
-    * token-for-token in the oracle SQL, so both engines run the
-    * identical IEEE expression tree on identical inputs. */
+    * quartiles for three lineitem measures, long-form (one row per
+    * measure). Scale shape: rows first collapse to per-(measure, value)
+    * frequencies (the only full-width exchange — output cardinality is
+    * the distinct-value count, not the row count), then ONE [[rankScan]]
+    * delivers both the exact moments (BigInt sums — sum(v²·cnt) ≈ 6·10¹⁹
+    * at sf0.1 overflows Long and the 2⁵³ double-exact range) and the
+    * rank-probed quartiles off the same range shuffle. The float
+    * mean/std run the identical IEEE expression tree the oracle SQL
+    * spells out, on identical exact-integer inputs. */
   def describeStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val freq = Tables.lineitem(s, d)
       .select(round(col("l_quantity")).cast("long").as("qty"),
               round(col("l_extendedprice") * 100).cast("long").as("price"),
               round(col("l_discount") * 100).cast("long").as("disc"))
       .selectExpr("stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (measure, v)")
       .groupBy(col("measure"), col("v")).agg(count(lit(1)).as("cnt"))
-    val vd = col("v").cast("decimal(38,0)")
-    val n = col("cnt_total").cast("double")
-    freq.groupBy(col("measure"))
-      .agg(sum(col("cnt")).as("cnt_total"),
-           sum(vd * col("cnt")).as("s1"),
-           sum(vd * vd * col("cnt")).as("s2"),
-           min(col("v")).as("min_v"), max(col("v")).as("max_v"),
-           expr("percentile(v, 0.25, cnt)").as("q1"),
-           expr("percentile(v, 0.5, cnt)").as("q2"),
-           expr("percentile(v, 0.75, cnt)").as("q3"))
-      .select(col("measure"), col("cnt_total").as("cnt"),
-        round(col("s1").cast("double") / n, 6).as("mean"),
-        round(sqrt((col("s2").cast("double") -
-          col("s1").cast("double") * col("s1").cast("double") / n) / (n - 1)), 6)
-          .as("std"),
-        col("min_v"), col("max_v"),
-        round(col("q1"), 4).as("p25"), round(col("q2"), 4).as("p50"),
-        round(col("q3"), 4).as("p75"))
+    val (moments, quarts) = rankScan(freq)
+    // the float tail mirrors the oracle token-for-token: exact integer
+    // sums → nearest-double casts → the identical IEEE divide/sqrt
+    def rnd6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    moments.keys.toSeq.sorted.map { m =>
+      val st = moments(m)
+      val nd = st.n.toDouble
+      val s1d = st.s1.doubleValue; val s2d = st.s2.doubleValue
+      val (p25, p50, p75) = quarts(m)
+      (m, st.n, rnd6(s1d / nd),
+       rnd6(math.sqrt((s2d - s1d * s1d / nd) / (nd - 1))),
+       st.minV, st.maxV, p25, p50, p75)
+    }.toDF("measure", "cnt", "mean", "std", "min_v", "max_v", "p25", "p50", "p75")
   }
 
   /** q45: per-key rolling exact MEDIAN (`ddf.rolling(5).median()`) —
@@ -936,6 +1030,39 @@ object Relational {
                 .as("interp_millicents"))
   }
 
+  /** q49: grouped correlation / regression aggregates — the pandas
+    * `df.groupby(...).corr()` / dask `DataFrame.corr` surface. Pearson r
+    * and the OLS slope are computed from the five mergeable power sums
+    * (n, Σx, Σy, Σx², Σy², Σxy) in the EXACT integer domain — one
+    * partial-agged exchange carrying six longs per group, the same cost
+    * as any groupBy-sum. The float work (one sqrt, two divides on
+    * exact-integer inputs < 2⁵³) happens once per group after the merge,
+    * so both engines execute the identical IEEE op sequence and the
+    * rounded result hash-matches. At warehouse scale the longs would be
+    * promoted to decimal/double sums — the plan shape (map-side combine,
+    * scalar state per group) is unchanged. */
+  def groupCorr(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      round(col("l_quantity")).cast("long").as("x"),
+      round(col("l_discount") * 100).cast("long").as("y"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("y") * col("y")).as("syy"),
+           sum(col("x") * col("y")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+              (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
+              round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                    sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                         (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+                .as("corr_r"),
+              round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                    (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+                .as("slope"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_project_filter"    -> (projectFilter _),
@@ -985,6 +1112,7 @@ object Relational {
     "q46_asof_nearest"      -> (asofNearest _),
     "q47_multiset_ops"      -> (multisetOps _),
     "q48_running_distinct"  -> (runningDistinct _),
+    "q49_group_corr"        -> (groupCorr _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1254,6 +1382,29 @@ object Relational {
                   PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types
          FROM events""",
+    // same five power sums in exact BIGINT, same one-sqrt-two-divide
+    // float tail — the op sequences are textually parallel so the
+    // rounded doubles hash-match
+    "q49_group_corr" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+                  CAST(round(l_quantity) AS BIGINT) AS x,
+                  CAST(round(l_discount*100) AS BIGINT) AS y
+           FROM lineitem),
+         s AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+                  CAST(sum(x*y) AS BIGINT) AS sxy
+           FROM b GROUP BY 1)
+         SELECT l_returnflag, n,
+                CAST(n*sxy - sx*sy AS BIGINT) AS cov_n,
+                round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                  AS corr_r,
+                round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                      CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope
+         FROM s""",
     "q47_multiset_ops" ->
       """WITH a AS (SELECT l_suppkey AS k, l_linenumber AS ln FROM lineitem
                     WHERE l_shipdate >= '1997-01-01'),

@@ -487,6 +487,58 @@ object TextSim {
   def prefixJoinQuery(s: SparkSession, d: String): DataFrame =
     prefixJoinPairs(spread(Tables.documents(s, d)))
 
+  /** t38: fuzzy dedup with EDIT-DISTANCE verification — the
+    * character-level twin of t09's set-based Jaccard check: LSH band
+    * candidates are scored with `levenshtein` over the normalized
+    * 128-char prefix, the verification a near-dup pipeline uses when
+    * token-set similarity is too coarse (boilerplate variants, typo
+    * clones). The prefix cap bounds the O(len_a·len_b) DP per pair at
+    * 128² cells regardless of document length — the knob that keeps
+    * character-exact verification affordable when candidate volume is
+    * LSH-bounded but documents are megabyte-sized. keep = lev·5 ≤
+    * max(|a|,|b|) (integer form of distance ≤ 20% of the longer side).
+    *
+    * Scale shape: candidates from the banded equi-join exactly as t09
+    * (never all-pairs); only (band, bucket, doc_id) cross the candidate
+    * exchange; the 128-byte prefixes join back per side on doc_id, so
+    * each doc ships ≤128 chars once per side — cheaper than t09's
+    * shingle-set join-back. */
+  def editDistPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sig
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bands.count()   // materialize before the self-join (the t09 AQE-stats discipline)
+    val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band").as("band2"), col("bucket").as("bucket2"),
+                         col("doc_id").as("doc_b")),
+            col("band") === col("band2") && col("bucket") === col("bucket2") &&
+              col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val pref = docs.select(col("doc_id"),
+      substring(TextOps.normalize(col("text")), 1, 128).as("p"))
+    val out = cand
+      .join(pref.select(col("doc_id").as("doc_a"), col("p").as("pa")), "doc_a")
+      .join(pref.select(col("doc_id").as("doc_b"), col("p").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("lev"),
+        greatest(length(col("pa")), length(col("pb"))).cast("long").as("mx"))
+      // keep derives from the STAGED lev column — inlining the when()
+      // over levenshtein(...) would run the 128² DP twice per pair
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        when(col("lev") * 5 <= col("mx"), 1L).otherwise(0L).as("keep"))
+      .localCheckpoint(true)   // pair list: tiny vs corpus
+    sig.unpersist(false)
+    bands.unpersist(false)
+    out
+  }
+
+  def editDistQuery(s: SparkSession, d: String): DataFrame =
+    editDistPairs(spread(Tables.documents(s, d)))
+
   val queries: Map[String, Q] = Map(
     "t06_minhash_sig"  -> (minhashSigQuery _),
     "t07_lsh_buckets"  -> (lshBucketsQuery _),
@@ -496,6 +548,7 @@ object TextSim {
     "t30_prefix_join"  -> (prefixJoinQuery _),
     "t34_leak_split"   -> (leakFreeSplitQuery _),
     "t35_minhash_merge" -> (minhashMergeQuery _),
+    "t38_editdist_pairs" -> (editDistQuery _),
   )
 
   private val sigSql =
@@ -631,6 +684,26 @@ object TextSim {
               CASE WHEN ('0x'||substr(md5(CAST(rep AS VARCHAR)),1,15))::BIGINT % 100 < 10
                    THEN 'eval' ELSE 'train' END AS split
        FROM rep"""),
+    // t09's band/bucket candidate join, verified with DuckDB's own
+    // levenshtein over the same normalized 128-char prefix
+    "t38_editdist_pairs" -> (sigSql + bandsCte + """,
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a
+         JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       pref AS (
+         SELECT doc_id, substr(trim(regexp_replace(lower(text),'\s+',' ','g')), 1, 128) AS p
+         FROM documents),
+       scored AS (
+         SELECT doc_a, doc_b,
+                CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS lev,
+                CAST(greatest(length(pa.p), length(pb.p)) AS BIGINT) AS mx
+         FROM cand
+         JOIN pref pa ON pa.doc_id = cand.doc_a
+         JOIN pref pb ON pb.doc_id = cand.doc_b)
+       SELECT doc_a, doc_b, lev,
+              CAST(CASE WHEN lev*5 <= mx THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM scored"""),
     // elementwise-min merge of the per-doc signatures (sigSql's sig list)
     "t35_minhash_merge" -> (sigSql + """
        SELECT d2.lang, k.range AS k,

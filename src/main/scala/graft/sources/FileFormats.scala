@@ -363,6 +363,42 @@ object FileFormats {
            sum(col("o_orderkey")).as("sum_keys"))
   }
 
+  /** src09: BINARY-FILE ingestion — `format("binaryFile")`, the entry
+    * point a multimodal pipeline actually uses for image/audio/video
+    * blobs sitting as loose objects (one file per asset) rather than
+    * rows in a columnar table. Staging: executors write one `.bin` blob
+    * per selected document (each partition writes its own files — the
+    * object-store landing-zone shape); the read side lists the
+    * directory, assembles (path, modificationTime, length, content)
+    * rows, and the query derives the asset id from the file name and
+    * fingerprints the bytes. Equality with the oracle (same
+    * length/md5 computed from the source column) proves the bytes
+    * survive the file round-trip exactly.
+    *
+    * At 100 TB: binaryFile scans parallelize over files (one split per
+    * blob; no intra-file split), so millions of small blobs want the
+    * mm06 shard-packing step after this ingest — this entry is the
+    * "before" side of that pipeline. */
+  def binaryFileIngest(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = scratch("bin")
+    deleteTree(Paths.get(tmp))
+    Files.createDirectories(Paths.get(tmp))
+    Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          Files.write(Paths.get(tmp, s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(tmp)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("digest"))
+  }
+
   val queries: Map[String, Q] = Map(
     "src01_csv_roundtrip"  -> (csvRoundtrip _),
     "src02_json_roundtrip" -> (jsonRoundtrip _),
@@ -372,6 +408,7 @@ object FileFormats {
     "src06_dynamic_prune"  -> (dynamicPrune _),
     "src07_zorder_skip"    -> (zorderSkip _),
     "src08_schema_evolve"  -> (mergeSchemaEvolution _),
+    "src09_binaryfile"     -> (binaryFileIngest _),
   )
 
   private val oracle =
@@ -411,6 +448,13 @@ object FileFormats {
                 CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
                 CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
          FROM orders GROUP BY 1""",
+    // byte length + md5 recomputed from the source column: the file
+    // round-trip must preserve the UTF-8 bytes exactly
+    "src09_binaryfile" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS digest
+         FROM documents WHERE doc_id % 7 = 0""",
     // same 2-D box on the unpartitioned source; 473352 = epoch hour of
     // 2024-01-01, the layout's quantization base.
     "src07_zorder_skip" ->

@@ -279,6 +279,43 @@ class ArraySpec extends SparkSpec {
     }
   }
 
+  test("rollRows / flipRows: ragged shapes match the local index remaps") {
+    for ((m, n, bs, k) <- Seq((53L, 21L, 16, 17L), (64L, 48L, 16, 67L),
+                              (5L, 3L, 4, -2L), (30L, 7L, 8, 0L))) {
+      val a = DMatrix.randInt(spark, m, n, bs, 11L)
+      val local = a.toLocal
+      val kk = ((k % m) + m) % m
+      val rolled = a.rollRows(k).toLocal
+      val flipped = a.flipRows.toLocal
+      for (i <- 0 until m.toInt; j <- 0 until n.toInt) {
+        assert(rolled(((i + kk) % m).toInt, j) == local(i, j), s"roll($m,$bs,$k)@($i,$j)")
+        assert(flipped((m - 1 - i).toInt, j) == local(i, j), s"flip($m,$bs)@($i,$j)")
+      }
+    }
+  }
+
+  test("corrcoef: unit diagonal, symmetry, and the local closed form") {
+    val got = graft.array.ArrayQueries.corrcoefEntry(spark, "")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.size == 48 * 48)
+    // local exact-integer cov_n from the shared LCG, then the same float tail
+    val n = 64; val m = 48
+    def x(i: Int, j: Int): Long = DMatrix.lcg(i, j, m, 7L) % 1000L
+    val s = Array.tabulate(m)(j => (0 until n).map(i => x(i, j)).sum)
+    def covn(j: Int, k: Int): Long =
+      n.toLong * (0 until n).map(i => x(i, j) * x(i, k)).sum - s(j) * s(k)
+    for (j <- 0 until m; k <- j until m by 5) {
+      // unrounded local value: the entry rounds to 6 dp, so agreement
+      // within 6e-7 covers any HALF_UP-vs-HALF_EVEN boundary difference
+      val expect = covn(j, k).toDouble /
+        math.sqrt(covn(j, j).toDouble * covn(k, k).toDouble)
+      assert(math.abs(got((j.toLong, k.toLong)) - expect) <= 6e-7, s"corr($j,$k)")
+      assert(got((j.toLong, k.toLong)) == got((k.toLong, j.toLong)), s"symmetry($j,$k)")
+      if (j == k) assert(got((j.toLong, j.toLong)) == 1.0, s"diag($j)")
+      assert(math.abs(got((j.toLong, k.toLong))) <= 1.0, s"|r|<=1 ($j,$k)")
+    }
+  }
+
   test("vstack: concatenation along axis 0 matches vertcat") {
     val a = DMatrix.randInt(spark, 32, 13, 8, 73L)   // top block-aligned
     val b = DMatrix.randInt(spark, 21, 13, 8, 79L)   // ragged bottom

@@ -409,6 +409,78 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q49 grouped correlation matches the local closed form") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), round(col("l_quantity")).cast("long"),
+              round(col("l_discount") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Relational.groupCorr(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      val n = g.length.toLong
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxx = g.map(e => e._2 * e._2).sum; val syy = g.map(e => e._3 * e._3).sum
+      val sxy = g.map(e => e._2 * e._3).sum
+      val covn = n * sxy - sx * sy
+      val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+      val (gn, gcov, gr, gs) = got(flag)
+      assert(gn == n && gcov == covn, s"$flag counts/cov")
+      assert(math.abs(gr - covn.toDouble / math.sqrt(dx.toDouble * dy.toDouble)) <= 6e-7, flag)
+      assert(math.abs(gs - covn.toDouble / dx.toDouble) <= 6e-7, flag)
+      // sanity: a quantity/discount correlation must be weak, not degenerate
+      assert(math.abs(gr) < 0.5, s"$flag r=$gr")
+    }
+  }
+
+  test("t38 edit-distance pairs: t09's candidate set, lev equals a local DP") {
+    def levLocal(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cost = if (a(i - 1) == b(j - 1)) diag else diag + 1
+          diag = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1), cost)
+        }
+      }
+      prev(b.length)
+    }
+    val texts = graft.core.Tables.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ").trim.take(128)).toMap
+    val t09 = TextSim.nearDupQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = TextSim.editDistQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(p => (p._1, p._2)).toSet == t09,
+      "t38 must score exactly the t09 LSH candidate set")
+    got.foreach { case (a, b, lev, keep) =>
+      val expect = levLocal(texts(a), texts(b))
+      assert(lev == expect, s"pair ($a,$b): lev $lev != local $expect")
+      val mx = math.max(texts(a).length, texts(b).length)
+      assert(keep == (if (lev * 5 <= mx) 1L else 0L), s"pair ($a,$b) keep flag")
+    }
+    assert(got.exists(_._4 == 1L), "fixture should contain at least one near-dup pair")
+  }
+
+  test("src09 binaryFile ingestion preserves bytes (length + md5)") {
+    val got = graft.sources.FileFormats.binaryFileIngest(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == docs.keySet, "one row per staged blob")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.foreach { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+      assert(got(id) == ((bytes.length.toLong, hex)), s"doc $id")
+    }
+  }
+
   test("q48 running distinct count equals a brute-force local scan") {
     import org.apache.spark.sql.functions._
     val rows = graft.core.Tables.events(spark, sfDir)
