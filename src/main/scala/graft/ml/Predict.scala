@@ -268,15 +268,57 @@ object Predict {
     out
   }
 
+  /** ml07: hashing-trick text featurization + linear scoring — the
+    * feature-extraction half of ParallelPostFit-style batch prediction
+    * applied to raw text: each token hashes into one of 512 buckets
+    * (the classic feature-hashing trick — no vocabulary to build, no
+    * fit pass, memory O(buckets)) and the doc's score is the sum of its
+    * buckets' model weights, token multiplicity included. The weight
+    * vector here is a deterministic integer function of the bucket id
+    * (an already-fitted model, exactly SQL-expressible), so the gate
+    * checks the full hash→bucket→weight→sum pipeline bit-for-bit.
+    * Scale shape: the hashed feature vector NEVER materializes — the
+    * bucket lookup and the weighted sum fuse into one array expression
+    * inside the scan projection; zero shuffles at any corpus size (the
+    * at-scale ideal for model scoring: pure map). */
+  def hashFeatureScore(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextSim
+    val score = aggregate(
+      transform(col("ws"), t =>
+        (TextSim.h64(t) % 512L) * 2654435761L % 1001L - 500L),
+      lit(0L), (acc, x) => acc + x)
+    graft.core.Tables.documents(s, d)
+      .select(col("doc_id"), TextSim.words(col("text")).as("ws"))
+      .select(col("doc_id"), score.as("score"))
+      .select(col("doc_id"), col("score"),
+              when(col("score") > 0, 1L).otherwise(0L).as("pred"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ml01_predict"       -> (predictLineitem _),
     "ml02_predict_bench" -> (predictGenerated _),
     "ml03_predict_svc"   -> (predictSvc _),
     "ml05_predict_kernel" -> (predictKernel _),
     "ml06_kfold_cv"      -> (kfoldCv _),
+    "ml07_hash_features" -> (hashFeatureScore _),
   )
 
   val oracles: Map[String, String] = Map(
+    // same hash→bucket→weight→sum per token, in one list expression
+    "ml07_hash_features" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+           FROM documents),
+         sc AS (
+           SELECT doc_id,
+                  CAST(list_sum(list_transform(ws, t ->
+                    ((('0x'||substr(md5(t),1,15))::BIGINT % 512) * 2654435761) % 1001 - 500))
+                    AS BIGINT) AS score
+           FROM d)
+         SELECT doc_id, score,
+                CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         FROM sc""",
     // complement stats subtracted in the exact integer domain, cast to
     // double ONCE; the closed-form + residual trees mirror Spark's
     "ml06_kfold_cv" ->

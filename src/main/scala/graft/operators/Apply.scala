@@ -112,9 +112,36 @@ object Apply {
       .toDF("k", "n_items", "sq_mod")
   }
 
+  /** Typed COGROUP (the dask `align`-then-apply / pandas two-frame
+    * combine shape): one arbitrary Scala function sees BOTH sides of a
+    * key at once — here each customer's balance next to all their
+    * orders, folded imperatively into spend totals and an over-budget
+    * flag. Catalyst still owns the data movement: cogroup co-partitions
+    * the two inputs on the key in one exchange each, and per-key state
+    * is one running (count, sum) — no join materialization, no
+    * wide row. Order rows for a key missing from customers (none in
+    * TPC-H's referential fixture) drop explicitly, making the function
+    * the LEFT-side semantics the oracle SQL states. */
+  def cogroupSpend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long").as("bal"))
+      .as[(Long, Long)]
+    val ords = Tables.orders(s, d)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+    cust.groupByKey(_._1).cogroup(ords.groupByKey(_._1)) { (k, cs, os) =>
+      val bal = cs.map(_._2).toSeq.headOption    // 0 or 1 customer row per key
+      var n = 0L; var spend = 0L
+      os.foreach { o => n += 1; spend += o._2 }
+      bal.iterator.map(b => (k, b, n, spend, if (spend > b) 1L else 0L))
+    }.toDF("c_custkey", "bal_cents", "n_orders", "spend_cents", "over_budget")
+  }
+
   val queries: Map[String, Q] = Map(
     "g01_groupby_apply" -> (secondHighestOrder _),
     "g02_typed_agg"     -> (typedSpendStats _),
+    "g03_cogroup"       -> (cogroupSpend _),
     "b01_bag_groupby"   -> (bagGroupby _),
     "b02_bag_foldby"    -> (bagFoldby _),
   )
@@ -131,6 +158,18 @@ object Apply {
       """SELECT o_orderpriority, count(*) AS n_orders,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM orders GROUP BY o_orderpriority""",
+    // the cogroup fold restated as a left join + group-by
+    "g03_cogroup" ->
+      """SELECT c_custkey,
+                CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents,
+                count(o_custkey) AS n_orders,
+                CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS BIGINT)
+                  AS spend_cents,
+                CAST(CASE WHEN coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0)
+                            > CAST(round(c_acctbal*100) AS BIGINT)
+                     THEN 1 ELSE 0 END AS BIGINT) AS over_budget
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1, 2""",
     "b01_bag_groupby" ->
       """SELECT range % 7 AS k, count(*) AS n,
                 CAST(sum(range) AS BIGINT) AS total, max(range) AS max_v

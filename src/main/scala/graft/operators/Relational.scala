@@ -1063,6 +1063,31 @@ object Relational {
                 .as("slope"))
   }
 
+  /** q50: the pandas/dask CLEANING triad — `clip` + grouped `fillna` +
+    * `dropna` — in one pass: error events carry no valid measurement
+    * (their value becomes the null to repair), observed values clip to
+    * [500, 5000] cents, nulls impute with the user's mean of observed
+    * clipped values (integer floor — exact cross-engine), and rows of
+    * users with NO observation drop (nothing to impute from). Scale
+    * shape: ONE hashpartitioning(user_id) exchange serves both
+    * whole-partition window aggregates (count + sum share a frame), the
+    * imputation is a coalesce in the same projection — no join, no
+    * second pass. */
+  def imputeClip(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val clipped = when(col("event_type") =!= "error",
+      least(greatest(round(col("value") * 100).cast("long"), lit(500L)), lit(5000L)))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("c2", clipped)
+      .withColumn("n_obs", count(col("c2")).over(w))   // count skips nulls
+      .withColumn("s_obs", sum(col("c2")).over(w))
+      .filter(col("n_obs") > 0)
+      .select(col("event_id"), col("user_id"),
+              coalesce(col("c2"), expr("s_obs div n_obs")).as("filled_cents"),
+              when(col("c2").isNull, 1L).otherwise(0L).as("was_imputed"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_project_filter"    -> (projectFilter _),
@@ -1113,6 +1138,7 @@ object Relational {
     "q47_multiset_ops"      -> (multisetOps _),
     "q48_running_distinct"  -> (runningDistinct _),
     "q49_group_corr"        -> (groupCorr _),
+    "q50_impute_clip"       -> (imputeClip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1382,6 +1408,22 @@ object Relational {
                   PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types
          FROM events""",
+    // the same clip/impute/drop semantics; // is floor division, equal
+    // to Spark's `div` on these positive integers
+    "q50_impute_clip" ->
+      """WITH e AS (
+           SELECT event_id, user_id,
+                  CASE WHEN event_type <> 'error'
+                       THEN least(greatest(CAST(round(value*100) AS BIGINT), 500), 5000)
+                  END AS c2
+           FROM events),
+         s AS (SELECT e.*, count(c2) OVER (PARTITION BY user_id) AS n_obs,
+                      sum(c2) OVER (PARTITION BY user_id) AS s_obs
+               FROM e)
+         SELECT event_id, user_id,
+                CAST(coalesce(c2, s_obs // n_obs) AS BIGINT) AS filled_cents,
+                CAST(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_imputed
+         FROM s WHERE n_obs > 0""",
     // same five power sums in exact BIGINT, same one-sqrt-two-divide
     // float tail — the op sequences are textually parallel so the
     // rounded doubles hash-match

@@ -318,6 +318,29 @@ object TextOps {
       .filter(col("rank") <= 100)
   }
 
+  /** t39: byte-pair counts — the FIRST ITERATION of BPE tokenizer
+    * training (count every adjacent character pair inside words, rank
+    * by frequency; the top pair is the merge a BPE trainer would apply
+    * next). Scale shape mirrors t16's vocabulary: pair extraction is a
+    * map-only double explode fused into the scan, counts combine
+    * map-side, and the global top-50 plans as TakeOrderedAndProject
+    * (per-partition heaps pre-cut to k — the shuffle carries k·P rows,
+    * never the pair vocabulary). The full multi-round BPE loop is this
+    * exact job iterated with a broadcast merge table — one round is the
+    * representative distributed step. */
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("pair"))
+    Tables.documents(s, d)
+      .select(explode(TextSim.words(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
+        i => substr(col("tok"), i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 50)
+  }
+
   /** Fixed-window sequence chunking — sharding long documents into
     * 512-char windows before tokenization (the map-only precursor of
     * LLM context packing). The chunk count derives from `length(text)`
@@ -874,6 +897,7 @@ object TextOps {
     "t31_kmv_union"    -> (kmvUnion _),
     "t32_surprisal"    -> (surprisalScore _),
     "t33_substring_dedup" -> (substringDedup _),
+    "t39_bpe_pairs"    -> (bpePairs _),
   )
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
@@ -882,6 +906,21 @@ object TextOps {
     "t01_token_count" ->
       """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
          FROM documents ORDER BY doc_id""",
+    // same in-word adjacent pairs via list comprehension; rank filter
+    // mirrors the Spark row_number cut
+    "t39_bpe_pairs" ->
+      """WITH d AS (
+           SELECT string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+           FROM documents),
+         w AS (SELECT unnest(ws) AS tok FROM d),
+         p AS (
+           SELECT unnest([substr(tok, i, 2) for i in generate_series(1, length(tok)-1)]) AS pair
+           FROM w WHERE length(tok) >= 2),
+         c AS (SELECT pair, count(*) AS n FROM p GROUP BY 1),
+         r AS (SELECT pair, n,
+                      CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+               FROM c)
+         SELECT pair, n, rank FROM r WHERE rank <= 50""",
     "t02_lang_profile" ->
       """SELECT lang, count(*) AS n_docs,
                 round(avg(n_chars), 4) AS avg_chars,

@@ -121,6 +121,27 @@ class MlSpec extends SparkSpec {
       s"headroom check failed: $maxScore")
   }
 
+  test("ml07: hashed-feature scores equal a local hash+weight fold") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h64(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def weight(tok: String): Long = (h64(tok) % 512L) * 2654435761L % 1001L - 500L
+    val docs = graft.core.Tables.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim)
+    val got = Predict.hashFeatureScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val score = text.split(" ").iterator.map(weight).sum
+      assert(got(id) == ((score, if (score > 0) 1L else 0L)), s"doc $id")
+    }
+    // both classes must occur, or the scorer is degenerate on the fixture
+    assert(got.values.exists(_._2 == 1L) && got.values.exists(_._2 == 0L))
+  }
+
   test("timeseries generator: bounds, frequency and value domain") {
     val ts = Generators.makeTimeseries(spark, 500, 946684800L, 7200L, 1L)
     assert(ts.count() == 500)

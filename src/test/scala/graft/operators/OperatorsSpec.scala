@@ -481,6 +481,65 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("g03 cogroup equals a local left-join fold") {
+    import org.apache.spark.sql.functions._
+    val bal = graft.core.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spend = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, a) => k -> ((a.length.toLong, a.map(_._2).sum)) }
+    val got = Apply.cogroupSpend(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == bal.keySet, "every customer appears exactly once")
+    bal.foreach { case (k, b) =>
+      val (n, sp) = spend.getOrElse(k, (0L, 0L))
+      assert(got(k) == ((b, n, sp, if (sp > b) 1L else 0L)), s"cust $k")
+    }
+  }
+
+  test("t39 BPE pair counts match a local scan; top pair is plausible") {
+    val docs = graft.core.Tables.documents(spark, sfDir).collect()
+      .map(_.getString(1).toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim)
+    val counts = scala.collection.mutable.Map[String, Long]()
+    docs.foreach(_.split(" ").foreach { w =>
+      if (w.length >= 2)
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2); counts(p) = counts.getOrElse(p, 0L) + 1 }
+    })
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+      .zipWithIndex.map { case ((p, n), i) => (p, n, (i + 1).toLong) }.toSet
+    val got = TextOps.bpePairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
+  test("q50 clip/impute/drop equals a local brute-force repair") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expect = rows.groupBy(_._2).iterator.flatMap { case (_, evs) =>
+      val obs = evs.filter(_._3 != "error")
+        .map(e => math.min(5000L, math.max(500L, e._4)))
+      if (obs.isEmpty) Iterator.empty
+      else {
+        val imp = obs.sum / obs.length
+        evs.iterator.map { e =>
+          if (e._3 == "error") e._1 -> ((imp, 1L))
+          else e._1 -> ((math.min(5000L, math.max(500L, e._4)), 0L))
+        }
+      }
+    }.toMap
+    val got = Relational.imputeClip(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+    assert(got.values.exists(_._2 == 1L), "fixture should impute something")
+  }
+
   test("q48 running distinct count equals a brute-force local scan") {
     import org.apache.spark.sql.functions._
     val rows = graft.core.Tables.events(spark, sfDir)
