@@ -287,7 +287,7 @@ object Predict {
       transform(col("ws"), t =>
         (TextSim.h64(t) % 512L) * 2654435761L % 1001L - 500L),
       lit(0L), (acc, x) => acc + x)
-    graft.core.Tables.documents(s, d)
+    TextSim.spread(graft.core.Tables.documents(s, d))
       .select(col("doc_id"), TextSim.words(col("text")).as("ws"))
       .select(col("doc_id"), score.as("score"))
       .select(col("doc_id"), col("score"),

@@ -44,7 +44,7 @@ class PlanAuditSpec extends SparkSpec {
     for (name <- Seq("t01_token_count", "t03_quality", "t04_fingerprint",
                      "t11_token_pieces", "t12_rolling_fp", "t15_stratified_sample",
                      "t17_seq_chunks", "t29_pii_scrub", "e02_lsh_buckets",
-                     "mm01_decode_meta")) {
+                     "mm01_decode_meta", "ml07_hash_features")) {
       val plan = planString(run(name))
       val keyedExchanges = plan.linesIterator
         .filter(_.contains("Exchange"))
@@ -179,6 +179,24 @@ class PlanAuditSpec extends SparkSpec {
     val keyed = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
     assert(keyed.size == 1 && keyed.head.contains("user_id"),
       s"rolling median must shuffle once on user_id; got:\n${keyed.mkString("\n")}")
+  }
+
+  test("q50 clean/impute: one user_id exchange serves both window aggregates; no join") {
+    val plan = planString(run("q50_impute_clip"))
+    val keyed = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(keyed.size == 1 && keyed.head.contains("user_id"),
+      s"impute must shuffle once on user_id; got:\n${keyed.mkString("\n")}")
+    assert(!plan.contains("Join"), s"imputation must come from the window, not a join:\n$plan")
+    assert("Window \\[".r.findAllIn(plan).length == 1,
+      "count+sum must share one Window operator")
+  }
+
+  test("t39 BPE pairs: global top-k cuts map-side via the TopKPerKey rewrite; no Window") {
+    val plan = planString(run("t39_bpe_pairs"))
+    assert(plan.contains("TopKPerKey"),
+      s"rank filter must rewrite to TopKPerKey:\n$plan")
+    assert(!plan.contains("Window ["),
+      s"no windowed global sort of the pair vocabulary:\n$plan")
   }
 
   test("q46 nearest-asof: both direction windows ride ONE full exchange; no inequality join") {
