@@ -94,9 +94,74 @@ object IterativeQueries {
     Seq((materialized.getLong(0), materialized.getLong(1))).toDF("n_orders", "sum_cents")
   }
 
-  val queries: Map[String, Q] = Map("i01_iterative_trim" -> (iterativeTrim _))
+  /** i02: PageRank over the customer↔supplier interaction graph — the
+    * canonical iterative-dataflow workload (Page et al. 1999, public
+    * algorithm) in the Wukong iterative-session shape (§A17: leaf
+    * executors rerun a cached path per iteration): the edge list and
+    * degree table are scanned/persisted ONCE, then every iteration is
+    * one (edges ⋈ ranks) + groupBy over the cached frames — ranks stay
+    * node-sized (broadcast-able), only rank rows move per round, and
+    * lineage truncates via the ctx.iterate checkpoint cadence.
+    *
+    * Exact-oracle discipline: the update is pure integer arithmetic —
+    * r₀ = 10000; rᵢ₊₁(v) = 1500 + Σ_{u→v} (85·rᵢ(u)) div (100·od(u)) —
+    * (floor division on positives, identical in any engine), so three
+    * unrolled iterations hash-match DuckDB bit-for-bit. Edges keep
+    * lineitem multiplicity (each line is one interaction); suppliers
+    * offset by 10⁷ into a disjoint node-id range. */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val ctx = new GraftContext(s)
+    val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+              (col("l_suppkey") + 10000000L).as("supp"))
+    val edges = ctx.persist(
+      pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst"))))
+    val withDeg = ctx.persist(
+      edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("od")), "src"))
+    val init = withDeg.select(col("src").as("v")).distinct()
+      .select(col("v"), lit(10000L).as("r"))
+    val result = ctx.iterate(init, steps = 3, checkpointEvery = 2) { (cur, _) =>
+      withDeg.join(cur, col("src") === cur("v"))
+        .select(col("dst"), expr("(85 * r) div (100 * od)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("acc"))
+        .select(col("dst").as("v"), (lit(1500L) + col("acc")).as("r"))
+    }
+    val out = result.localCheckpoint(true)   // node-sized; detaches from the pins
+    ctx.stop()
+    out
+  }
+
+  val queries: Map[String, Q] = Map(
+    "i01_iterative_trim" -> (iterativeTrim _),
+    "i02_pagerank"       -> (pagerank _),
+  )
+
+  /** The i02 oracle: the same integer update unrolled — generated so the
+    * iteration count cannot drift between the Spark loop and the SQL. */
+  private def pagerankOracle(iters: Int): String = {
+    val base = """WITH e0 AS (
+         SELECT o_custkey AS cust, l_suppkey + 10000000 AS supp
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       e AS (SELECT cust AS src, supp AS dst FROM e0
+             UNION ALL SELECT supp AS src, cust AS dst FROM e0),
+       deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+       r0 AS (SELECT src AS v, CAST(10000 AS BIGINT) AS r FROM deg)"""
+    val steps = (1 to iters).map { i =>
+      s""",
+       r$i AS (SELECT e.dst AS v,
+                      CAST(1500 + sum((85 * r${i - 1}.r) // (100 * deg.od)) AS BIGINT) AS r
+               FROM e JOIN r${i - 1} ON r${i - 1}.v = e.src
+                      JOIN deg ON deg.src = e.src
+               GROUP BY 1)"""
+    }.mkString
+    base + steps + s"\n       SELECT v, r FROM r$iters"
+  }
 
   val oracles: Map[String, String] = Map(
+    "i02_pagerank" -> pagerankOracle(3),
     "i01_iterative_trim" ->
       """WITH o0 AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
          o1 AS (SELECT cents FROM o0

@@ -540,6 +540,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.exists(_._2 == 1L), "fixture should impute something")
   }
 
+  test("i02 pagerank equals a local 3-iteration integer loop") {
+    import org.apache.spark.sql.functions._
+    val pairs = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.core.Tables.lineitem(spark, sfDir)
+              .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey") + 10000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.map { case (c, p) => (c, p) } ++ pairs.map { case (c, p) => (p, c) }
+    val od = edges.groupBy(_._1).map { case (k, a) => k -> a.length.toLong }
+    var r: Map[Long, Long] = od.keys.map(_ -> 10000L).toMap
+    for (_ <- 1 to 3) {
+      val acc = scala.collection.mutable.Map[Long, Long]()
+      edges.foreach { case (u, v) =>
+        acc(v) = acc.getOrElse(v, 0L) + (85L * r(u)) / (100L * od(u))
+      }
+      r = acc.iterator.map { case (v, a) => v -> (1500L + a) }.toMap
+    }
+    val got = graft.core.IterativeQueries.pagerank(spark, sfDir).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == r)
+    // bipartite sanity: supplier hubs must outrank any customer
+    val (supp, cust) = got.partition(_._1 >= 10000000L)
+    assert(supp.values.min > cust.values.max,
+      "suppliers aggregate many customers' mass and must rank above all customers")
+  }
+
   test("q48 running distinct count equals a brute-force local scan") {
     import org.apache.spark.sql.functions._
     val rows = graft.core.Tables.events(spark, sfDir)
