@@ -47,8 +47,10 @@ object PlanDump {
       "Rolling exact median: the interpolated-percentile window rides ONE hashpartitioning(user_id) exchange + one sort — identical cost shape to the rolling mean; the frame buffer holds <= 5 rows per step.",
     "q46_asof_nearest" ->
       "Nearest-direction as-of join: ZERO join operators — both direction neighbors come from running last() windows (ascending + descending) over one full union exchange; the purchase collapse pre-aggregates its own small exchange.",
-    "q44_describe" ->
-      "describe(): rows collapse to per-(measure, value) frequencies first (partial-combined), so the moment/quartile pass aggregates the distinct-value table, never the raw rows.",
+    "q50_impute_clip" ->
+      "Clean/impute (clip + grouped fillna + dropna): ONE hashpartitioning(user_id) exchange serves both whole-partition window aggregates (count + sum share a single Window operator); the imputation is a coalesce in the same projection — no join anywhere.",
+    "t39_bpe_pairs" ->
+      "BPE pair counting: the pair explode fuses into the scan, counts partial-combine, and the global top-50 rank filter rewrites to TopKPerKey (map-side bounded heaps) — no Window, no global sort of the pair vocabulary. (q44/q30's quartiles now run driver-coordinated rank probes over a range exchange — their returned frames are LocalTableScans, so the interesting structure lives in Relational.rankScan, not a dumpable plan.)",
   )
 
   def main(args: Array[String]): Unit = {
