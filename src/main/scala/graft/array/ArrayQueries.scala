@@ -571,6 +571,20 @@ object ArrayQueries {
         .select(lit("flip").as("op"), col("i"), col("j"), col("v")))
   }
 
+  /** Mixed-chunk GEMM — the reference's own matmul example multiplies a
+    * chunks-1000 matrix by a chunks-2000 one
+    * (`/root/reference/README.md:265-270`; dask rechunks to a common
+    * grid before the block algebra, and so do we): B re-tiles 24 → 16
+    * via the narrow piece shuffle, then the standard blocked multiply.
+    * Ragged shapes (96×64 · 64×80, bs 16 vs 24) make the re-tiling do
+    * real boundary work. The oracle is the direct triple-sum over the
+    * two LCG matrices — exact integers throughout. */
+  def gemmRechunkEntry(s: SparkSession, d: String): DataFrame = {
+    val a = DMatrix.randInt(s, 96, 64, 16, 41L)
+    val b = DMatrix.randInt(s, 64, 80, 24, 43L).rechunk(16)
+    a.multiply(b).toCoords
+  }
+
   /** Rectangular slice (dask basic slicing `x[10:43, 5:29]`) — offsets
     * chosen to start and end mid-block on both axes, so the crop path
     * (not just whole-block passthrough) is what the oracle checks. The
@@ -634,6 +648,7 @@ object ArrayQueries {
     "a36_slice"          -> (sliceEntry _),
     "a37_corrcoef"       -> (corrcoefEntry _),
     "a38_roll_flip"      -> (rollFlipEntry _),
+    "a39_gemm_rechunk"   -> (gemmRechunkEntry _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -859,6 +874,12 @@ object ArrayQueries {
           SELECT 'flip', ri.range, rj.range,
                  ${lcgSql("(52-ri.range)", "rj.range", 21, 31, 1000)}
           FROM range(53) ri, range(21) rj""",
+    // the rechunk moves data, never values: the oracle is the plain
+    // triple-sum product of the two LCG matrices
+    "a39_gemm_rechunk" ->
+      s"""WITH ${matSql("a", 96, 64, 41)}, ${matSql("b", 64, 80, 43)}
+          SELECT a.i AS i, b.j AS j, sum(a.v * b.v) AS v
+          FROM a JOIN b ON a.j = b.i GROUP BY 1, 2""",
     // the slice in source coordinates: out(i,j) = lcg(i+10, j+5)
     "a36_slice" ->
       s"""SELECT ri.range AS i, rj.range AS j,

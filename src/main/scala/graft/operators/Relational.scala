@@ -765,7 +765,7 @@ object Relational {
      moments.keys.map(k => k -> ((quart(k, 0.25), quart(k, 0.5), quart(k, 0.75)))).toMap)
   }
 
-  private def quartilesByKey(freq: DataFrame): DataFrame = {
+  private[operators] def quartilesByKey(freq: DataFrame): DataFrame = {
     val s = freq.sparkSession
     import s.implicits._
     val (_, quarts) = rankScan(freq)

@@ -540,6 +540,37 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.exists(_._2 == 1L), "fixture should impute something")
   }
 
+  test("rankScan quartiles equal the percentile aggregate on random frequency tables") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.newBuilder[(String, Long, Long)]
+    for (k <- 0 until 8) {
+      val key = s"k$k"
+      val vals: Seq[Long] = k % 4 match {
+        case 0 => Seq(rnd.nextInt(1000).toLong)                    // n = 1
+        case 1 => Seq.fill(50)(7L)                                 // all equal
+        case 2 => Seq.fill(200)(rnd.nextInt(20).toLong)            // heavy dup
+        case _ => Seq.fill(301)(rnd.nextInt(100000).toLong)        // near unique
+      }
+      vals.groupBy(identity).foreach { case (v, a) =>
+        rows += ((key, v, a.length.toLong)) }
+    }
+    val freq = rows.result().toDF("k", "v", "cnt")
+      .repartition(5)                          // force multi-partition runs
+    val got = Relational.quartilesByKey(freq).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val expect = freq.groupBy(col("k"))
+      .agg(round(expr("percentile(v, 0.25, cnt)"), 4).as("p25"),
+           round(expr("percentile(v, 0.5, cnt)"), 4).as("p50"),
+           round(expr("percentile(v, 0.75, cnt)"), 4).as("p75"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got == expect, s"rank-probe vs percentile:\n$got\n$expect")
+  }
+
   test("i02 pagerank equals a local 3-iteration integer loop") {
     import org.apache.spark.sql.functions._
     val pairs = graft.core.Tables.orders(spark, sfDir)
