@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming surface — SURVEY.md §2.B6 stretch capability
   * (the reference has no streaming subsystem; its closest constructs are
@@ -610,6 +611,84 @@ object Streams {
            sum(col("event_id")).as("sum_ids"))
   }
 
+  final case class SpendProfile(userId: Long, n: Long, sumCents: Long, maxCents: Long)
+
+  /** The st11 processor: a per-user running spend profile in ONE typed
+    * ValueState handle. state-v2 gives named, individually-typed state
+    * primitives (value/list/map + TTL + timers) instead of
+    * mapGroupsWithState's single opaque blob — this is the minimal
+    * value-state shape; st02/st03 keep exercising the blob API. */
+  class SpendProcessor extends StatefulProcessor[Long, (Long, Long), SpendProfile] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("profile",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 tv: TimerValues): Iterator[SpendProfile] = {
+      var (n, sum, mx) = if (st.exists()) st.get() else (0L, 0L, Long.MinValue)
+      rows.foreach { case (_, c) => n += 1; sum += c; mx = math.max(mx, c) }
+      st.update((n, sum, mx))
+      Iterator.single(SpendProfile(key, n, sum, mx))
+    }
+  }
+
+  /** st11: arbitrary stateful processing via `transformWithState` —
+    * Spark 4's state-v2 successor to mapGroupsWithState (typed per-key
+    * state handles over the RocksDB store). The drive stages the events
+    * fixture as TWO deterministic micro-batches (event_id parity split,
+    * maxFilesPerTrigger=1, mod-times pin the order) so the ValueState
+    * genuinely carries across batches: each batch emits the key's
+    * updated profile, and the LAST update per user — selected by the
+    * monotone event count — must equal the plain batch aggregate over
+    * all events, which is exactly what the oracle computes. RocksDB is
+    * required by the API; the provider conf is pinned for the drive and
+    * restored after so the other streaming entries keep the session
+    * default store. */
+  def streamedTransformState(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"),
+                round(col("value") * 100).cast("long").as("cents"))
+      val run = sinkSeq.incrementAndGet()
+      val dir = graft.sources.FileFormats.scratch(s"st11_src_$run")
+      Files.createDirectories(Paths.get(dir))
+      def stage(df: DataFrame, idx: Int): Unit = {
+        val tmp = graft.sources.FileFormats.scratch(s"st11_stage_$run")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val target = Paths.get(dir, f"f$idx%02d.parquet")
+        Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + idx * 60000L))
+      }
+      stage(ev.filter(col("event_id") % 2 === 0), 0)
+      stage(ev.filter(col("event_id") % 2 === 1), 1)
+      import s.implicits._
+      val src = s.readStream.schema("event_id BIGINT, user_id BIGINT, cents BIGINT")
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val updates = src.select(col("user_id"), col("cents")).as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SpendProcessor, TimeMode.None(), OutputMode.Append())
+      val sink = s"graft_st11_sink_$run"
+      val q = updates.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).groupBy(col("userId").as("user_id"))
+        .agg(max(struct(col("n"), col("sumCents"), col("maxCents"))).as("m"))
+        .select(col("user_id"), col("m.n").as("n_events"),
+                col("m.sumCents").as("sum_cents"), col("m.maxCents").as("max_cents"))
+    } finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None    => s.conf.unset(provKey)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_window" -> (streamedEventCounts _),
     "st02_sessions"      -> (streamedSessions _),
@@ -621,9 +700,16 @@ object Streams {
     "st08_upsert_sink"   -> (streamedUpsert _),
     "st09_stream_outer"  -> (streamedAttributionOuter _),
     "st10_incremental_resume" -> (streamedIncrementalResume _),
+    "st11_transform_state" -> (streamedTransformState _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the final per-user ValueState must equal the all-history aggregate
+    "st11_transform_state" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(max(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_cents
+         FROM events GROUP BY 1""",
     // doubled gen-1 rows (re-processing) or missing gen-2 rows (failed
     // resume) both break this equality
     "st10_incremental_resume" ->

@@ -311,4 +311,23 @@ class StreamingSpec extends SparkSpec {
     assert(second == 3L, s"resumed run re-read old files: input rows $second, want 3")
     assert(spark.read.parquet(outDir).count() == 8L)
   }
+
+  test("st11 transformWithState: ValueState carries across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val got = Streams.streamedTransformState(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expect = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, a) =>
+        u -> ((a.length.toLong, a.map(_._2).sum, a.map(_._2).max)) }
+    assert(got == expect, "final state must equal the all-history aggregate")
+    // the parity split puts both halves of at least one user's history in
+    // different batches — if state did NOT carry over, that user's final
+    // n would equal only its second-batch count and the totals would
+    // disagree with the batch oracle above; additionally the restored
+    // provider conf must not leak RocksDB into later entries
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .forall(!_.contains("RocksDB")), "provider conf leaked")
+  }
 }
