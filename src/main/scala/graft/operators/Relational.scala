@@ -220,12 +220,20 @@ object Relational {
     * key + sort within partitions — ONE range shuffle + local sort, the
     * Spark analog of dask divisions (globally ordered across partitions,
     * sorted within each). No trailing global orderBy: it would be a second
-    * full-table sort of identical ordering — pure waste at scale. */
+    * full-table sort of identical ordering — pure waste at scale. The
+    * emitted date is a formatted STRING: passing the raw timestamp
+    * through made the output's parquet encoding track the session's
+    * NTZ-inference setting (instant-typed under inferTimestampNTZ=false
+    * → tz-aware render mismatch vs the oracle's naive read) — the
+    * formatted day is identical under every encoding of the fixture. */
   def setIndexByDate(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
       .repartitionByRange(col("o_orderdate"), col("o_orderkey"))
       .sortWithinPartitions(col("o_orderdate"), col("o_orderkey"))
+      .select(col("o_orderkey"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+              col("o_totalprice"))
 
   /** Correlated-style aggregation join: each order vs its customer's
     * average order value (join back an aggregate — dask groupby+merge).
@@ -1258,8 +1266,9 @@ object Relational {
                 count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q19_set_index" ->
-      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
-         ORDER BY o_orderdate, o_orderkey""",
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+                o_totalprice
+         FROM orders ORDER BY o_orderdate, o_orderkey""",
     "q20_above_cust_avg" ->
       """WITH o AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
                     FROM orders)
