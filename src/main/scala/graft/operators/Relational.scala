@@ -1096,6 +1096,33 @@ object Relational {
               when(col("c2").isNull, 1L).otherwise(0L).as("was_imputed"))
   }
 
+  /** q51: the SQL FRONT DOOR — the whole query as one `spark.sql` text
+    * over a registered view (`spark.read` → `createOrReplaceTempView` →
+    * ANSI SQL), the entry path a SQL-first user of the engine takes
+    * instead of the DataFrame API. The statement is the TPC-H Q6
+    * revenue shape in the exact integer-cents domain, and the ORACLE IS
+    * THE IDENTICAL SQL STRING — one text, two engines, one hash: the
+    * strongest possible demonstration that the SQL surface carries the
+    * same semantics as the DataFrame surface the other 181 entries use.
+    * Catalyst plans it exactly like the q02-family (pushed filters,
+    * pruned scan, partial agg). */
+  private val Q51Sql =
+    """SELECT l_returnflag,
+              count(*) AS n_items,
+              CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+                AS revenue_u
+       FROM lineitem
+       WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+         AND l_discount > 0.02 AND l_discount < 0.08
+         AND l_quantity < 24
+       GROUP BY l_returnflag"""
+
+  def sqlFrontdoor(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(Q51Sql)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_project_filter"    -> (projectFilter _),
@@ -1147,6 +1174,7 @@ object Relational {
     "q48_running_distinct"  -> (runningDistinct _),
     "q49_group_corr"        -> (groupCorr _),
     "q50_impute_clip"       -> (imputeClip _),
+    "q51_sql_frontdoor"     -> (sqlFrontdoor _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1417,6 +1445,8 @@ object Relational {
                   PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types
          FROM events""",
+    // ONE SQL text, two engines: the oracle IS the Spark-side statement
+    "q51_sql_frontdoor" -> Q51Sql,
     // the same clip/impute/drop semantics; // is floor division, equal
     // to Spark's `div` on these positive integers
     "q50_impute_clip" ->

@@ -181,6 +181,20 @@ class PlanAuditSpec extends SparkSpec {
       s"rolling median must shuffle once on user_id; got:\n${keyed.mkString("\n")}")
   }
 
+  test("q51 SQL front door: pushdown and pruning hold through spark.sql too") {
+    val df = run("q51_sql_frontdoor")
+    df.write.format("noop").mode("overwrite").save()   // finalize the AQE plan
+    val p = df.queryExecution.executedPlan
+    val fin = p match { case a: AdaptiveSparkPlanExec => a.executedPlan; case o => o }
+    val scan = fin.collect { case s: FileSourceScanExec => s }.head
+    assert(scan.metadata.get("PushedFilters").exists(_ != "[]"),
+      s"no pushed filters through the SQL path: ${scan.metadata}")
+    assert(scan.schema.fieldNames.length <= 5,
+      s"SQL path lost column pruning: ${scan.schema.fieldNames.mkString(",")}")
+    val plan = planString(df)
+    assert(plan.contains("partial_"), "SQL aggregation must combine map-side")
+  }
+
   test("q50 clean/impute: one user_id exchange serves both window aggregates; no join") {
     val plan = planString(run("q50_impute_clip"))
     val keyed = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
