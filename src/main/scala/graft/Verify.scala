@@ -4,6 +4,26 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** One gate entry: result parquet on success; on ANY throw, an explicit
+    * `<name>._error` marker (exception class + message) — a thrown entry
+    * must NOT silently vanish from the gate, or a regression reads as a
+    * shrunken-but-green entry count (exactly what hid the round-9
+    * streaming breaks). Returns success. */
+  private[graft] def runEntry(spark: SparkSession, name: String,
+                              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                              sfDir: String, outDir: String): Boolean =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      true
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      e.printStackTrace()
+      Files.writeString(Paths.get(s"$outDir/$name._error"),
+        s"${e.getClass.getName}: ${e.getMessage}\n")
+      false
+    }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated entry names — local iteration only
@@ -14,19 +34,7 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     var failed = 0
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // A thrown entry must NOT silently vanish from the gate: write an
-        // explicit marker the driver (or a human diffing the out dir) can
-        // see, so a regression shows as `err`, not as a shrunken entry
-        // count that still reads "all green".
-        failed += 1
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        e.printStackTrace()
-        Files.writeString(Paths.get(s"$outDir/$name._error"),
-          s"${e.getClass.getName}: ${e.getMessage}\n")
-      }
+      if (!runEntry(spark, name, fn, sfDir, outDir)) failed += 1
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
