@@ -55,13 +55,46 @@ object DelayedQueries {
     s.createDataset(Seq(total)).toDF("total")
   }
 
+  /** d04: the FUTURES surface under the gate — `Client.map` launches 16
+    * genuinely CONCURRENT Spark jobs (one per key slice, the Wukong
+    * submit/map fan-out; Spark's scheduler runs independent jobs from
+    * one session in parallel), `gather` collects them, and the output is
+    * keyed by slice so the nondeterministic completion order cannot leak
+    * into the result. The source is persisted and materialized ONCE
+    * before the fan-out — the 16 jobs read the cache, not 16 parquet
+    * scans (the reference's scatter-then-compute discipline). */
+  def futuresMap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val client = new Client(s)
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val futures = client.map((0 until 16).toSeq) { t =>
+      val r = base.filter(col("o_orderkey") % 16 === t)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc")).head()
+      (t.toLong, r.getLong(0), r.getLong(1))
+    }
+    val rows = client.gather(futures)
+    base.unpersist(false)
+    s.createDataset(rows).toDF("slice", "n_orders", "sum_cents")
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_tree_reduce" -> (treeReduceSum _),
     "d02_delayed_dag" -> (delayedDag _),
     "d03_dag_deep_wide" -> (deepWideDag _),
+    "d04_futures_map" -> (futuresMap _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the 16-way fan-out restated as one grouped aggregate
+    "d04_futures_map" ->
+      """SELECT o_orderkey % 16 AS slice, count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders GROUP BY 1""",
     "d01_tree_reduce" ->
       """SELECT CAST(sum(((r.range*1103515245+5)%2147483647)%100000) AS BIGINT) AS total
          FROM range(1024) r""",

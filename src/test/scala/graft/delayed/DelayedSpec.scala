@@ -116,4 +116,16 @@ class DelayedSpec extends SparkSpec {
     val ms = (System.nanoTime() - t0) / 1e6
     assert(ms < 550, s"branches ran sequentially: $ms ms")
   }
+
+  test("d04: the futures fan-out equals one grouped aggregate; slices complete independently") {
+    import org.apache.spark.sql.functions._
+    val got = DelayedQueries.futuresMap(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == (0L until 16L).toSet, "one row per slice, order-independent")
+    val expect = graft.core.Tables.orders(spark, sfDir)
+      .groupBy((col("o_orderkey") % 16).as("s"))
+      .agg(count(lit(1)), sum(round(col("o_totalprice") * 100).cast("long")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+  }
 }
