@@ -116,9 +116,11 @@ object IterativeQueries {
             col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"),
               (col("l_suppkey") + 10000000L).as("supp"))
-    val edges = ctx.persist(
-      pairs.select(col("cust").as("src"), col("supp").as("dst"))
-        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst"))))
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    // ONE pinned frame carries everything the loop reads (edges joined
+    // with out-degrees); a separate edges persist would materialize the
+    // same 2|pairs| rows twice for a single construction-time reuse.
     val withDeg = ctx.persist(
       edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("od")), "src"))
     val init = withDeg.select(col("src").as("v")).distinct()
