@@ -75,9 +75,13 @@ object DelayedQueries {
     val futures = client.map((0 until 16).toSeq) { t =>
       val r = base.filter(col("o_orderkey") % 16 === t)
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc")).head()
-      (t.toLong, r.getLong(0), r.getLong(1))
+      // an empty slice sums to NULL; emit (0, 0) and drop the row below
+      // so the output matches the oracle's GROUP BY (which omits the
+      // slice) instead of NPE-ing on a sparse-orderkey fixture
+      if (r.getLong(0) == 0L) (t.toLong, 0L, 0L)
+      else (t.toLong, r.getLong(0), r.getLong(1))
     }
-    val rows = client.gather(futures)
+    val rows = client.gather(futures).filter(_._2 > 0L)
     base.unpersist(false)
     s.createDataset(rows).toDF("slice", "n_orders", "sum_cents")
   }

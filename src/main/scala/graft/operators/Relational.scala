@@ -681,25 +681,6 @@ object Relational {
               sum(col("first_seen")).over(wRun).as("n_types"))
   }
 
-  /** Exact interpolated quartiles (the `percentile(v, p, cnt)` /
-    * `quantile_cont` value, HALF_UP-rounded to 4 dp) per key over a
-    * `(key, v, cnt)` frequency frame — by RANK ARITHMETIC over a
-    * range-partitioned prefix scan (the t20 two-pass discipline), not
-    * the percentile aggregate: percentile's ObjectHashAggregate buffers
-    * EVERY distinct value of a key in one reducer's map (~0.6M (v,cnt)
-    * entries per measure for q44's price at sf0.1 — measured ~4 s, and
-    * at warehouse scale that single-reducer map is an OOM, not a
-    * slowdown). Here the frequency table range-partitions on (key, v)
-    * into P bounded sorted runs; pass 1 collects one subtotal per
-    * (partition, key) (bounded driver state), pass 2 streams each run
-    * once with its broadcast prefix offset and emits ONLY the ≤ 6 rows
-    * per key whose global index range covers a quartile rank — the
-    * value at rank k sits on the unique row whose [cum, cum+cnt)
-    * covers k, and r = p·(n−1) interpolates between its two bracketing
-    * ranks exactly as percentile does. Both passes run on the same RDD
-    * object, so the range shuffle is planned once and reused; per-task
-    * state is one running long per key. Returns (key, p25, p50, p75) —
-    * callers rename positionally via toDF. */
   /** Per-key stats carried out of [[rankScan]]'s first pass: row count,
     * exact Σv·cnt and Σv²·cnt (BigInt — s2 ≈ 6·10¹⁹ at sf0.1 overflows
     * Long and the 2⁵³ double-exact range), min, max. */
@@ -773,6 +754,19 @@ object Relational {
      moments.keys.map(k => k -> ((quart(k, 0.25), quart(k, 0.5), quart(k, 0.75)))).toMap)
   }
 
+  /** Exact interpolated quartiles (the `percentile(v, p, cnt)` /
+    * `quantile_cont` value, HALF_UP-rounded to 4 dp) per key over a
+    * `(key, v, cnt)` frequency frame — by RANK ARITHMETIC over
+    * [[rankScan]]'s range-partitioned prefix scan (the t20 two-pass
+    * discipline), not the percentile aggregate: percentile's
+    * ObjectHashAggregate buffers EVERY distinct value of a key in one
+    * reducer's map (~0.6M (v,cnt) entries per measure for q44's price at
+    * sf0.1 — measured ~4 s, and at warehouse scale that single-reducer
+    * map is an OOM, not a slowdown). The value at rank k sits on the
+    * unique frequency row whose [cum, cum+cnt) covers k, and r = p·(n−1)
+    * interpolates between its two bracketing ranks exactly as percentile
+    * does. Returns (key, p25, p50, p75) — callers rename positionally
+    * via toDF. */
   private[operators] def quartilesByKey(freq: DataFrame): DataFrame = {
     val s = freq.sparkSession
     import s.implicits._
@@ -1083,7 +1077,11 @@ object Relational {
     * second pass. */
   def imputeClip(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id")
-    val clipped = when(col("event_type") =!= "error",
+    // the null gate runs BEFORE greatest/least in both engines: a
+    // non-error row with a NULL value is a missing measurement to repair
+    // (imputed), not a 500-cent observation — and CASE-gating it also
+    // removes any dependence on an engine's greatest/least null semantics
+    val clipped = when(col("event_type") =!= "error" && col("value").isNotNull,
       least(greatest(round(col("value") * 100).cast("long"), lit(500L)), lit(5000L)))
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -1452,7 +1450,7 @@ object Relational {
     "q50_impute_clip" ->
       """WITH e AS (
            SELECT event_id, user_id,
-                  CASE WHEN event_type <> 'error'
+                  CASE WHEN event_type <> 'error' AND value IS NOT NULL
                        THEN least(greatest(CAST(round(value*100) AS BIGINT), 500), 5000)
                   END AS c2
            FROM events),

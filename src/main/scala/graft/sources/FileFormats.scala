@@ -384,12 +384,23 @@ object FileFormats {
     val tmp = scratch("bin")
     deleteTree(Paths.get(tmp))
     Files.createDirectories(Paths.get(tmp))
+    // Executors write through the Hadoop FileSystem API, not java.nio:
+    // resolved against the path's scheme, the same code lands blobs on a
+    // shared store (hdfs://, s3a://) when the staging root is one — raw
+    // local writes would scatter the blobs across executor-local disks
+    // on any non-local master and the driver-side listing would silently
+    // shrink. (The /tmp scratch root itself is the documented local-mode
+    // convenience — see scratchRoot.)
     Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), col("text"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val dirPath = new org.apache.hadoop.fs.Path(tmp)
+        val fs = dirPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
         rows.foreach { r =>
-          Files.write(Paths.get(tmp, s"doc_${r.getLong(0)}.bin"),
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(dirPath, s"doc_${r.getLong(0)}.bin"), true)
+          try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
         }
       }
     s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(tmp)

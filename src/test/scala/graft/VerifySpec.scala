@@ -24,8 +24,10 @@ class VerifySpec extends SparkSpec {
       Seq((1L, "a")).toDF("id", "v")
     }
     assert(Verify.runEntry(spark, "x98_ok", ok, sfDir, out))
-    assert(Files.list(Paths.get(s"$out/x98_ok")).anyMatch(_.toString.endsWith(".parquet")),
-      "successful entry must write its parquet result")
+    val wroteParquet = scala.util.Using.resource(Files.list(Paths.get(s"$out/x98_ok"))) {
+      _.anyMatch(_.toString.endsWith(".parquet"))
+    }
+    assert(wroteParquet, "successful entry must write its parquet result")
     assert(!Files.exists(Paths.get(s"$out/x98_ok._error")))
   }
 }
