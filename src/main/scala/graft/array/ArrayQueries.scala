@@ -609,7 +609,20 @@ object ArrayQueries {
         ${lcgSql("ri.range", "rj.range", n, seed, mod)} AS v
         FROM range($m) ri, range($n) rj)"""
 
+  /** a40: Kronecker product C = A(24×16, chunks 8) ⊗ B(8×8) — the
+    * dask `da.kron` pattern-expansion shape. B is broadcast once and
+    * every A block expands IN PLACE to one 64×64 C tile: a pure narrow
+    * map with zero shuffle (`DMatrix.kron`), so the plan cost is
+    * exactly the |A|·|B| multiply FLOPs at any scale. Integer-valued
+    * operands make all 24,576 C cells exact — the oracle recomputes
+    * them from the shared LCG closed form by a range cross join. */
+  def kronEntry(s: SparkSession, d: String): DataFrame =
+    DMatrix.randInt(s, 24, 16, 8, 23L)
+      .kron(DMatrix.randInt(s, 8, 8, 8, 29L))
+      .toCoords
+
   val queries: Map[String, Q] = Map(
+    "a40_kron"           -> (kronEntry _),
     "a01_matmul"         -> (matmul _),
     "a02_axis_stats"     -> (axisStats _),
     "a03_gram"           -> (gram _),
@@ -652,6 +665,12 @@ object ArrayQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // C[i1·8+i2, j1·8+j2] = A[i1,j1]·B[i2,j2] — the kron index map as a
+    // plain cross join over the two LCG closed forms
+    "a40_kron" ->
+      s"""WITH ${matSql("a", 24, 16, 23)}, ${matSql("b", 8, 8, 29)}
+          SELECT a.i*8 + b.i AS i, a.j*8 + b.j AS j, a.v * b.v AS v
+          FROM a, b""",
     "a01_matmul" ->
       s"""WITH ${matSql("a", 64, 48, 7)}, ${matSql("b", 48, 32, 11)}
           SELECT a.i AS i, b.j AS j, sum(a.v * b.v) AS v

@@ -833,6 +833,55 @@ class DMatrix(
     out
   }
 
+  /** Kronecker product A ⊗ B (dask `da.kron` surface) with a SMALL,
+    * SQUARE right operand — the stencil/pattern-expansion shape the op
+    * is used for in practice. B is collected once (explicitly bounded)
+    * and broadcast; every A block then expands IN PLACE to one
+    * (rows·p × cols·p) output tile, so the whole product is a pure
+    * narrow map over A's blocks — zero shuffle, C's grid = A's grid
+    * with blockSize·p tiles, and cost scales with |A|·|B| FLOPs only.
+    * (A large B would instead tile as a blockwise cross join; the
+    * square-B broadcast form keeps the 100 TB path shuffle-free.) */
+  def kron(other: DMatrix): DMatrix = {
+    require(other.nRows == other.nCols,
+      "kron keeps a consistent square block grid; rechunk B square first")
+    require(other.nRows * other.nCols <= 65536L,
+      "kron broadcasts the right operand; swap operands for a large B")
+    val p = other.nRows.toInt
+    val bLoc = other.toLocal
+    val bc = spark.sparkContext.broadcast(
+      (bLoc.rows, bLoc.cols, bLoc.toArray))
+    import blocks.sparkSession.implicits._
+    val out = blocks.map { blk =>
+      val (bp, bq, bdat) = bc.value
+      val rows = blk.rows * bp
+      val cols = blk.cols * bq
+      val res = new Array[Double](rows * cols)
+      var j1 = 0
+      while (j1 < blk.cols) {
+        var i1 = 0
+        while (i1 < blk.rows) {
+          val a = blk.data(i1 + j1 * blk.rows)
+          var j2 = 0
+          while (j2 < bq) {
+            val cBase = (j1 * bq + j2) * rows + i1 * bp
+            val bBase = j2 * bp
+            var i2 = 0
+            while (i2 < bp) {
+              res(cBase + i2) = a * bdat(bBase + i2)
+              i2 += 1
+            }
+            j2 += 1
+          }
+          i1 += 1
+        }
+        j1 += 1
+      }
+      Block(blk.bi, blk.bj, rows, cols, res)
+    }
+    new DMatrix(out, nRows * p, nCols * p, blockSize * p)
+  }
+
   def persist(): DMatrix = { blocks.persist(StorageLevel.MEMORY_AND_DISK); this }
   def unpersist(): DMatrix = { blocks.unpersist(); this }
 }

@@ -294,7 +294,40 @@ object Predict {
               when(col("score") > 0, 1L).otherwise(0L).as("pred"))
   }
 
+  /** ml08: StandardScaler fit + transform over the embedding corpus —
+    * the feature-normalization step every dask-ml/spark.ml pipeline
+    * runs before a distance-based model. FIT is one partial-aggregable
+    * pass collecting per-dimension exact integer power sums (n, Σq,
+    * Σq²) over the quantized vectors — 64 rows of state total, however
+    * large the corpus; mean/std derive from the sums with ONE float
+    * tail mirrored token-for-token by the oracle. TRANSFORM broadcasts
+    * those 64 stat rows back onto the cells — a map-side join, the
+    * corpus never shuffles. Output: z-scores for a deterministic probe
+    * slice (every 20th vector × first 8 dims) with the fitted stats
+    * inline, hash-exact at round(6). */
+  def standardScaler(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity
+    val cells = graft.core.Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(Similarity.quantize(col("embedding"))).as(Seq("dim", "q")))
+    val stats = cells.groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sx"),
+           sum(col("q") * col("q")).as("sxx"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double")
+    val sxxd = col("sxx").cast("double")
+    val mean = sxd / nd
+    val std = sqrt((nd * sxxd - sxd * sxd) / (nd * (nd - lit(1.0))))
+    cells.filter(col("vec_id") % 20 === 0 && col("dim") < 8)
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("q"))
+      .join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        round((col("q").cast("double") - mean) / std, 6).as("z"),
+        round(mean, 6).as("mean"), round(std, 6).as("std"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml08_std_scaler"    -> (standardScaler _),
     "ml01_predict"       -> (predictLineitem _),
     "ml02_predict_bench" -> (predictGenerated _),
     "ml03_predict_svc"   -> (predictSvc _),
@@ -304,6 +337,33 @@ object Predict {
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer power sums per dimension, same single float tail:
+    // (q − sx/n) / sqrt((n·sxx − sx·sx)/(n·(n−1))), rounded once
+    "ml08_std_scaler" ->
+      """WITH q AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         cells AS (
+           SELECT vec_id, d.dim, qv[d.dim + 1] AS qc
+           FROM q, (SELECT UNNEST(generate_series(0, 63)) AS dim) d),
+         st AS (
+           SELECT dim, count(*) AS n,
+                  CAST(sum(qc) AS BIGINT) AS sx,
+                  CAST(sum(qc*qc) AS BIGINT) AS sxx
+           FROM cells GROUP BY 1),
+         sd AS (
+           SELECT dim, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                  CAST(sxx AS DOUBLE) AS sxxd
+           FROM st)
+         SELECT c.vec_id, CAST(c.dim AS BIGINT) AS dim,
+                round((CAST(c.qc AS DOUBLE) - s.sxd/s.nd)
+                      / sqrt((s.nd*s.sxxd - s.sxd*s.sxd) / (s.nd*(s.nd - 1.0))), 6) AS z,
+                round(s.sxd/s.nd, 6) AS mean,
+                round(sqrt((s.nd*s.sxxd - s.sxd*s.sxd) / (s.nd*(s.nd - 1.0))), 6) AS std
+         FROM cells c JOIN sd s ON c.dim = s.dim
+         WHERE c.vec_id % 20 = 0 AND c.dim < 8""",
     // same hash→bucket→weight→sum per token, in one list expression
     "ml07_hash_features" ->
       """WITH d AS (

@@ -1094,6 +1094,69 @@ object Relational {
               when(col("c2").isNull, 1L).otherwise(0L).as("was_imputed"))
   }
 
+  /** q52: NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * correctness corner a derived NULL-able key hits: plain `=` silently
+    * drops the NULL group on both sides, `<=>` pairs it up. The key is
+    * `nullif(event_type,'error')`, so the error rows legitimately carry a
+    * NULL key and must still meet their counterpart aggregate. Both
+    * sides aggregate BEFORE the join (group count ≤ |event types|), so
+    * the null-safe join touches only tiny inputs at any scale — the
+    * 100 TB-safe shape for a low-cardinality derived key. */
+  def nullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val k = when(col("event_type") === "error", lit(null).cast("string"))
+      .otherwise(col("event_type"))
+    val e = Tables.events(s, d)
+    val a = e.filter(col("value").isNotNull)
+      .groupBy(k.as("k"))
+      .agg(count(lit(1)).as("n_a"),
+           sum(round(col("value") * 100).cast("long")).as("cents_a"))
+    val b = e.filter(col("event_id") % 3 === 0)
+      .groupBy(k.as("k")).agg(count(lit(1)).as("n_b"))
+    a.join(b, a("k") <=> b("k"))
+      .select(coalesce(a("k"), lit("(null)")).as("k"),
+              col("n_a"), col("cents_a"), col("n_b"))
+  }
+
+  /** q53: group-wise MODE (pandas/dask `df.groupby(k).x.agg(mode)`):
+    * most frequent event_type per user, ties to the lexicographically
+    * smallest type. Two partial-aggregable passes — counts, then
+    * `min_by` over the (−cnt, type) order — NO window and no per-key
+    * value buffering: both aggregates combine map-side, so state per
+    * task stays bounded by the distinct-(user,type) count at any scale
+    * (a value-map UDAF would buffer every type per user in one reducer
+    * — the q30-percentile trap this plan avoids). */
+  def groupMode(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(min_by(
+        struct(col("event_type"), col("cnt")),
+        struct((lit(0L) - col("cnt")).as("nc"), col("event_type"))).as("b"))
+      .select(col("user_id"), col("b.event_type").as("mode_type"),
+              col("b.cnt").as("mode_n"))
+
+  /** q54: drop_duplicates(keep='last') — pandas/dask dedup keeping the
+    * LATEST row per (user, type) under the (ts, event_id) order. Spark
+    * shape: `max_by` over the packed order key — a single hash
+    * aggregation with map-side combine, not a row_number window (the
+    * window would sort every duplicate; the aggregate keeps one row of
+    * state per key and never sorts). The packed `ord` embeds the unique
+    * event_id so the winner is total-ordered — deterministic across
+    * engines and retries. */
+  def dedupKeepLast(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              unix_timestamp(col("ts")).as("t"),
+              coalesce(round(col("value") * 100).cast("long"), lit(-1L)).as("cents"))
+      .withColumn("ord", col("t") * 10000000L + col("event_id"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(
+        struct(col("event_id"), col("t"), col("cents")), col("ord")).as("b"))
+      .select(col("user_id"), col("event_type"),
+              col("b.event_id").as("last_event_id"),
+              col("b.t").as("last_t"), col("b.cents").as("last_cents"))
+
   /** q51: the SQL FRONT DOOR — the whole query as one `spark.sql` text
     * over a registered view (`spark.read` → `createOrReplaceTempView` →
     * ANSI SQL), the entry path a SQL-first user of the engine takes
@@ -1173,6 +1236,9 @@ object Relational {
     "q49_group_corr"        -> (groupCorr _),
     "q50_impute_clip"       -> (imputeClip _),
     "q51_sql_frontdoor"     -> (sqlFrontdoor _),
+    "q52_nullsafe_join"     -> (nullSafeJoin _),
+    "q53_group_mode"        -> (groupMode _),
+    "q54_dedup_keep_last"   -> (dedupKeepLast _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1445,6 +1511,47 @@ object Relational {
          FROM events""",
     // ONE SQL text, two engines: the oracle IS the Spark-side statement
     "q51_sql_frontdoor" -> Q51Sql,
+    // IS NOT DISTINCT FROM is DuckDB's spelling of Spark's <=>; the
+    // NULL-keyed group must survive the join in both engines
+    "q52_nullsafe_join" ->
+      """WITH a AS (
+           SELECT nullif(event_type, 'error') AS k, count(*) AS n_a,
+                  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents_a
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         b AS (
+           SELECT nullif(event_type, 'error') AS k, count(*) AS n_b
+           FROM events WHERE event_id % 3 = 0 GROUP BY 1)
+         SELECT coalesce(a.k, '(null)') AS k, a.n_a, a.cents_a, b.n_b
+         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""",
+    // the row_number restatement of min_by's (−cnt, type) order: same
+    // winner, same deterministic tie-break
+    "q53_group_mode" ->
+      """WITH c AS (
+           SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT user_id, event_type, cnt,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY cnt DESC, event_type) AS rn
+           FROM c)
+         SELECT user_id, event_type AS mode_type, cnt AS mode_n
+         FROM r WHERE rn = 1""",
+    // keep='last' restated as a DESC row_number; ord embeds event_id so
+    // the window's winner equals max_by's
+    "q54_dedup_keep_last" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  coalesce(CAST(round(value*100) AS BIGINT), -1) AS cents
+           FROM events),
+         r AS (
+           SELECT user_id, event_type, event_id, t, cents,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY t*10000000 + event_id DESC) AS rn
+           FROM e)
+         SELECT user_id, event_type, event_id AS last_event_id,
+                t AS last_t, cents AS last_cents
+         FROM r WHERE rn = 1""",
     // the same clip/impute/drop semantics; // is floor division, equal
     // to Spark's `div` on these positive integers
     "q50_impute_clip" ->

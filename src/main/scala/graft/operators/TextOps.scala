@@ -867,7 +867,68 @@ object TextOps {
         md5(array_join(col("kept"), " ")).as("kept_md5"))
   }
 
+  /** t40: deterministic HYPERLOGLOG registers + merge algebra — the
+    * fixed-size distinct-counter that complements the KMV family
+    * (t13/t31): 256 buckets × one 6-bit register, built from the same
+    * md5-derived 60-bit hash the whole repo uses. bucket = h mod 256;
+    * the remaining 52 bits w rank by their leading-zero count ρ =
+    * 53 − bitlen(w) (integer-exact via `length(bin(w))` — both engines
+    * print unpadded binary, no float log anywhere); the register is
+    * max(ρ) per (lang, bucket) — ONE partial-aggregable pass, 256 longs
+    * of state per language no matter the corpus size.
+    *
+    * The output carries each language's register profile (bucket count,
+    * Σreg, and the exact-integer harmonic indicator Σ 2^(53−reg) — the
+    * value HLL's estimator divides by, kept in the BIGINT domain so the
+    * hash matches cross-engine) plus an 'ALL' row derived purely FROM
+    * THE PER-LANGUAGE REGISTERS by elementwise max — the merge algebra
+    * that lets 100 TB shards sketch locally and combine 256-byte states
+    * upward; the oracle rebuilds that row from the raw union, proving
+    * merge == direct. */
+  def hllSketch(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(TextSim.words(col("text"))).as("tok"))
+    val regs = toks
+      .select(col("lang"), TextSim.h64(col("tok")).as("h"))
+      .select(col("lang"), (col("h") % 256).as("bucket"),
+              expr("h div 256").as("w"))
+      .select(col("lang"), col("bucket"),
+        when(col("w") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("w"))).cast("long")).as("rho"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    def profile(r: DataFrame, langCol: Column): DataFrame =
+      r.groupBy(langCol.as("lang"))
+        .agg(count(lit(1)).as("n_buckets"),
+             sum(col("reg")).as("sum_reg"),
+             sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))"))
+               .as("ind_scaled"))
+    val merged = regs.groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+    profile(regs, col("lang")).unionByName(profile(merged, lit("ALL")))
+  }
+
+  /** t41: OVERLAPPING sliding-window chunking (window 256 chars, stride
+    * 128) — the RAG/pretraining chunker where consecutive pieces share
+    * half their content so no boundary-straddling passage is lost
+    * (t17 is the stride==window special case). Same map-only discipline:
+    * the window index explodes from a foldable sequence, the substring
+    * stays inside the scan projection, and each chunk leaves the task as
+    * a 16-byte md5 + length — the text itself never shuffles, so cost
+    * scales with corpus bytes × overlap factor and nothing else. */
+  def overlapChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), expr("(length(text) + 127) div 128") - 1L)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr("substring(text, CAST(chunk_id*128 + 1 AS INT), 256)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        length(col("chunk")).cast("long").as("n_chars_chunk"),
+        md5(col("chunk")).as("chunk_fp"))
+
   val queries: Map[String, Q] = Map(
+    "t40_hll_sketch"   -> (hllSketch _),
+    "t41_overlap_chunks" -> (overlapChunks _),
     "t36_global_shuffle" -> (globalShuffle _),
     "t37_intradoc_dedup" -> (intraDocDedup _),
     "t01_token_count"  -> (tokenCounts _),
@@ -903,6 +964,40 @@ object TextOps {
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
   // replace all matches (Spark replaces all by default).
   val oracles: Map[String, String] = Map(
+    // the 'ALL' row here is computed DIRECTLY from the unioned token
+    // stream — the Spark side derives it from per-language registers by
+    // elementwise max, so a hash match proves the merge algebra
+    "t40_hll_sketch" ->
+      """WITH toks AS (
+           SELECT lang,
+                  unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS tok
+           FROM documents),
+         h AS (SELECT lang, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+         b AS (SELECT lang, h % 256 AS bucket, h // 256 AS w FROM h),
+         r AS (SELECT lang, bucket,
+                      CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+               FROM b),
+         reg AS (SELECT lang, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+         direct AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY 1)
+         SELECT lang, count(*) AS n_buckets,
+                CAST(sum(reg) AS BIGINT) AS sum_reg,
+                CAST(sum(1::BIGINT << (53 - reg)) AS BIGINT) AS ind_scaled
+         FROM reg GROUP BY lang
+         UNION ALL
+         SELECT 'ALL', count(*), CAST(sum(reg) AS BIGINT),
+                CAST(sum(1::BIGINT << (53 - reg)) AS BIGINT)
+         FROM direct""",
+    "t41_overlap_chunks" ->
+      """WITH c AS (
+           SELECT doc_id, text, (length(text) + 127) // 128 AS nch
+           FROM documents WHERE length(text) > 0),
+         e AS (
+           SELECT doc_id, text, UNNEST(generate_series(0, nch - 1)) AS chunk_id FROM c)
+         SELECT doc_id, chunk_id,
+                CAST(length(substring(text, CAST(chunk_id*128 + 1 AS INT), 256)) AS BIGINT)
+                  AS n_chars_chunk,
+                md5(substring(text, CAST(chunk_id*128 + 1 AS INT), 256)) AS chunk_fp
+         FROM e""",
     "t01_token_count" ->
       """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
          FROM documents ORDER BY doc_id""",

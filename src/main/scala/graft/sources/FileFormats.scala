@@ -444,7 +444,46 @@ object FileFormats {
         md5(col("content")).as("digest"))
   }
 
+  /** src10: PERMISSIVE schema-on-read with a corrupt-record column —
+    * the landing-zone reality at 100 TB, where a crawl/export always
+    * carries some mangled lines and FAILFAST would kill a
+    * 1000-executor read for one bad byte. The staging write renders
+    * every orders row as a JSON line but DELIBERATELY tears a
+    * deterministic subset (o_orderkey % 7 == 3 loses everything after
+    * its second field name); the read declares the schema plus
+    * `_corrupt_record`, so clean lines parse into columns while torn
+    * ones arrive whole in the corrupt column instead of failing the
+    * job. The output aggregates both populations — clean count/sum and
+    * the corrupt lines' count + order-independent md5 signature — and
+    * the oracle rebuilds all four from the source table and the same
+    * mod rule, proving the quarantine is exact: nothing dropped,
+    * nothing misrouted, corrupt payload bytes preserved verbatim. */
+  def permissiveJson(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextSim
+    val tmp = scratch("pjson")
+    centsOrders(s, d)
+      .select(
+        when(col("o_orderkey") % 7 === 3,
+          concat(lit("{\"o_orderkey\":"), col("o_orderkey"),
+                 lit(",\"o_custkey\":")))
+        .otherwise(to_json(struct(col("o_orderkey"), col("o_custkey"),
+                                  col("cents"))))
+        .as("value"))
+      .write.mode("overwrite").text(tmp)
+    s.read
+      .schema("o_orderkey LONG, o_custkey LONG, cents LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+      .agg(
+        count(col("o_orderkey")).as("n_clean"),
+        sum(col("cents")).as("sum_cents"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(TextSim.h64(col("_corrupt_record")) % 1000000007L).as("corrupt_sig"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "src10_permissive_json" -> (permissiveJson _),
     "src01_csv_roundtrip"  -> (csvRoundtrip _),
     "src02_json_roundtrip" -> (jsonRoundtrip _),
     "src03_bucketed_join"  -> (bucketedJoin _),
@@ -464,6 +503,20 @@ object FileFormats {
        FROM orders"""
 
   val oracles: Map[String, String] = Map(
+    // clean/corrupt populations rebuilt from the source by the same
+    // mod-7 rule; the corrupt signature re-renders the torn line text
+    "src10_permissive_json" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+                           CAST(round(o_totalprice*100) AS BIGINT) AS cents
+                    FROM orders)
+         SELECT CAST(count(*) FILTER (o_orderkey % 7 <> 3) AS BIGINT) AS n_clean,
+                CAST(sum(cents) FILTER (o_orderkey % 7 <> 3) AS BIGINT) AS sum_cents,
+                CAST(count(*) FILTER (o_orderkey % 7 = 3) AS BIGINT) AS n_corrupt,
+                CAST(sum((('0x'||substr(md5(
+                       '{"o_orderkey":' || o_orderkey || ',"o_custkey":'),
+                     1,15))::BIGINT) % 1000000007)
+                   FILTER (o_orderkey % 7 = 3) AS BIGINT) AS corrupt_sig
+         FROM o""",
     "src01_csv_roundtrip"  -> oracle,
     "src02_json_roundtrip" -> oracle,
     "src05_orc_roundtrip"  -> oracle,

@@ -316,6 +316,20 @@ class ArraySpec extends SparkSpec {
     }
   }
 
+  test("kron matches the local Kronecker product on ragged block edges") {
+    val a = DMatrix.randInt(spark, 10, 6, 4, 31L)   // ragged 3×2 block grid
+    val b = DMatrix.randInt(spark, 5, 5, 4, 37L)    // ragged square operand
+    val got = a.kron(b).toLocal
+    val la = a.toLocal; val lb = b.toLocal
+    val want = breeze.linalg.DenseMatrix.tabulate(50, 30) { (i, j) =>
+      la(i / 5, j / 5) * lb(i % 5, j % 5)
+    }
+    assert(got == want)   // integer-valued operands: exact equality
+    // non-square B is rejected (it would break the uniform block grid)
+    val nonsquare = DMatrix.randInt(spark, 4, 6, 4, 41L)
+    assertThrows[IllegalArgumentException](a.kron(nonsquare))
+  }
+
   test("vstack: concatenation along axis 0 matches vertcat") {
     val a = DMatrix.randInt(spark, 32, 13, 8, 73L)   // top block-aligned
     val b = DMatrix.randInt(spark, 21, 13, 8, 79L)   // ragged bottom

@@ -142,6 +142,41 @@ class MlSpec extends SparkSpec {
     assert(got.values.exists(_._2 == 1L) && got.values.exists(_._2 == 0L))
   }
 
+  test("ml08: scaler stats and z-scores equal the local fit, and z standardizes") {
+    val vecs = graft.core.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray)
+    val dims = vecs.head._2.length
+    val stats = (0 until dims).map { d =>
+      val qs = vecs.map(_._2(d))
+      val n = qs.length.toDouble
+      val sx = qs.sum.toDouble
+      val sxx = qs.map(q => q * q).sum.toDouble
+      (d, sx / n, math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0))))
+    }
+    val got = Predict.standardScaler(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val probe = vecs.filter(_._1 % 20 == 0)
+    assert(got.size == probe.length * 8)
+    probe.foreach { case (id, q) =>
+      (0 until 8).foreach { d =>
+        val (_, mean, std) = stats(d)
+        val (z, m, sd) = got((id, d.toLong))
+        assert(math.abs(m - mean) < 1e-6 && math.abs(sd - std) < 1e-6, s"vec $id dim $d stats")
+        assert(math.abs(z - (q(d) - mean) / std) < 1e-6, s"vec $id dim $d z")
+      }
+    }
+    // the fitted transform standardizes: full-corpus z has mean ~0, std ~1
+    (0 until 8).foreach { d =>
+      val (_, mean, std) = stats(d)
+      val zs = vecs.map { case (_, q) => (q(d) - mean) / std }
+      val zm = zs.sum / zs.length
+      val zv = zs.map(z => (z - zm) * (z - zm)).sum / (zs.length - 1)
+      assert(math.abs(zm) < 1e-9 && math.abs(zv - 1.0) < 1e-9, s"dim $d not standardized")
+    }
+  }
+
   test("timeseries generator: bounds, frequency and value domain") {
     val ts = Generators.makeTimeseries(spark, 500, 946684800L, 7200L, 1L)
     assert(ts.count() == 500)

@@ -516,6 +516,108 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q52 null-safe join: the NULL-keyed group survives and aggregates match brute force") {
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+              org.apache.spark.sql.functions.col("event_type"),
+              org.apache.spark.sql.functions.round(
+                org.apache.spark.sql.functions.col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+                           if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    def key(t: String) = if (t == "error") "(null)" else t
+    val aSide = rows.filter(_._3.isDefined).groupBy(r => key(r._2))
+      .map { case (k, vs) => k -> ((vs.length.toLong, vs.map(_._3.get).sum)) }
+    val bSide = rows.filter(_._1 % 3 == 0).groupBy(r => key(r._2))
+      .map { case (k, vs) => k -> vs.length.toLong }
+    val expect = aSide.keySet.intersect(bSide.keySet).map { k =>
+      (k, aSide(k)._1, aSide(k)._2, bSide(k)) }
+    val got = Relational.nullSafeJoin(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    assert(got.exists(_._1 == "(null)"), "the error/NULL group must survive <=>")
+  }
+
+  test("q53 group mode equals a local argmax with the (−cnt, type) tie-break") {
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = rows.groupBy(_._1).map { case (u, vs) =>
+      val (tpe, cnt) = vs.groupBy(_._2).map { case (t, g) => (t, g.length.toLong) }
+        .minBy { case (t, n) => (-n, t) }
+      (u, tpe, cnt)
+    }.toSet
+    val got = Relational.groupMode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
+  test("q54 keep-last dedup picks the max-(ts, event_id) row per (user, type)") {
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "event_id",
+                  "CAST(unix_timestamp(ts) AS LONG) AS t",
+                  "coalesce(CAST(round(value*100) AS LONG), -1L) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expect = rows.groupBy(r => (r._1, r._2)).map { case (_, vs) =>
+      vs.maxBy(v => v._4 * 10000000L + v._3)
+    }.toSet
+    val got = Relational.dedupKeepLast(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+  }
+
+  test("t40 HLL: merged ALL registers equal a local direct sketch of the union") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h64(tok: String): Long = {
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val regs = scala.collection.mutable.Map[Long, Long]()
+    graft.core.Tables.documents(spark, sfDir).collect().foreach { r =>
+      val toks = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ").trim.split(" ", -1)
+      toks.foreach { tok =>
+        val h = h64(tok)
+        val bucket = h % 256
+        val w = h / 256
+        val rho = if (w == 0L) 53L else 53L - java.lang.Long.toBinaryString(w).length
+        regs(bucket) = math.max(regs.getOrElse(bucket, Long.MinValue), rho)
+      }
+    }
+    val expect = (regs.size.toLong, regs.values.sum,
+      regs.values.map(r => 1L << (53 - r)).sum)
+    val all = TextOps.hllSketch(spark, sfDir).collect()
+      .find(_.getString(0) == "ALL").get
+    assert((all.getLong(1), all.getLong(2), all.getLong(3)) == expect)
+  }
+
+  test("t41 overlapping chunks tile every doc at stride 128 with window 256") {
+    val docs = graft.core.Tables.documents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2.nonEmpty).toMap
+    val got = TextOps.overlapChunks(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getString(3))))
+    val byDoc = got.groupBy(_._1._1)
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, chunks) =>
+      val text = docs(id)
+      val nch = (text.length + 127) / 128
+      assert(chunks.length == nch, s"doc $id chunk count")
+      chunks.foreach { case ((_, ci), (n, fp)) =>
+        val piece = text.substring(
+          (ci * 128).toInt, math.min(text.length, (ci * 128 + 256).toInt))
+        assert(n == piece.length, s"doc $id chunk $ci length")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val exp = md.digest(piece.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        assert(fp == exp, s"doc $id chunk $ci fingerprint")
+      }
+      // consecutive chunks overlap by 128 chars (except a short tail)
+      if (chunks.length > 1 && text.length >= 256)
+        assert(text.substring(128, 256) ==
+               text.substring(128, math.min(text.length, 256)))
+    }
+  }
+
   test("q50 clip/impute/drop equals a local brute-force repair") {
     import org.apache.spark.sql.functions._
     val rows = graft.core.Tables.events(spark, sfDir)

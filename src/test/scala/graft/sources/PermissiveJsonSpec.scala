@@ -1,0 +1,40 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** src10: PERMISSIVE corrupt-record quarantine — the accounting must be
+  * exact (nothing dropped, nothing misrouted) and the torn payloads must
+  * survive byte-for-byte in `_corrupt_record`. */
+class PermissiveJsonSpec extends SparkSpec {
+
+  test("src10: clean + corrupt partitions the file, and torn lines are preserved verbatim") {
+    val orders = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedCorrupt = orders.count(_._1 % 7 == 3).toLong
+    val expectedCleanSum = orders.filter(_._1 % 7 != 3).map(_._2).sum
+
+    val row = FileFormats.permissiveJson(spark, sfDir).collect().head
+    assert(row.getLong(0) + row.getLong(2) == orders.length,
+      "every staged line must land in exactly one of clean/corrupt")
+    assert(row.getLong(2) == expectedCorrupt && expectedCorrupt > 0)
+    assert(row.getLong(1) == expectedCleanSum)
+
+    // the quarantined column carries the torn line text unmodified.
+    // (Spark refuses a query whose referenced columns are ONLY the
+    // internal corrupt column — keep a parsed column in the projection.)
+    val staged = spark.read
+      .schema("o_orderkey LONG, o_custkey LONG, cents LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(FileFormats.scratch("pjson"))
+      .select(col("o_orderkey"), col("_corrupt_record"))
+      .filter(col("_corrupt_record").isNotNull)
+      .collect().map(_.getString(1)).sorted
+    val want = orders.filter(_._1 % 7 == 3)
+      .map(o => s"""{"o_orderkey":${o._1},"o_custkey":""").sorted
+    assert(staged.toSeq == want.toSeq)
+  }
+}
