@@ -621,7 +621,18 @@ object ArrayQueries {
       .kron(DMatrix.randInt(s, 8, 8, 8, 29L))
       .toCoords
 
+  /** a41: `da.digitize` against variable-width boundaries
+    * [100, 250, 500, 900] on a 192×160 integer LCG matrix — per-bucket
+    * count + exact value sum, partials bounded by |boundaries|+1 per
+    * partition (the a25 histogram discipline with irregular bins; a
+    * boundary-hit cell lands RIGHT per numpy right=False). */
+  def digitizeEntry(s: SparkSession, d: String): DataFrame =
+    DMatrix.randInt(s, 192, 160, 64, 77L)
+      .digitize(Array(100.0, 250.0, 500.0, 900.0))
+      .orderBy("bucket")
+
   val queries: Map[String, Q] = Map(
+    "a41_digitize"       -> (digitizeEntry _),
     "a40_kron"           -> (kronEntry _),
     "a01_matmul"         -> (matmul _),
     "a02_axis_stats"     -> (axisStats _),
@@ -665,6 +676,15 @@ object ArrayQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // bucket = #{boundaries <= v}, restated as a sum of indicators
+    "a41_digitize" ->
+      s"""WITH ${matSql("a", 192, 160, 77)}
+          SELECT CAST(CASE WHEN v >= 100 THEN 1 ELSE 0 END
+                    + CASE WHEN v >= 250 THEN 1 ELSE 0 END
+                    + CASE WHEN v >= 500 THEN 1 ELSE 0 END
+                    + CASE WHEN v >= 900 THEN 1 ELSE 0 END AS BIGINT) AS bucket,
+                 count(*) AS n, sum(v) AS sum_v
+          FROM a GROUP BY 1 ORDER BY 1""",
     // C[i1·8+i2, j1·8+j2] = A[i1,j1]·B[i2,j2] — the kron index map as a
     // plain cross join over the two LCG closed forms
     "a40_kron" ->

@@ -701,6 +701,41 @@ class DMatrix(
       .toDF("bin", "bin_lo", "n")
   }
 
+  /** numpy/dask `digitize`: per-cell bucket index against an arbitrary
+    * strictly-increasing boundary vector (np.digitize right=False:
+    * idx = #{boundaries ≤ v}), reduced to per-bucket count + value sum.
+    * Boundaries ride the task closure (tiny by definition); each
+    * partition emits ≤ |boundaries|+1 partials — the a25 histogram
+    * discipline generalized to variable-width bins. Value sums are
+    * order-independent when cells are integer-valued (exact doubles);
+    * float corpora would tree-sum within 1 ulp·log n. */
+  def digitize(boundaries: Array[Double]): DataFrame = {
+    require(boundaries.nonEmpty &&
+      boundaries.iterator.sliding(2).withPartial(false).forall(p => p(0) < p(1)),
+      "boundaries must be strictly increasing")
+    import blocks.sparkSession.implicits._
+    val nb = boundaries.length
+    blocks.rdd.mapPartitions { it =>
+      val counts = new Array[Long](nb + 1)
+      val sums = new Array[Double](nb + 1)
+      it.foreach { b =>
+        var i = 0
+        while (i < b.data.length) {
+          val v = b.data(i)
+          val hit = java.util.Arrays.binarySearch(boundaries, v)
+          val idx = if (hit >= 0) hit + 1 else -(hit + 1) // #{bounds <= v}
+          counts(idx) += 1
+          sums(idx) += v
+          i += 1
+        }
+      }
+      (0 to nb).iterator.filter(counts(_) > 0)
+        .map(k => (k, (counts(k), sums(k))))
+    }.reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2))
+      .map { case (k, (c, sm)) => (k.toLong, c, sm) }
+      .toDF("bucket", "n", "sum_v")
+  }
+
   /** Per-row argmax — dask `da.argmax(axis=1)` (+ the max itself).
     * Per-block partial (max, argj) per row, reduceByKey on the block-row
     * index: the shuffle carries one small pair-vector per block, never

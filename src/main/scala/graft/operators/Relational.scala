@@ -1157,6 +1157,35 @@ object Relational {
               col("b.event_id").as("last_event_id"),
               col("b.t").as("last_t"), col("b.cents").as("last_cents"))
 
+  /** q55: conversion FUNNEL (view → click → purchase) — the product-
+    * analytics sequence query: each stage's timestamp is the EARLIEST
+    * occurrence at-or-after the previous stage's, so out-of-order events
+    * never count toward conversion. Plan shape: three type-filtered
+    * aggregates chained by equi-joins on user_id — every join input is
+    * one row per user (aggregated BEFORE joining), no window over the
+    * raw stream and no self-join of events with events: at 100 TB the
+    * three filtered scans reduce map-side and only user-sized frames
+    * ever shuffle. */
+  def funnelStages(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("t"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("tv"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("t") >= col("tv"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("tc"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("t") >= col("tc"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("tp"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("tv"),
+        coalesce(col("tc"), lit(-1L)).as("tc_or_neg"),
+        coalesce(col("tp"), lit(-1L)).as("tp_or_neg"),
+        (lit(1L) + when(col("tc").isNotNull, 1L).otherwise(0L)
+                 + when(col("tp").isNotNull, 1L).otherwise(0L)).as("stage"))
+  }
+
   /** q51: the SQL FRONT DOOR — the whole query as one `spark.sql` text
     * over a registered view (`spark.read` → `createOrReplaceTempView` →
     * ANSI SQL), the entry path a SQL-first user of the engine takes
@@ -1239,6 +1268,7 @@ object Relational {
     "q52_nullsafe_join"     -> (nullSafeJoin _),
     "q53_group_mode"        -> (groupMode _),
     "q54_dedup_keep_last"   -> (dedupKeepLast _),
+    "q55_funnel"            -> (funnelStages _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1536,6 +1566,24 @@ object Relational {
            FROM c)
          SELECT user_id, event_type AS mode_type, cnt AS mode_n
          FROM r WHERE rn = 1""",
+    // same three chained stage minima; LEFT joins preserve users who
+    // stall mid-funnel, -1 sentinels keep the output NULL-free
+    "q55_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events),
+         v AS (SELECT user_id, min(t) AS tv FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(t) AS tc FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND t >= tv GROUP BY 1),
+         p AS (SELECT e.user_id, min(t) AS tp FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND t >= tc GROUP BY 1)
+         SELECT v.user_id, v.tv,
+                coalesce(c.tc, -1) AS tc_or_neg,
+                coalesce(p.tp, -1) AS tp_or_neg,
+                CAST(1 + CASE WHEN c.tc IS NOT NULL THEN 1 ELSE 0 END
+                       + CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
     // keep='last' restated as a DESC row_number; ord embeds event_id so
     // the window's winner equals max_by's
     "q54_dedup_keep_last" ->

@@ -431,7 +431,36 @@ object Similarity {
   def ivfPqQuery(s: SparkSession, d: String): DataFrame =
     ivfPqTopK(TextSim.spread(Tables.embeddings(s, d)), 1)
 
+  /** Cosine RANGE search (radius query): every corpus vector within
+    * cosine ≥ τ of each probe — the "find everything semantically close"
+    * retrieval mode top-k can't express (result cardinality is data-
+    * driven, not k). The probe side broadcasts (e01 discipline: the
+    * corpus never shuffles), and the threshold test runs ENTIRELY in
+    * exact integers: for τ = 3/10, cos ≥ τ ⟺ dot > 0 ∧ 100·dot² ≥
+    * 9·|a|²·|b|² — cross-multiplied so no square root or float compare
+    * exists for a boundary row to flip on. All products stay well under
+    * 2⁶³ for quantized 64-dim vectors (dot ≤ 6.4·10⁷). At corpus scale
+    * the same predicate drops behind the e04 banded-LSH candidate
+    * generator; this is the exact-verification kernel. */
+  def rangeSearch(emb: DataFrame, probeMod: Long): DataFrame = {
+    val q = emb.filter(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qa"))
+      .withColumn("na", dotInt(col("qa"), col("qa")))
+    val c = emb.select(col("vec_id").as("n_id"), quantize(col("embedding")).as("qb"))
+      .withColumn("nb", dotInt(col("qb"), col("qb")))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("dot", dotInt(col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(100L) >= col("na") * col("nb") * lit(9L))
+      .select(col("q_id"), col("n_id"), col("dot"))
+  }
+
+  /** e10: all corpus neighbors with cosine ≥ 0.3 of every 40th vector. */
+  def rangeQuery(s: SparkSession, d: String): DataFrame =
+    rangeSearch(TextSim.spread(Tables.embeddings(s, d)), 40L)
+
   val queries: Map[String, Q] = Map(
+    "e10_range_search" -> (rangeQuery _),
     "e01_knn_cosine"  -> (knnQuery _),
     "e02_lsh_buckets" -> (bucketsQuery _),
     "e03_ann_bucket"  -> (annQuery _),
@@ -456,6 +485,19 @@ object Similarity {
             FROM q)"""
 
   val oracles: Map[String, String] = Map(
+    // same cross-multiplied integer threshold — no float ever compares
+    "e10_range_search" ->
+      s"""WITH $quantSql,
+          n AS (SELECT vec_id, qv,
+                       CAST(list_dot_product(qv, qv) AS BIGINT) AS nn
+                FROM q),
+          pairs AS (
+            SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                   CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+                   a.nn AS na, b.nn AS nb
+            FROM n a JOIN n b ON a.vec_id % 40 = 0 AND a.vec_id <> b.vec_id)
+          SELECT q_id, n_id, dot FROM pairs
+          WHERE dot > 0 AND dot * dot * 100 >= na * nb * 9""",
     "e01_knn_cosine" ->
       s"""WITH $quantSql,
           pairs AS (

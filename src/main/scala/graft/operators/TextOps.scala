@@ -926,7 +926,34 @@ object TextOps {
         length(col("chunk")).cast("long").as("n_chars_chunk"),
         md5(col("chunk")).as("chunk_fp"))
 
+  /** t42: TEMPERATURE-SMOOTHED domain mixing (α = 0.5) — the corpus-
+    * mixture reweighting between t18's hard balance (α → ∞, every
+    * language cut to the smallest) and no reweighting (α = 1): keep
+    * rate ∝ (mn/cnt)^α softens big-domain dominance without flattening
+    * the mix. rate_bp = floor(sqrt(mn/cnt)·10⁴) — division and sqrt are
+    * IEEE-correctly-rounded in both engines, so the basis-point rate is
+    * bit-identical — then the t15/t18 keep-hash: deterministic,
+    * retry-idempotent, ONE map-only pass over the corpus with the tiny
+    * rate table broadcast. Output is the per-language mix audit
+    * (corpus count, applied rate, kept count). */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val rates = counts.crossJoin(broadcast(counts.agg(min(col("cnt")).as("mn"))))
+      .select(col("lang"), col("cnt"),
+        floor(sqrt(col("mn").cast("double") / col("cnt").cast("double")) * 10000.0)
+          .cast("long").as("rate_bp"))
+    val keepHash = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 10000L
+    docs.join(broadcast(rates), "lang")
+      .filter(keepHash < col("rate_bp"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .join(rates, "lang")
+      .select(col("lang"), col("cnt"), col("rate_bp"), col("n_kept"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t42_temperature_mix" -> (temperatureMix _),
     "t40_hll_sketch"   -> (hllSketch _),
     "t41_overlap_chunks" -> (overlapChunks _),
     "t36_global_shuffle" -> (globalShuffle _),
@@ -964,6 +991,21 @@ object TextOps {
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
   // replace all matches (Spark replaces all by default).
   val oracles: Map[String, String] = Map(
+    // same sqrt-smoothed basis-point rate, same keep-hash row set
+    "t42_temperature_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         m AS (SELECT min(cnt) AS mn FROM counts),
+         rates AS (SELECT lang, cnt,
+                          CAST(floor(sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE))
+                                     * 10000) AS BIGINT) AS rate_bp
+                   FROM counts, m),
+         kept AS (SELECT d.lang, count(*) AS n_kept
+                  FROM documents d JOIN rates r ON d.lang = r.lang
+                  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                          % 10000 < r.rate_bp
+                  GROUP BY 1)
+         SELECT r.lang, r.cnt, r.rate_bp, k.n_kept
+         FROM rates r JOIN kept k ON r.lang = k.lang""",
     // the 'ALL' row here is computed DIRECTLY from the unioned token
     // stream — the Spark side derives it from per-language registers by
     // elementwise max, so a hash match proves the merge algebra

@@ -330,6 +330,28 @@ class ArraySpec extends SparkSpec {
     assertThrows[IllegalArgumentException](a.kron(nonsquare))
   }
 
+  test("digitize: variable-width buckets match a local scan; boundary hits go right") {
+    val m = DMatrix.randInt(spark, 37, 23, 8, 91L)   // ragged blocks
+    val bounds = Array(100.0, 250.0, 500.0, 900.0)
+    val local = m.toLocal
+    val expect = scala.collection.mutable.Map[Long, (Long, Double)]()
+    local.toArray.foreach { v =>
+      val idx = bounds.count(_ <= v).toLong
+      val (c, sm) = expect.getOrElse(idx, (0L, 0.0))
+      expect(idx) = (c + 1, sm + v)
+    }
+    val got = m.digitize(bounds).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expect.toMap)
+    // a cell exactly on a boundary lands in the upper bucket (numpy right=False)
+    val hit = DMatrix.fromLocal(spark,
+      breeze.linalg.DenseMatrix((100.0, 99.0), (900.0, 901.0)), 2)
+    val hitBuckets = hit.digitize(bounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hitBuckets == Map(0L -> 1L, 1L -> 1L, 4L -> 2L))
+    assertThrows[IllegalArgumentException](m.digitize(Array(1.0, 1.0)))
+  }
+
   test("vstack: concatenation along axis 0 matches vertcat") {
     val a = DMatrix.randInt(spark, 32, 13, 8, 73L)   // top block-aligned
     val b = DMatrix.randInt(spark, 21, 13, 8, 79L)   // ragged bottom

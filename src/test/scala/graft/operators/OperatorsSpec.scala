@@ -618,6 +618,50 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q55 funnel: stage minima chain in order and match a local walk") {
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "CAST(unix_timestamp(ts) AS LONG) AS t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).flatMap { case (u, evs) =>
+      val views = evs.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val tv = views.min
+        val tc = evs.filter(e => e._2 == "click" && e._3 >= tv).map(_._3)
+          .minOption
+        val tp = tc.flatMap(c =>
+          evs.filter(e => e._2 == "purchase" && e._3 >= c).map(_._3).minOption)
+        val stage = 1L + (if (tc.isDefined) 1L else 0L) + (if (tp.isDefined) 1L else 0L)
+        Some((u, tv, tc.getOrElse(-1L), tp.getOrElse(-1L), stage))
+      }
+    }.toSet
+    val got = Relational.funnelStages(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+    assert(got.exists(_._5 == 3L), "fixture should fully convert someone")
+    // ordering invariant: a reported chain is monotone
+    got.foreach { case (u, tv, tc, tp, _) =>
+      if (tc >= 0) assert(tc >= tv, s"user $u click before view")
+      if (tp >= 0) assert(tp >= tc, s"user $u purchase before click")
+    }
+  }
+
+  test("t42 temperature mix: sqrt-smoothed rates sit between hard balance and no-op") {
+    val out = TextOps.temperatureMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val mn = out.map(_._2).min
+    out.foreach { case (lang, cnt, rate, kept) =>
+      val hard = mn * 10000L / cnt              // t18's α→∞ rate
+      assert(rate == math.floor(math.sqrt(mn.toDouble / cnt.toDouble) * 10000).toLong,
+        s"$lang rate formula")
+      assert(rate >= hard && rate <= 10000L, s"$lang rate outside [balance, 1]")
+      assert(kept <= cnt, s"$lang kept more than it had")
+    }
+    // the smallest language is never downsampled
+    assert(out.filter(_._2 == mn).forall(_._3 == 10000L))
+  }
+
   test("q50 clip/impute/drop equals a local brute-force repair") {
     import org.apache.spark.sql.functions._
     val rows = graft.core.Tables.events(spark, sfDir)

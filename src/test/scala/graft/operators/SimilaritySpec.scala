@@ -246,6 +246,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect, s"pair set mismatch: extra=${got -- expect} missing=${expect -- got}")
   }
 
+  test("e10 range search: exactly the pairs with cosine >= 0.3, no float boundary flips") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expect = (for {
+      q <- vecs.keys if q % 40 == 0
+      n <- vecs.keys if n != q
+      d = dot(vecs(q), vecs(n))
+      if d > 0 && d * d * 100L >= dot(vecs(q), vecs(q)) * dot(vecs(n), vecs(n)) * 9L
+    } yield (q, n, d)).toSet
+    val got = Similarity.rangeQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "radius 0.3 should catch something on the fixture")
+    // every reported pair really clears the float threshold too
+    got.foreach { case (q, n, d) =>
+      val cos = d.toDouble /
+        (math.sqrt(dot(vecs(q), vecs(q)).toDouble) * math.sqrt(dot(vecs(n), vecs(n)).toDouble))
+      assert(cos >= 0.3 - 1e-12, s"pair ($q,$n) cos $cos below radius")
+    }
+  }
+
   test("e07 MIPS: matches local truth, and the norm-augmentation reduction preserves its order") {
     import org.apache.spark.sql.functions._
     // local quantized copy of the fixture
