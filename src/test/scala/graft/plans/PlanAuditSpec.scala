@@ -295,7 +295,14 @@ class PlanAuditSpec extends SparkSpec {
     // to an RDD scan; their join shapes are asserted by their own specs —
     // this sweep still covers everything visible in the returned plan.
     val bnljAllowed = Set("e01_knn_cosine", "e07_mips", "mm04_hist_knn",
+                          // e10: range-search baseline — same broadcast-
+                          // query-set stream as e01, with a non-equi
+                          // (q_id =!= n_id) condition by design
+                          "e10_range_search",
                           "t13_kmv_sketch", "t18_domain_mix",
+                          // t42: t18's shape — crossJoin(broadcast(<1-row
+                          // global min>)) to attach a computed scalar
+                          "t42_temperature_mix",
                           // ml06: crossJoin(broadcast(<1-row totals>)) —
                           // attaching the total sufficient statistics
                           "ml06_kfold_cv")
