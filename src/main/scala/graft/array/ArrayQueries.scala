@@ -631,7 +631,24 @@ object ArrayQueries {
       .digitize(Array(100.0, 250.0, 500.0, 900.0))
       .orderBy("bucket")
 
+  /** a42: NaN-aware row reductions (`da.nansum/nanmean(axis=1)`) on a
+    * 96×80 integer LCG matrix with NaNs PLANTED where v ≡ 3 (mod 7) —
+    * the deterministic gap pattern the oracle mirrors as NULLs. Valid
+    * counts and sums are exact integers; nanmean adds one mirrored
+    * float division. The reduction shuffles two small vectors per
+    * block (the sumAxis1 discipline), never cells. */
+  def nanStatsEntry(s: SparkSession, d: String): DataFrame =
+    DMatrix.randInt(s, 96, 80, 32, 57L)
+      .mapElements(v => if (v.toLong % 7 == 3) Double.NaN else v)
+      .nanRowStats
+      .select(col("i"), col("n_valid"),
+        col("nan_sum").cast("long").as("sum_v"),
+        when(col("n_valid") > 0,
+          round(col("nan_sum") / col("n_valid").cast("double"), 6)).as("nan_mean"))
+      .orderBy("i")
+
   val queries: Map[String, Q] = Map(
+    "a42_nan_stats"      -> (nanStatsEntry _),
     "a41_digitize"       -> (digitizeEntry _),
     "a40_kron"           -> (kronEntry _),
     "a01_matmul"         -> (matmul _),
@@ -676,6 +693,18 @@ object ArrayQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the planted-NaN rule becomes a NULL gate; count/sum skip NULLs in
+    // both engines, the mean is the same single float division
+    "a42_nan_stats" ->
+      s"""WITH ${matSql("a", 96, 80, 57)},
+          g AS (SELECT i, CASE WHEN CAST(v AS BIGINT) % 7 = 3 THEN NULL
+                               ELSE v END AS v
+                FROM a)
+          SELECT i, count(v) AS n_valid,
+                 CAST(coalesce(sum(v), 0) AS BIGINT) AS sum_v,
+                 CASE WHEN count(v) > 0
+                      THEN round(sum(v) / CAST(count(v) AS DOUBLE), 6) END AS nan_mean
+          FROM g GROUP BY i ORDER BY i""",
     // bucket = #{boundaries <= v}, restated as a sum of indicators
     "a41_digitize" ->
       s"""WITH ${matSql("a", 192, 160, 77)}

@@ -701,6 +701,40 @@ class DMatrix(
       .toDF("bin", "bin_lo", "n")
   }
 
+  /** NaN-aware per-row reductions — dask `da.nansum/nanmean(axis=1)`:
+    * the skipna semantics every real (gappy) dataset needs, where plain
+    * sums would poison whole rows with one NaN. Per block, each row
+    * contributes (valid count, valid sum); partials reduce on the block-
+    * row key exactly like [[sumAxis1]] — the shuffle carries two small
+    * vectors per block, never cells. An all-NaN row reports n_valid = 0
+    * with sum 0 (numpy nansum of empty = 0). */
+  def nanRowStats: DataFrame = {
+    import blocks.sparkSession.implicits._
+    val bs = blockSize
+    blocks.rdd.map { b =>
+      val cnt = new Array[Long](b.rows)
+      val sm = new Array[Double](b.rows)
+      var j = 0
+      while (j < b.cols) {
+        var i = 0
+        while (i < b.rows) {
+          val v = b.data(i + j * b.rows)
+          if (!v.isNaN) { cnt(i) += 1; sm(i) += v }
+          i += 1
+        }
+        j += 1
+      }
+      (b.bi, (cnt, sm))
+    }.reduceByKey { (a: (Array[Long], Array[Double]), b: (Array[Long], Array[Double])) =>
+      val (c1, s1) = a; val (c2, s2) = b
+      var i = 0
+      while (i < c1.length) { c1(i) += c2(i); s1(i) += s2(i); i += 1 }
+      (c1, s1)
+    }.flatMap { case (bi, (cnt, sm)) =>
+      cnt.indices.iterator.map(i => (bi.toLong * bs + i, cnt(i), sm(i)))
+    }.toDF("i", "n_valid", "nan_sum")
+  }
+
   /** numpy/dask `digitize`: per-cell bucket index against an arbitrary
     * strictly-increasing boundary vector (np.digitize right=False:
     * idx = #{boundaries ≤ v}), reduced to per-bucket count + value sum.

@@ -1186,6 +1186,57 @@ object Relational {
                  + when(col("tp").isNotNull, 1L).otherwise(0L)).as("stage"))
   }
 
+  /** q56: pandas/dask `qcut` — label every row with its quartile bucket
+    * under per-group EXACT quantile boundaries. The boundaries come from
+    * the same [[rankScan]] machinery as q30 (one range exchange over the
+    * value-frequency table, bounded state at any scale), then broadcast
+    * back onto the fact scan as a tiny dim — the labeling pass is
+    * map-side, the fact table never re-shuffles for its labels. Bucket
+    * rule is right-closed (v ≤ p25 → 0 … else 3, the pandas
+    * convention); comparisons use the round(·,4)-stabilized boundaries
+    * the q30 hash-match already proves identical cross-engine. Output
+    * aggregates per (group, bucket) so result size is groups×4. */
+  def qcutBuckets(s: SparkSession, d: String): DataFrame = {
+    val cents = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("k"),
+              round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val freq = cents.groupBy(col("k"), col("v")).agg(count(lit(1)).as("cnt"))
+    val quarts = quartilesByKey(freq)
+      .select(col("k"), round(col("p25"), 4).as("q1"),
+              round(col("p50"), 4).as("q2"), round(col("p75"), 4).as("q3"))
+    cents.join(broadcast(quarts), "k")
+      .withColumn("bucket",
+        when(col("v") <= col("q1"), 0L)
+          .when(col("v") <= col("q2"), 1L)
+          .when(col("v") <= col("q3"), 2L)
+          .otherwise(3L))
+      .groupBy(col("k"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents"))
+  }
+
+  /** q57: OHLC resampling (`df.resample('W').agg(open/high/low/close)`)
+    * — the finance-shaped downsample: per (user, week), the earliest
+    * observation (open), extremes (high/low), and the latest (close).
+    * open/close are `min_by`/`max_by` over the q38 packed order key
+    * (t·10⁷ + event_id embeds the unique id, so the winner is
+    * total-ordered — deterministic across engines and retries); all
+    * five aggregates ride ONE partial-aggregable hash agg, no window
+    * and no sort of the raw stream. */
+  def ohlcResample(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"),
+              unix_timestamp(col("ts")).as("t"), col("event_id"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("week", expr("t div 604800"))
+      .withColumn("ord", col("t") * 10000000L + col("event_id"))
+      .groupBy(col("user_id"), col("week"))
+      .agg(min_by(col("cents"), col("ord")).as("open"),
+           max(col("cents")).as("high"),
+           min(col("cents")).as("low"),
+           max_by(col("cents"), col("ord")).as("close"),
+           count(lit(1)).as("n_obs"))
+
   /** q51: the SQL FRONT DOOR — the whole query as one `spark.sql` text
     * over a registered view (`spark.read` → `createOrReplaceTempView` →
     * ANSI SQL), the entry path a SQL-first user of the engine takes
@@ -1269,6 +1320,8 @@ object Relational {
     "q53_group_mode"        -> (groupMode _),
     "q54_dedup_keep_last"   -> (dedupKeepLast _),
     "q55_funnel"            -> (funnelStages _),
+    "q56_qcut"              -> (qcutBuckets _),
+    "q57_ohlc"              -> (ohlcResample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1566,6 +1619,41 @@ object Relational {
            FROM c)
          SELECT user_id, event_type AS mode_type, cnt AS mode_n
          FROM r WHERE rn = 1""",
+    // quantile_cont boundaries rounded to the same 4 decimals the q30
+    // hash-match pins; right-closed CASE mirrors the Spark when-chain
+    "q56_qcut" ->
+      """WITH c AS (
+           SELECT l_returnflag AS k,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS v
+           FROM lineitem),
+         q AS (
+           SELECT k, round(quantile_cont(v, 0.25), 4) AS q1,
+                  round(quantile_cont(v, 0.50), 4) AS q2,
+                  round(quantile_cont(v, 0.75), 4) AS q3
+           FROM c GROUP BY 1),
+         b AS (
+           SELECT c.k,
+                  CASE WHEN v <= q1 THEN 0 WHEN v <= q2 THEN 1
+                       WHEN v <= q3 THEN 2 ELSE 3 END AS bucket, v
+           FROM c JOIN q ON c.k = q.k)
+         SELECT k, CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+                CAST(sum(v) AS BIGINT) AS sum_cents
+         FROM b GROUP BY 1, 2""",
+    // arg_min/arg_max over the same packed ord pick the same open/close
+    "q57_ohlc" ->
+      """WITH e AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+                  CAST(round(value*100) AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         w AS (
+           SELECT user_id, t // 604800 AS week,
+                  t * 10000000 + event_id AS ord, cents
+           FROM e)
+         SELECT user_id, week,
+                arg_min(cents, ord) AS open, max(cents) AS high,
+                min(cents) AS low, arg_max(cents, ord) AS close,
+                count(*) AS n_obs
+         FROM w GROUP BY 1, 2""",
     // same three chained stage minima; LEFT joins preserve users who
     // stall mid-funnel, -1 sentinels keep the output NULL-free
     "q55_funnel" ->

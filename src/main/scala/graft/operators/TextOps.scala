@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -952,7 +953,32 @@ object TextOps {
       .select(col("lang"), col("cnt"), col("rate_bp"), col("n_kept"))
   }
 
+  /** t43: classifier THRESHOLD SWEEP — the calibration step after any
+    * quality scorer: bucket every document by its integer permille
+    * alpha-ratio score (the t03 signal), cross-tab against a reference
+    * label (lang = 'en' here), and emit per-decile counts PLUS the
+    * cumulative from-the-top counts that precision/recall-at-threshold
+    * read off directly. One map-only scan → ≤ 11-row aggregate → a
+    * window over those 11 rows: the sweep costs one pass over the
+    * corpus no matter how many thresholds are evaluated (vs re-scanning
+    * per candidate threshold). All-integer output. */
+  def thresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    TextSim.spread(Tables.documents(s, d))
+      .filter(length(col("text")) > 0)
+      .select(
+        expr("length(regexp_replace(text, '[^a-zA-Z]', '')) * 1000 div length(text)")
+          .as("permille"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(expr("permille div 100").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t43_threshold_sweep" -> (thresholdSweep _),
     "t42_temperature_mix" -> (temperatureMix _),
     "t40_hll_sketch"   -> (hllSketch _),
     "t41_overlap_chunks" -> (overlapChunks _),
@@ -991,6 +1017,24 @@ object TextOps {
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
   // replace all matches (Spark replaces all by default).
   val oracles: Map[String, String] = Map(
+    // same permille score, same decile buckets, same from-the-top
+    // cumulative window (11 rows at most)
+    "t43_threshold_sweep" ->
+      """WITH d AS (
+           SELECT length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000
+                    // length(text) AS permille,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM documents WHERE length(text) > 0),
+         b AS (
+           SELECT permille // 100 AS bucket, count(*) AS n,
+                  CAST(sum(pos) AS BIGINT) AS n_pos
+           FROM d GROUP BY 1)
+         SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos,
+                CAST(sum(n) OVER (ORDER BY bucket DESC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+                CAST(sum(n_pos) OVER (ORDER BY bucket DESC
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+         FROM b""",
     // same sqrt-smoothed basis-point rate, same keep-hash row set
     "t42_temperature_mix" ->
       """WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),

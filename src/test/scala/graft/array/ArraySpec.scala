@@ -352,6 +352,25 @@ class ArraySpec extends SparkSpec {
     assertThrows[IllegalArgumentException](m.digitize(Array(1.0, 1.0)))
   }
 
+  test("nanRowStats: skipna reductions match local, all-NaN rows report zero") {
+    val m = DMatrix.randInt(spark, 37, 23, 8, 93L)
+      .mapElements(v => if (v.toLong % 5 == 2) Double.NaN else v)
+    val local = m.toLocal
+    val expect = (0 until 37).map { i =>
+      val vs = (0 until 23).map(local(i, _)).filterNot(_.isNaN)
+      (i.toLong, vs.length.toLong, vs.sum)
+    }.toSet
+    val got = m.nanRowStats.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+    // a fully-NaN row: n_valid = 0, sum = 0 (numpy nansum of empty)
+    val allNan = DMatrix.fromLocal(spark,
+      breeze.linalg.DenseMatrix((Double.NaN, Double.NaN), (1.0, 2.0)), 2)
+    val rows = allNan.nanRowStats.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows(0L) == ((0L, 0.0)) && rows(1L) == ((2L, 3.0)))
+  }
+
   test("vstack: concatenation along axis 0 matches vertcat") {
     val a = DMatrix.randInt(spark, 32, 13, 8, 73L)   // top block-aligned
     val b = DMatrix.randInt(spark, 21, 13, 8, 79L)   // ragged bottom

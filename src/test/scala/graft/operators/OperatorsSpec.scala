@@ -662,6 +662,81 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter(_._2 == mn).forall(_._3 == 10000L))
   }
 
+  test("q56 qcut: buckets split each group at the exact interpolated quartiles") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def quantile(sorted: Array[Long], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 < sorted.length) sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+      else sorted(lo).toDouble
+    }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = rows.groupBy(_._1).flatMap { case (k, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val (q1, q2, q3) = (r4(quantile(sorted, 0.25)), r4(quantile(sorted, 0.5)),
+                          r4(quantile(sorted, 0.75)))
+      vs.groupBy { case (_, v) =>
+        if (v <= q1) 0L else if (v <= q2) 1L else if (v <= q3) 2L else 3L
+      }.map { case (b, g) => (k, b, g.length.toLong, g.map(_._2).sum) }
+    }.toSet
+    val got = Relational.qcutBuckets(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    // quartile property: each bucket holds ~a quarter of its group — only
+    // meaningful once the group dwarfs the interpolation granularity
+    got.groupBy(_._1).foreach { case (k, bs) =>
+      val tot = bs.toSeq.map(_._3).sum.toDouble   // toSeq: a Set would dedupe equal counts
+      if (tot >= 100)
+        bs.foreach { case (_, b, n, _) =>
+          assert(math.abs(n / tot - 0.25) < 0.05, s"group $k bucket $b share ${n / tot}")
+        }
+    }
+  }
+
+  test("q57 OHLC: open/high/low/close match a local per-(user, week) walk") {
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "CAST(unix_timestamp(ts) AS LONG) AS t", "event_id",
+                  "CAST(round(value*100) AS LONG) AS cents")
+      .collect().filterNot(_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = rows.groupBy(r => (r._1, r._2 / 604800)).map { case ((u, w), vs) =>
+      val byOrd = vs.sortBy(v => v._2 * 10000000L + v._3)
+      (u, w, byOrd.head._4, vs.map(_._4).max, vs.map(_._4).min,
+       byOrd.last._4, vs.length.toLong)
+    }.toSet
+    val got = Relational.ohlcResample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expect)
+    // invariant: low <= open, close <= high on every candle
+    got.foreach { case (u, w, o, h, l, c, _) =>
+      assert(l <= o && o <= h && l <= c && c <= h, s"candle ($u,$w) out of range")
+    }
+  }
+
+  test("t43 threshold sweep: buckets and cumulatives match a local cross-tab") {
+    val docs = graft.core.Tables.documents(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2))).filter(_._1.nonEmpty)
+    val local = docs.map { case (text, lang) =>
+      val permille = text.count(_.isLetter).toLong * 1000 / text.length
+      (permille / 100, if (lang == "en") 1L else 0L)
+    }.groupBy(_._1).map { case (b, g) => (b, g.length.toLong, g.map(_._2).sum) }
+      .toSeq.sortBy(-_._1)
+    val cums = local.scanLeft((0L, 0L)) { case ((cn, cp), (_, n, p)) => (cn + n, cp + p) }.drop(1)
+    val expect = local.zip(cums).map { case ((b, n, p), (cn, cp)) => (b, n, p, cn, cp) }.toSet
+    val got = TextOps.thresholdSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+    // precision at the strictest threshold should beat the base rate
+    val base = docs.count(_._2 == "en").toDouble / docs.length
+    val top = got.maxBy(_._1)
+    assert(top._3.toDouble / top._2 >= base - 1e-9,
+      "top-decile precision below base rate — the score carries no signal")
+  }
+
   test("q50 clip/impute/drop equals a local brute-force repair") {
     import org.apache.spark.sql.functions._
     val rows = graft.core.Tables.events(spark, sfDir)
