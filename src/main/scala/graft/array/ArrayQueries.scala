@@ -647,7 +647,20 @@ object ArrayQueries {
           round(col("nan_sum") / col("n_valid").cast("double"), 6)).as("nan_mean"))
       .orderBy("i")
 
+  /** a43: matrix POWER A⁴ by repeated squaring — the composition shape
+    * iterative algorithms (Markov chains, graph reachability) drive:
+    * TWO multiplies instead of three, each the standard blocked GEMM.
+    * A is 48² integer mod 10, so A⁴ entries (≤ ~7·10⁸) stay exact in
+    * doubles and the full result hash-matches the oracle's three-join
+    * closed form. */
+  def matrixPowerEntry(s: SparkSession, d: String): DataFrame = {
+    val a = DMatrix.randInt(s, 48, 48, 16, 67L, mod = 10L)
+    val a2 = a.multiply(a)
+    a2.multiply(a2).toCoords
+  }
+
   val queries: Map[String, Q] = Map(
+    "a43_matrix_power"   -> (matrixPowerEntry _),
     "a42_nan_stats"      -> (nanStatsEntry _),
     "a41_digitize"       -> (digitizeEntry _),
     "a40_kron"           -> (kronEntry _),
@@ -693,6 +706,13 @@ object ArrayQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // A⁴ as the associative three-join closed form (A²·A²)
+    "a43_matrix_power" ->
+      s"""WITH ${matSql("a", 48, 48, 67, mod = 10)},
+          a2 AS (SELECT x.i AS i, y.j AS j, sum(x.v * y.v) AS v
+                 FROM a x JOIN a y ON x.j = y.i GROUP BY 1, 2)
+          SELECT x.i AS i, y.j AS j, sum(x.v * y.v) AS v
+          FROM a2 x JOIN a2 y ON x.j = y.i GROUP BY 1, 2""",
     // the planted-NaN rule becomes a NULL gate; count/sum skip NULLs in
     // both engines, the mean is the same single float division
     "a42_nan_stats" ->

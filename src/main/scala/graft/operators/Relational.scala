@@ -1237,6 +1237,36 @@ object Relational {
            max_by(col("cents"), col("ord")).as("close"),
            count(lit(1)).as("n_obs"))
 
+  /** q58: pandas `merge(indicator=True)` — the reconciliation join that
+    * reports WHERE each key came from (`both` / `left_only` /
+    * `right_only`), the first diagnostic anyone runs when two datasets
+    * disagree. Full outer join of the customer dim against the per-
+    * customer order aggregate, the indicator derived from null-ness of
+    * each side's key, then rolled up per (segment, indicator) so the
+    * output stays segment-sized. Both join inputs are aggregates /
+    * dims — at 100 TB the fact table collapses to per-key rows before
+    * the outer join ever runs. */
+  def mergeIndicator(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+    val o = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("ok"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    c.join(o, col("ck") === col("ok"), "full_outer")
+      .select(
+        coalesce(col("seg"), lit("(none)")).as("seg"),
+        when(col("ck").isNotNull && col("ok").isNotNull, "both")
+          .when(col("ck").isNotNull, "left_only")
+          .otherwise("right_only").as("merge_ind"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .groupBy(col("seg"), col("merge_ind"))
+      .agg(count(lit(1)).as("n_keys"),
+           sum(col("n_orders")).as("sum_orders"),
+           sum(col("cents")).as("sum_cents"))
+  }
+
   /** q51: the SQL FRONT DOOR — the whole query as one `spark.sql` text
     * over a registered view (`spark.read` → `createOrReplaceTempView` →
     * ANSI SQL), the entry path a SQL-first user of the engine takes
@@ -1322,6 +1352,7 @@ object Relational {
     "q55_funnel"            -> (funnelStages _),
     "q56_qcut"              -> (qcutBuckets _),
     "q57_ohlc"              -> (ohlcResample _),
+    "q58_merge_indicator"   -> (mergeIndicator _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1619,6 +1650,23 @@ object Relational {
            FROM c)
          SELECT user_id, event_type AS mode_type, cnt AS mode_n
          FROM r WHERE rn = 1""",
+    // same outer join, same null-ness indicator, same rollup
+    "q58_merge_indicator" ->
+      """WITH c AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer),
+         o AS (SELECT o_custkey AS ok, count(*) AS n_orders,
+                      CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+               FROM orders GROUP BY 1),
+         j AS (
+           SELECT coalesce(seg, '(none)') AS seg,
+                  CASE WHEN ck IS NOT NULL AND ok IS NOT NULL THEN 'both'
+                       WHEN ck IS NOT NULL THEN 'left_only'
+                       ELSE 'right_only' END AS merge_ind,
+                  coalesce(n_orders, 0) AS n_orders, coalesce(cents, 0) AS cents
+           FROM c FULL OUTER JOIN o ON ck = ok)
+         SELECT seg, merge_ind, count(*) AS n_keys,
+                CAST(sum(n_orders) AS BIGINT) AS sum_orders,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM j GROUP BY 1, 2""",
     // quantile_cont boundaries rounded to the same 4 decimals the q30
     // hash-match pins; right-closed CASE mirrors the Spark when-chain
     "q56_qcut" ->

@@ -539,7 +539,66 @@ object TextSim {
   def editDistQuery(s: SparkSession, d: String): DataFrame =
     editDistPairs(spread(Tables.documents(s, d)))
 
+  /** t44: CONTAINMENT near-dup (asymmetric Jaccard C(A→B) =
+    * |S_A ∩ S_B| / |S_A| ≥ 0.8) — the quote/subset detector the
+    * symmetric pipelines (t09/t30) structurally miss: a short document
+    * embedded verbatim in a long one has near-zero Jaccard but
+    * containment ≈ 1. The fixture PLANTS the shape so the truth is
+    * known: every 17th doc with ≥ 10 words contributes a synthetic
+    * quote doc (doc_id + 10⁶) holding its first 8 words.
+    *
+    * Candidate rule — the ONE-SIDED prefix filter, provably lossless:
+    * C(A→B) ≥ 0.8 forces |A∩B| ≥ ceil(0.8·n_A), so at least one of A's
+    * n − ceil(4n/5) + 1 RAREST shingles (global df order) must occur in
+    * B. Only the contained side indexes a prefix; the container side
+    * posts ALL its shingles, because a quote can hide anywhere inside it
+    * — asymmetry also means no length-ratio cut exists (that t30 filter
+    * is exactly what makes symmetric Jaccard blind to quotes). Exact
+    * verification via array_intersect on surviving pairs; output is only
+    * the verified pairs with their integer permille containment. */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val quotes = corpus
+      .filter(col("doc_id") % 17 === 0 && size(col("ws")) >= 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+              slice(col("ws"), 1, 8).as("ws"))
+    val base = corpus.unionByName(quotes)
+      .select(col("doc_id"), array_distinct(shingles3(col("ws"))).as("shset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = base.select(col("doc_id"), size(col("shset")).as("n"),
+                           explode(col("shset")).as("sh"))
+    val dfreq = toks.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
+    val pref = toks.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("sh"))))
+      .filter(col("rn") <= col("n") - floor((col("n") * 4 + 4) / 5) + 1)
+      .select(col("sh"), col("doc_id").as("doc_a"))
+    val cand = pref
+      .join(toks.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val out = cand
+      .join(base.select(col("doc_id").as("doc_a"), col("shset").as("sa")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shset").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        size(col("sa")).as("na"))
+      .filter(col("inter") * 5 >= col("na") * 4)
+      .select(col("doc_a"), col("doc_b"),
+        expr("inter * 1000 div na").as("containment_pm"))
+      .localCheckpoint(true)   // verified containments: tiny vs corpus
+    base.unpersist(false)
+    out
+  }
+
+  def containmentQuery(s: SparkSession, d: String): DataFrame =
+    containmentPairs(spread(Tables.documents(s, d)))
+
   val queries: Map[String, Q] = Map(
+    "t44_containment"  -> (containmentQuery _),
     "t06_minhash_sig"  -> (minhashSigQuery _),
     "t07_lsh_buckets"  -> (lshBucketsQuery _),
     "t08_simhash"      -> (simhashQuery _),
@@ -593,6 +652,45 @@ object TextSim {
          JOIN shset sb ON sb.doc_id = b.doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    // same planted quotes, same one-sided prefix candidates, same exact
+    // intersect verify — the filter is lossless so truth == output
+    "t44_containment" -> """
+       WITH d0 AS (
+         SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+         FROM documents),
+       corpus AS (
+         SELECT doc_id, ws FROM d0 WHERE len(ws) >= 3
+         UNION ALL
+         SELECT doc_id + 1000000, ws[1:8] FROM d0
+         WHERE len(ws) >= 10 AND doc_id % 17 = 0),
+       sh AS (
+         SELECT doc_id, [ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                         for i in generate_series(1, len(ws)-2)] AS shs
+         FROM corpus),
+       shset AS (SELECT doc_id, list_distinct(shs) AS shset FROM sh),
+       toks AS (SELECT doc_id, len(shset) AS n, unnest(shset) AS sh FROM shset),
+       dfreq AS (SELECT sh, count(*) AS dfreq FROM toks GROUP BY 1),
+       ranked AS (
+         SELECT t.doc_id, t.n, t.sh,
+                row_number() OVER (PARTITION BY t.doc_id ORDER BY f.dfreq, t.sh) AS rn
+         FROM toks t JOIN dfreq f USING (sh)),
+       pref AS (
+         SELECT doc_id, sh FROM ranked
+         WHERE rn <= n - (4*n + 4) // 5 + 1),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM pref a JOIN toks b USING (sh)
+         WHERE a.doc_id <> b.doc_id),
+       ver AS (
+         SELECT doc_a, doc_b,
+                len(list_intersect(sa.shset, sb.shset)) AS inter,
+                len(sa.shset) AS na
+         FROM cand
+         JOIN shset sa ON sa.doc_id = doc_a
+         JOIN shset sb ON sb.doc_id = doc_b)
+       SELECT doc_a, doc_b,
+              CAST(inter * 1000 // na AS BIGINT) AS containment_pm
+       FROM ver WHERE inter * 5 >= na * 4""",
     "t06_minhash_sig" -> (sigSql +
       "\nSELECT doc_id, k.range AS k, sig[k.range + 1] AS sig_k FROM sig, range(16) k"),
     "t07_lsh_buckets" -> (sigSql + bandsCte + """

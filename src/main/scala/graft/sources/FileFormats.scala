@@ -482,7 +482,24 @@ object FileFormats {
         sum(TextSim.h64(col("_corrupt_record")) % 1000000007L).as("corrupt_sig"))
   }
 
+  /** src11: COMPRESSED text ingestion — the csv.gz landing-zone path
+    * (crawl exports and log drops arrive gzipped far more often than
+    * raw). Write with the gzip codec, read back through Spark's
+    * transparent decompression with an explicit schema, aggregate.
+    * The scale caveat this entry documents: gzip is NOT splittable —
+    * one .gz file = one task regardless of size, so a 100 TB drop must
+    * arrive as many files (this staging write produces one per
+    * partition, the layout that keeps the read parallel). */
+  def gzipCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("csvgz")
+    centsOrders(s, d).write.mode("overwrite")
+      .option("compression", "gzip").option("header", "true").csv(tmp)
+    profile(s.read.schema("o_orderkey LONG, o_custkey LONG, cents LONG")
+      .option("header", "true").csv(tmp))
+  }
+
   val queries: Map[String, Q] = Map(
+    "src11_gzip_csv"        -> (gzipCsvRoundtrip _),
     "src10_permissive_json" -> (permissiveJson _),
     "src01_csv_roundtrip"  -> (csvRoundtrip _),
     "src02_json_roundtrip" -> (jsonRoundtrip _),
@@ -518,6 +535,7 @@ object FileFormats {
                    FILTER (o_orderkey % 7 = 3) AS BIGINT) AS corrupt_sig
          FROM o""",
     "src01_csv_roundtrip"  -> oracle,
+    "src11_gzip_csv"       -> oracle,
     "src02_json_roundtrip" -> oracle,
     "src05_orc_roundtrip"  -> oracle,
     "src03_bucketed_join" ->

@@ -371,6 +371,15 @@ class ArraySpec extends SparkSpec {
     assert(rows(0L) == ((0L, 0.0)) && rows(1L) == ((2L, 3.0)))
   }
 
+  test("matrix power by repeated squaring equals the local fourth power exactly") {
+    val a = DMatrix.randInt(spark, 20, 20, 8, 71L, mod = 10L)
+    val a2 = a.multiply(a)
+    val got = a2.multiply(a2).toLocal
+    val la = a.toLocal
+    val want = la * la * la * la
+    assert(got == want)   // integer-domain: exact
+  }
+
   test("vstack: concatenation along axis 0 matches vertcat") {
     val a = DMatrix.randInt(spark, 32, 13, 8, 73L)   // top block-aligned
     val b = DMatrix.randInt(spark, 21, 13, 8, 79L)   // ragged bottom

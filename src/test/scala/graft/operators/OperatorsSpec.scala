@@ -737,6 +737,25 @@ class OperatorsSpec extends SparkSpec {
       "top-decile precision below base rate — the score carries no signal")
   }
 
+  test("q58 merge indicator: the partition accounts for every key on both sides") {
+    val custByKey = graft.core.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orderKeys = graft.core.Tables.orders(spark, sfDir)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val got = Relational.mergeIndicator(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val nBoth = custByKey.keys.count(orderKeys.contains).toLong
+    val nLeft = custByKey.size - nBoth
+    assert(got.filterKeys(_._2 == "both").values.sum == nBoth)
+    assert(got.filterKeys(_._2 == "left_only").values.sum == nLeft)
+    // right_only keys are orders referencing no customer row
+    val nRight = orderKeys.count(!custByKey.contains(_)).toLong
+    assert(got.filterKeys(_._2 == "right_only").values.sum == nRight)
+    // every customer key lands in exactly one indicator class
+    assert(got.values.sum == nBoth + nLeft + nRight)
+  }
+
   test("q50 clip/impute/drop equals a local brute-force repair") {
     import org.apache.spark.sql.functions._
     val rows = graft.core.Tables.events(spark, sfDir)

@@ -271,6 +271,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("t44 containment: every planted quote is found at 1000 permille; all pairs verify locally") {
+    val docs = graft.core.Tables.documents(spark, sfDir).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim))
+    def shingleSet(ws: Array[String]): Set[String] =
+      if (ws.length < 3) Set.empty
+      else (0 until ws.length - 2).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
+    val corpus = scala.collection.mutable.Map[Long, Set[String]]()
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length >= 3) {
+        corpus(id) = shingleSet(ws)
+        if (id % 17 == 0 && ws.length >= 10)
+          corpus(id + 1000000L) = shingleSet(ws.take(8))
+      }
+    }
+    val got = TextSim.containmentQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every reported pair is a true >= 0.8 containment with the exact permille
+    got.foreach { case (a, b, pm) =>
+      val (sa, sb) = (corpus(a), corpus(b))
+      val inter = sa.intersect(sb).size
+      assert(inter * 5 >= sa.size * 4, s"pair ($a,$b) below threshold")
+      assert(pm == inter.toLong * 1000 / sa.size, s"pair ($a,$b) permille")
+    }
+    // completeness on the planted shape: each quote is contained in its source
+    val planted = corpus.keys.filter(_ >= 1000000L).map(q => (q, q - 1000000L))
+    assert(planted.nonEmpty)
+    planted.foreach { case (q, src) =>
+      assert(got.exists(g => g._1 == q && g._2 == src && g._3 == 1000L),
+        s"planted quote $q not reported inside $src")
+    }
+    // the asymmetry is real: no source is reported as contained in its quote
+    planted.foreach { case (q, src) =>
+      assert(!got.exists(g => g._1 == src && g._2 == q),
+        s"container $src wrongly reported as contained in its quote")
+    }
+  }
+
   test("e07 MIPS: matches local truth, and the norm-augmentation reduction preserves its order") {
     import org.apache.spark.sql.functions._
     // local quantized copy of the fixture

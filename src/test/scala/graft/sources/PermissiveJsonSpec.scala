@@ -37,4 +37,25 @@ class PermissiveJsonSpec extends SparkSpec {
       .map(o => s"""{"o_orderkey":${o._1},"o_custkey":""").sorted
     assert(staged.toSeq == want.toSeq)
   }
+
+  test("src11: the gzip codec is really applied and the round-trip is lossless") {
+    val row = FileFormats.gzipCsvRoundtrip(spark, sfDir).collect().head
+    val orders = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(row.getLong(0) == orders.length)
+    assert(row.getLong(1) == orders.map(_._2).sum)
+    assert(row.getLong(2) == orders.map(_._1).sum)
+    // on-disk files must actually be gzip members (magic 1f 8b)
+    val files = java.nio.file.Files.list(
+        java.nio.file.Paths.get(FileFormats.scratch("csvgz")))
+      .toArray.map(_.toString).filter(_.endsWith(".gz"))
+    assert(files.nonEmpty, "no .gz part files written")
+    files.foreach { f =>
+      val head = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(f))
+      val (b0, b1) = (head.read(), head.read()); head.close()
+      assert(b0 == 0x1f && b1 == 0x8b, s"$f lacks the gzip magic")
+    }
+  }
 }
