@@ -49,6 +49,14 @@ object PlanDump {
       "Nearest-direction as-of join: ZERO join operators — both direction neighbors come from running last() windows (ascending + descending) over one full union exchange; the purchase collapse pre-aggregates its own small exchange.",
     "q50_impute_clip" ->
       "Clean/impute (clip + grouped fillna + dropna): ONE hashpartitioning(user_id) exchange serves both whole-partition window aggregates (count + sum share a single Window operator); the imputation is a coalesce in the same projection — no join anywhere.",
+    "q54_dedup_keep_last" ->
+      "keep='last' dedup as an aggregation: max_by over the packed order key plans as partial → exchange → final HashAggregate (one state row per key, map-side combined) — no Window operator and no sort of the duplicates.",
+    "q56_qcut" ->
+      "qcut labeling: the quartile boundaries (driver-coordinated rankScan output, groups×3 rows) come back as a BroadcastHashJoin build side — the fact scan is labeled map-side and its only exchange is the final (group, bucket) aggregation, not a re-shuffle for labels.",
+    "q57_ohlc" ->
+      "OHLC resample: open/high/low/close/count all evaluate in ONE HashAggregate pair (partial min_by/max_by/min/max combine map-side) over a single hashpartitioning(user_id, week) exchange — no window, no sort, no join.",
+    "t40_hll_sketch" ->
+      "HLL registers: token hash → bucket → leading-zero rank all fuse into the scan projection; the register max partial-combines before its (lang, bucket) exchange, so state per task is 256 longs per language regardless of corpus size; the ALL row reuses the register frame (elementwise-max merge), never the token stream.",
     "t39_bpe_pairs" ->
       "BPE pair counting: the pair explode fuses into the scan, counts partial-combine, and the global top-50 rank filter rewrites to TopKPerKey (map-side bounded heaps) — no Window, no global sort of the pair vocabulary. (q44/q30's quartiles now run driver-coordinated rank probes over a range exchange — their returned frames are LocalTableScans, so the interesting structure lives in Relational.rankScan, not a dumpable plan.)",
   )
