@@ -659,7 +659,17 @@ object ArrayQueries {
     a2.multiply(a2).toCoords
   }
 
+  /** a44: banded extraction (j − i ∈ [−3, 5]) of a 64² matrix — the
+    * offset tril/triu family (`da.tril(A, k)`): off-band BLOCKS are
+    * pruned before any cell is read, straddlers mask in place, so cost
+    * follows the band volume. The oracle mirrors both the cell mask AND
+    * the block-pruning row set (pruned blocks emit nothing, masked
+    * cells emit zero — same contract as a04). */
+  def bandEntry(s: SparkSession, d: String): DataFrame =
+    DMatrix.randInt(s, 64, 64, BS, 83L).band(3, 5).toCoords
+
   val queries: Map[String, Q] = Map(
+    "a44_band"           -> (bandEntry _),
     "a43_matrix_power"   -> (matrixPowerEntry _),
     "a42_nan_stats"      -> (nanStatsEntry _),
     "a41_digitize"       -> (digitizeEntry _),
@@ -706,6 +716,14 @@ object ArrayQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same cell mask + the same block-level pruning row set
+    "a44_band" ->
+      s"""WITH ${matSql("s", 64, 64, 83)}
+          SELECT i, j,
+                 CASE WHEN j - i BETWEEN -3 AND 5 THEN v ELSE 0.0 END AS v
+          FROM s
+          WHERE ((j//16)*16 + 15) - (i//16)*16 >= -3
+            AND (j//16)*16 - ((i//16)*16 + 15) <= 5""",
     // A⁴ as the associative three-join closed form (A²·A²)
     "a43_matrix_power" ->
       s"""WITH ${matSql("a", 48, 48, 67, mod = 10)},

@@ -383,6 +383,43 @@ class DMatrix(
     new DMatrix(kept, nRows, nCols, blockSize)
   }
 
+  /** Banded extraction — the offset generalization of [[tril]] covering
+    * dask's `da.tril(A, k)` / `da.triu(A, k)` family: keep a[i,j] where
+    * j − i ∈ [−lower, upper]. Blocks lying entirely outside the band are
+    * PRUNED before any cell is touched (the diagonal-overlap test on
+    * block coordinates), so cost scales with the band volume, not the
+    * matrix; straddling blocks mask in place. */
+  def band(lower: Int, upper: Int): DMatrix = {
+    require(lower >= 0 && upper >= 0, "band offsets are nonnegative widths")
+    import blocks.sparkSession.implicits._
+    val bs = blockSize
+    val kept = blocks.filter { (b: Block) =>
+      val minDiag = b.bj.toLong * bs - (b.bi.toLong * bs + b.rows - 1)
+      val maxDiag = (b.bj.toLong * bs + b.cols - 1) - b.bi.toLong * bs
+      maxDiag >= -lower.toLong && minDiag <= upper.toLong
+    }.map { b =>
+      val minDiag = b.bj.toLong * bs - (b.bi.toLong * bs + b.rows - 1)
+      val maxDiag = (b.bj.toLong * bs + b.cols - 1) - b.bi.toLong * bs
+      if (minDiag >= -lower.toLong && maxDiag <= upper.toLong) b // fully inside
+      else {
+        val out = b.data.clone()
+        var j = 0
+        while (j < b.cols) {
+          val gj = b.bj.toLong * bs + j
+          var i = 0
+          while (i < b.rows) {
+            val d = gj - (b.bi.toLong * bs + i)
+            if (d < -lower || d > upper) out(i + j * b.rows) = 0.0
+            i += 1
+          }
+          j += 1
+        }
+        b.copy(data = out)
+      }
+    }
+    new DMatrix(kept, nRows, nCols, blockSize)
+  }
+
   /** Row sums / col sums (dask `x.sum(axis=…)`): per-block partial vector,
     * reduceByKey on the block index — classic partial aggregation, the
     * shuffle carries nb small vectors, never the matrix. */

@@ -55,7 +55,7 @@ object Cluster {
 
   /** One codebook update: partial-aggregated (cell, dim) sums — k·64
     * groups — collected to the driver as floored integer means. */
-  private def updateCents(assigned: DataFrame): Seq[(Long, Array[Long])] =
+  private[graft] def updateCents(assigned: DataFrame): Seq[(Long, Array[Long])] =
     assigned
       .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
       .groupBy(col("cell"), col("dim"))
@@ -163,7 +163,39 @@ object Cluster {
   def semanticDedupQuery(s: SparkSession, d: String): DataFrame =
     semanticDedup(TextSim.spread(Tables.embeddings(s, d)))
 
+  /** e11: clustering QUALITY profile — per-cell inertia (Σ‖q − c‖²),
+    * squared radius (max member distance) and membership, the
+    * k-means diagnostics (elbow curves, Davies–Bouldin inputs, cell
+    * rebalancing decisions) read off a fitted codebook. Every distance
+    * is EXACT INTEGER (quantized vectors × floored integer centroids:
+    * qn − 2·q·c + cn), so the profile hash-matches the oracle's
+    * closed-form reconstruction of the same two Lloyd rounds. Scale
+    * shape: the codebook broadcasts (k rows), distances evaluate
+    * map-side in the fused dot-product kernel, and one k-row aggregate
+    * leaves the cluster — the corpus never shuffles. */
+  def clusterProfile(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val lastAssign = assignDF(emb, k, iters)
+    val cents = updateCents(lastAssign)
+    val centDf = cents.map { case (cell, cv) => (cell, cv) }.toDF("cell", "cv")
+    val sq = col("qn") -
+      lit(2L) * graft.functions.ArrayDotLong.dotLong(col("qv"), col("cv")) +
+      graft.functions.ArrayDotLong.dotLong(col("cv"), col("cv"))
+    lastAssign
+      .join(broadcast(centDf), "cell")
+      .withColumn("sq", sq)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+           sum(col("sq")).as("inertia"),
+           max(col("sq")).as("max_sq_radius"))
+  }
+
+  def clusterProfileQuery(s: SparkSession, d: String): DataFrame =
+    clusterProfile(TextSim.spread(Tables.embeddings(s, d)), k = 8, iters = 2)
+
   val queries: Map[String, Q] = Map(
+    "e11_cluster_profile" -> (clusterProfileQuery _),
     "ml04_kmeans" -> (kmeansQuery _),
     "e06_semantic_dedup" -> (semanticDedupQuery _),
   )
@@ -199,6 +231,23 @@ object Cluster {
                  FROM q v, c1 c GROUP BY v.vec_id, v.qv)"""
 
   val oracles: Map[String, String] = Map(
+    // same two Lloyd rounds, same floored integer codebook, same exact
+    // integer distances — inertia/radius are pure BIGINT sums
+    "e11_cluster_profile" -> (assignCte + """,
+          c2 AS (SELECT cell, list(comp ORDER BY i) AS cv FROM (
+                   SELECT a2.cell, d.i,
+                          CAST(floor(CAST(sum(a2.qv[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS comp
+                   FROM a2, dims d GROUP BY a2.cell, d.i) t
+                 GROUP BY cell)
+          SELECT a2.cell, count(*) AS n_members,
+                 CAST(sum(CAST(list_dot_product(a2.qv, a2.qv) AS BIGINT)
+                          - 2*CAST(list_dot_product(a2.qv, c2.cv) AS BIGINT)
+                          + CAST(list_dot_product(c2.cv, c2.cv) AS BIGINT)) AS BIGINT) AS inertia,
+                 CAST(max(CAST(list_dot_product(a2.qv, a2.qv) AS BIGINT)
+                          - 2*CAST(list_dot_product(a2.qv, c2.cv) AS BIGINT)
+                          + CAST(list_dot_product(c2.cv, c2.cv) AS BIGINT)) AS BIGINT) AS max_sq_radius
+          FROM a2 JOIN c2 USING (cell)
+          GROUP BY a2.cell"""),
     "ml04_kmeans" -> (assignCte + """,
           c2 AS (SELECT cell, list(comp ORDER BY i) AS cv FROM (
                    SELECT a2.cell, d.i,

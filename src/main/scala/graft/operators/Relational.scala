@@ -1267,6 +1267,45 @@ object Relational {
            sum(col("cents")).as("sum_cents"))
   }
 
+  /** q59: pandas/dask `df.groupby(k).x.agg(list)` — group rows into an
+    * ARRAY column, the collection shape feature stores and sequence
+    * models consume. `collect_list` keeps duplicates (pandas
+    * semantics); `sort_array` fixes the nondeterministic gather order so
+    * the arrays are hash-comparable. The inherent caveat is the same as
+    * pandas': per-group state is the group's rows — fine for bounded
+    * groups (a user's event types), the wrong tool for unbounded ones
+    * (that's what the aggregate entries are for). */
+  def groupList(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("event_type"))).as("types"),
+           count(lit(1)).as("n"))
+
+  /** q60: the NOT IN / NOT EXISTS NULL-semantics corner — the classic
+    * production trap this engine must get right, not merely avoid: a
+    * NULL in a NOT IN subquery makes the predicate UNKNOWN for every
+    * probe row (three-valued logic), so the query returns 0 rows, while
+    * NOT EXISTS does the anti-join people actually meant. One SQL text
+    * runs on both engines (the q51 front-door discipline), returning
+    * both counts side by side plus the NULL count that causes the
+    * divergence — a hash match proves both engines implement the same
+    * standard semantics. */
+  private val Q60Sql =
+    """WITH sub AS (SELECT DISTINCT nullif(event_type, 'error') AS k FROM events),
+       seg AS (SELECT DISTINCT c_mktsegment AS s FROM customer)
+       SELECT
+         (SELECT count(*) FROM seg WHERE s NOT IN (SELECT k FROM sub)) AS n_not_in,
+         (SELECT count(*) FROM seg
+          WHERE NOT EXISTS (SELECT 1 FROM sub WHERE k = s)) AS n_not_exists,
+         (SELECT count(*) FROM sub WHERE k IS NULL) AS n_null_keys,
+         (SELECT count(*) FROM seg) AS n_probe"""
+
+  def notInNulls(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(Q60Sql)
+  }
+
   /** q51: the SQL FRONT DOOR — the whole query as one `spark.sql` text
     * over a registered view (`spark.read` → `createOrReplaceTempView` →
     * ANSI SQL), the entry path a SQL-first user of the engine takes
@@ -1353,6 +1392,8 @@ object Relational {
     "q56_qcut"              -> (qcutBuckets _),
     "q57_ohlc"              -> (ohlcResample _),
     "q58_merge_indicator"   -> (mergeIndicator _),
+    "q59_group_list"        -> (groupList _),
+    "q60_not_in_nulls"      -> (notInNulls _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1650,6 +1691,13 @@ object Relational {
            FROM c)
          SELECT user_id, event_type AS mode_type, cnt AS mode_n
          FROM r WHERE rn = 1""",
+    // list agg with a deterministic sort; arrays compare through duckdb
+    "q59_group_list" ->
+      """SELECT user_id, list_sort(list(event_type)) AS types, count(*) AS n
+         FROM events GROUP BY 1""",
+    // ONE SQL text, two engines (q51 discipline): both must implement
+    // the standard three-valued NOT IN semantics
+    "q60_not_in_nulls" -> Q60Sql,
     // same outer join, same null-ness indicator, same rollup
     "q58_merge_indicator" ->
       """WITH c AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer),

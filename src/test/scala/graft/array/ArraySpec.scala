@@ -380,6 +380,29 @@ class ArraySpec extends SparkSpec {
     assert(got == want)   // integer-domain: exact
   }
 
+  test("band: offset diagonal masks match local, off-band blocks are pruned") {
+    val m = DMatrix.randInt(spark, 37, 29, 8, 97L)   // ragged grid
+    val (lower, upper) = (2, 4)
+    val banded = m.band(lower, upper)
+    val got = banded.toLocal
+    val local = m.toLocal
+    val want = breeze.linalg.DenseMatrix.tabulate(37, 29) { (i, j) =>
+      if (j - i >= -lower && j - i <= upper) local(i, j) else 0.0
+    }
+    assert(got == want)
+    // pruning really happened: kept blocks < total blocks for a thin band
+    val keptBlocks = banded.blocks.count()
+    val totalBlocks = m.blocks.count()
+    assert(keptBlocks < totalBlocks,
+      s"thin band kept all $totalBlocks blocks — no pruning")
+    // every kept block intersects the band
+    banded.blocks.collect().foreach { b =>
+      val minDiag = b.bj.toLong * 8 - (b.bi.toLong * 8 + b.rows - 1)
+      val maxDiag = (b.bj.toLong * 8 + b.cols - 1) - b.bi.toLong * 8
+      assert(maxDiag >= -lower && minDiag <= upper, s"block (${b.bi},${b.bj}) off-band")
+    }
+  }
+
   test("vstack: concatenation along axis 0 matches vertcat") {
     val a = DMatrix.randInt(spark, 32, 13, 8, 73L)   // top block-aligned
     val b = DMatrix.randInt(spark, 21, 13, 8, 79L)   // ragged bottom

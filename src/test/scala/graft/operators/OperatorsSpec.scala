@@ -756,6 +756,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.sum == nBoth + nLeft + nRight)
   }
 
+  test("q59 group list: arrays equal the locally gathered, sorted multisets") {
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = rows.groupBy(_._1).map { case (u, vs) =>
+      (u, vs.map(_._2).sorted.toSeq, vs.length.toLong) }.toSet
+    val got = Relational.groupList(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq, r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
+  test("q60: NOT IN collapses to zero under a NULL key while NOT EXISTS anti-joins") {
+    val row = Relational.notInNulls(spark, sfDir).collect().head
+    val (nNotIn, nNotExists, nNulls, nProbe) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nNulls == 1L, "the nullif fixture must plant exactly one NULL key")
+    assert(nNotIn == 0L, "three-valued logic: NOT IN over a NULL-bearing list is never TRUE")
+    // segments share no value with event types, so NOT EXISTS keeps them all
+    assert(nNotExists == nProbe && nProbe > 0)
+  }
+
   test("q50 clip/impute/drop equals a local brute-force repair") {
     import org.apache.spark.sql.functions._
     val rows = graft.core.Tables.events(spark, sfDir)

@@ -188,6 +188,35 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"false near-dups: ${pairs - ((1L, 2L))}")
   }
 
+  test("e11 cluster profile: inertia and radius equal a local recomputation from the assignment") {
+    import org.apache.spark.sql.functions._
+    val assign = graft.ml.Cluster.assignDF(
+      graft.core.Tables.embeddings(spark, sfDir), k = 8, iters = 2)
+      .select("vec_id", "qv", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents = assign.groupBy(_._3).map { case (cell, vs) =>
+      val dims = vs.head._2.length
+      cell -> Array.tabulate(dims) { d =>
+        math.floor(vs.map(_._2(d)).sum.toDouble / vs.length).toLong }
+    }
+    val expect = assign.groupBy(_._3).map { case (cell, vs) =>
+      val c = cents(cell)
+      val sqs = vs.map(v => dot(v._2, v._2) - 2 * dot(v._2, c) + dot(c, c))
+      (cell, vs.length.toLong, sqs.sum, sqs.max)
+    }.toSet
+    val got = graft.ml.Cluster.clusterProfile(
+      graft.core.Tables.embeddings(spark, sfDir), k = 8, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    // sanity: every cell's max radius bounds its mean squared distance
+    got.foreach { case (cell, n, inertia, maxSq) =>
+      assert(inertia <= maxSq * n, s"cell $cell inertia exceeds n·radius²")
+      assert(inertia >= 0 && maxSq >= 0)
+    }
+  }
+
   test("e06: semantic dedup prunes exactly the lower-id-near-dup closure, independently re-derived") {
     import graft.ml.Cluster
     val emb = TextSim.spread(graft.core.Tables.embeddings(spark, sfDir))
