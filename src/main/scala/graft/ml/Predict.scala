@@ -326,8 +326,33 @@ object Predict {
         round(mean, 6).as("mean"), round(std, 6).as("std"))
   }
 
+  /** ml09: one-hot encoding (dask_ml/pandas `get_dummies` after
+    * `categorize`) — the categorical-to-numeric expansion every tabular
+    * model pipeline runs. Faithful two-pass shape: pass 1 DISCOVERS the
+    * category set (a distinct over the column — the dask `categorize`
+    * step; the collect is bounded by category cardinality, never data
+    * size), pass 2 expands each discovered category into a 0/1 dummy
+    * column in ONE map-side projection — no shuffle beyond the final
+    * per-nation aggregation, which partial-combines. Output stays
+    * bounded (nations × (2 + |categories|) exact integers). The oracle
+    * pins the discovered set (the five TPC-H segments, sorted) — same
+    * dynamic-schema contract pandas has: column set = category set. */
+  def oneHotDummies(s: SparkSession, d: String): DataFrame = {
+    val c = graft.core.Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"))
+    val cats = c.select(col("c_mktsegment")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val dummies = cats.toSeq.map { seg =>
+      sum(when(col("c_mktsegment") === seg, 1L).otherwise(0L))
+        .as("seg_" + seg.toLowerCase)
+    }
+    c.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), dummies: _*)
+  }
+
   val queries: Map[String, Q] = Map(
     "ml08_std_scaler"    -> (standardScaler _),
+    "ml09_onehot"        -> (oneHotDummies _),
     "ml01_predict"       -> (predictLineitem _),
     "ml02_predict_bench" -> (predictGenerated _),
     "ml03_predict_svc"   -> (predictSvc _),
@@ -337,6 +362,16 @@ object Predict {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle pins the discovered category set (pass-1 distinct,
+    // sorted): the five TPC-H market segments of the fixture
+    "ml09_onehot" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+                CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS seg_automobile,
+                CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS seg_building,
+                CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS seg_furniture,
+                CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS seg_household,
+                CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS seg_machinery
+         FROM customer GROUP BY 1""",
     // same integer power sums per dimension, same single float tail:
     // (q − sx/n) / sqrt((n·sxx − sx·sx)/(n·(n−1))), rounded once
     "ml08_std_scaler" ->

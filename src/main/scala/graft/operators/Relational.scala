@@ -1333,6 +1333,90 @@ object Relational {
     s.sql(Q51Sql)
   }
 
+  /** q61: dask/pandas `df.ewm(alpha=0.2, adjust=False).mean()` — the
+    * exponentially weighted moving average, the smoothing primitive the
+    * rolling-window family (q08/q24/q45) can't express because its
+    * recursion y_t = α·x_t + (1−α)·y_{t−1} carries state across the
+    * whole history. EWM is inherently a sequential scan per key — that
+    * is exactly how dask/pandas run it (partition by key, time-ordered
+    * pass), so the honest Spark shape is `groupByKey` owning the ONE
+    * hash exchange and a per-group O(span) imperative fold, state = one
+    * double. Spans are per-user event streams (bounded by a user's
+    * activity, the same bounded-group argument as q59/g01); the keyed
+    * exchange scales out with user cardinality. FP determinism: both
+    * engines evaluate the same double expression 0.2·x + 0.8·y over the
+    * same (ts-ordered, tie-free) sequence → bit-identical doubles; the
+    * oracle mirrors the recursion with a recursive CTE and the single
+    * round(·,6) happens once, at output. */
+  def ewmaPerUser(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, rows) =>
+        // (user_id, ts) is unique in the fixture and micros-ordering
+        // equals timestamp-ordering, so the scan order is total and
+        // engine-independent
+        val arr = rows.toArray.sortBy(_._2)
+        var y = 0.0
+        arr.iterator.zipWithIndex.map { case ((_, _, c), i) =>
+          y = if (i == 0) c.toDouble else 0.2 * c.toDouble + 0.8 * y
+          (uid, (i + 1).toLong, y)
+        }
+      }
+      .toDF("user_id", "rn", "y")
+      .select(col("user_id"), col("rn"), round(col("y"), 6).as("ewma"))
+  }
+
+  /** q62: Spearman rank correlation per group — the robust dependence
+    * measure data-quality sweeps use when Pearson (q49) is distorted by
+    * outliers. Min-rank tie handling keeps the whole computation in the
+    * exact integer domain: ranks come from a VALUE-FREQUENCY DIM (≤50
+    * distinct quantities / ≤11 distinct discount-cents per group), not
+    * from sorting the fact table — rank(v) = (running count of values
+    * ≤ v) − cnt(v) + 1 over the tiny dim, broadcast back onto the fact
+    * scan. The fact table never sorts and never re-shuffles for its
+    * ranks; the only full-data exchange is the final per-group power-sum
+    * agg (partial-aggregable). Sums accumulate as decimal(38,0) —
+    * rank products are n², so a 64-bit sum overflows around n≈2M rows
+    * per group; decimal keeps the integer domain exact at any scale —
+    * and the q49 closed-form corr runs ONE double tail, mirrored
+    * token-for-token by the oracle. */
+  def spearmanRanks(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("k"),
+      round(col("l_quantity")).cast("long").as("x"),
+      round(col("l_discount") * 100).cast("long").as("y"))
+    def rankDim(v: String, rk: String): DataFrame = {
+      val w = Window.partitionBy(col("k")).orderBy(col(v))
+      li.groupBy(col("k"), col(v)).agg(count(lit(1)).as("cnt"))
+        .select(col("k"), col(v),
+                (sum(col("cnt")).over(w) - col("cnt") + lit(1L)).as(rk))
+    }
+    val ranked = li
+      .join(broadcast(rankDim("x", "rx")), Seq("k", "x"))
+      .join(broadcast(rankDim("y", "ry")), Seq("k", "y"))
+    val dec = "decimal(38,0)"
+    val sums = ranked.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      sum(col("rx").cast(dec)).as("sx"),
+      sum(col("ry").cast(dec)).as("sy"),
+      sum((col("rx").cast(dec)) * (col("ry").cast(dec))).as("sxy"),
+      sum((col("rx").cast(dec)) * (col("rx").cast(dec))).as("sxx"),
+      sum((col("ry").cast(dec)) * (col("ry").cast(dec))).as("syy"))
+    val nd = col("n").cast("double")
+    val (sxd, syd) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxyd, sxxd, syyd) =
+      (col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    sums.select(col("k"), col("n"),
+      round((nd * sxyd - sxd * syd) /
+            sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+        .as("spearman_rho"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_project_filter"    -> (projectFilter _),
@@ -1394,6 +1478,8 @@ object Relational {
     "q58_merge_indicator"   -> (mergeIndicator _),
     "q59_group_list"        -> (groupList _),
     "q60_not_in_nulls"      -> (notInNulls _),
+    "q61_ewma"              -> (ewmaPerUser _),
+    "q62_spearman"          -> (spearmanRanks _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1698,6 +1784,53 @@ object Relational {
     // ONE SQL text, two engines (q51 discipline): both must implement
     // the standard three-valued NOT IN semantics
     "q60_not_in_nulls" -> Q60Sql,
+    // the same α·x + (1−α)·y double recursion over the same ts-ordered
+    // sequence (0.2e0/0.8e0 force DOUBLE literals — a bare 0.2 is
+    // DECIMAL in DuckDB and would change the rounding), rounded once
+    "q61_ewma" ->
+      """WITH RECURSIVE t AS (
+           SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+                  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+                       AS BIGINT) AS rn
+           FROM events WHERE value IS NOT NULL),
+         r AS (
+           SELECT user_id, rn, CAST(cents AS DOUBLE) AS y FROM t WHERE rn = 1
+           UNION ALL
+           SELECT t.user_id, t.rn,
+                  0.2e0 * CAST(t.cents AS DOUBLE) + 0.8e0 * r.y
+           FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+         SELECT user_id, rn, round(y, 6) AS ewma FROM r""",
+    // same min-ranks from the value-frequency dim, same exact integer
+    // power sums, same single corr tail
+    "q62_spearman" ->
+      """WITH li AS (
+           SELECT l_returnflag AS k, CAST(round(l_quantity) AS BIGINT) AS x,
+                  CAST(round(l_discount*100) AS BIGINT) AS y
+           FROM lineitem),
+         fx AS (SELECT k, x, count(*) AS cnt FROM li GROUP BY 1, 2),
+         rx AS (SELECT k, x, CAST(sum(cnt) OVER (PARTITION BY k ORDER BY x)
+                                  - cnt + 1 AS BIGINT) AS rx FROM fx),
+         fy AS (SELECT k, y, count(*) AS cnt FROM li GROUP BY 1, 2),
+         ry AS (SELECT k, y, CAST(sum(cnt) OVER (PARTITION BY k ORDER BY y)
+                                  - cnt + 1 AS BIGINT) AS ry FROM fy),
+         j AS (SELECT li.k, rx.rx, ry.ry FROM li
+               JOIN rx ON li.k = rx.k AND li.x = rx.x
+               JOIN ry ON li.k = ry.k AND li.y = ry.y),
+         s AS (SELECT k, count(*) AS n,
+                      sum(rx) AS sx, sum(ry) AS sy,
+                      sum(CAST(rx AS HUGEINT)*ry) AS sxy,
+                      sum(CAST(rx AS HUGEINT)*rx) AS sxx,
+                      sum(CAST(ry AS HUGEINT)*ry) AS syy
+               FROM j GROUP BY 1)
+         SELECT k, n,
+                round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+                  AS spearman_rho
+         FROM s""",
     // same outer join, same null-ness indicator, same rollup
     "q58_merge_indicator" ->
       """WITH c AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer),

@@ -301,6 +301,34 @@ object TextOps {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** t45: WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    * A-ES) — t15's stratified sampler picks rows uniformly; corpus
+    * curation usually wants probability ∝ weight (here: doc length, so
+    * a length-balanced token budget). A-ES turns that into a pure
+    * top-k: key_i = −ln(u_i)/w_i with u_i uniform — the k SMALLEST keys
+    * are a weighted sample without replacement. u_i comes from the
+    * repo's deterministic md5→60-bit-uniform recipe, never rand(), so
+    * the draw is idempotent under retries and engine-independent:
+    * identical integer h → identical double u (the 2⁶⁰ divisor is a
+    * power of two — exact scaling) → identical −ln(u)/w → the same
+    * ordering on both engines. Scale shape: the key is map-side (fused
+    * into the scan); the per-language rank-≤ k filter rewrites to
+    * TopKPerKey (bounded per-partition heaps), so the shuffle carries
+    * ≤ k·P rows per stratum, never the corpus. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(1.152921504606846976e18)
+    val skey = -log(u) / col("n_chars").cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"), skey.as("skey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("rank"))
+  }
+
   /** Global vocabulary top-k: explode normalized tokens, count, keep the
     * 100 most frequent with a total (count desc, token) order. The
     * rank-filter spelling hits the TopKPerKey rewrite with an EMPTY
@@ -995,6 +1023,7 @@ object TextOps {
     "t13_kmv_sketch"   -> (kmvSketch _),
     "t14_clean_corpus" -> (cleanCorpusProfile _),
     "t15_stratified_sample" -> (stratifiedSample _),
+    "t45_weighted_sample" -> (weightedSample _),
     "t16_vocab_topk"   -> (vocabulary _),
     "t17_seq_chunks"   -> (sequenceChunks _),
     "t18_domain_mix"   -> (domainMix _),
@@ -1182,6 +1211,18 @@ object TextOps {
          sel AS (SELECT k.lang, k.n_tokens FROM dd JOIN kept k ON k.doc_id = dd.doc_id)
          SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM sel GROUP BY lang""",
+    // same md5→uniform→−ln(u)/w key, same (key, doc_id) order, same k
+    "t45_weighted_sample" ->
+      """WITH k AS (
+           SELECT lang, doc_id, n_chars,
+                  -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            AS DOUBLE) + 1.0e0) / 1.152921504606846976e18)
+                    / CAST(n_chars AS DOUBLE) AS skey
+           FROM documents)
+         SELECT lang, doc_id, n_chars,
+                CAST(row_number() OVER (PARTITION BY lang
+                                        ORDER BY skey, doc_id) AS INT) AS rank
+         FROM k QUALIFY rank <= 20""",
     "t15_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100

@@ -177,6 +177,28 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("ml09 one-hot: dummies partition each nation's count and recover the segment histogram") {
+    val got = Predict.oneHotDummies(spark, sfDir).collect()
+    val segCols = Predict.oneHotDummies(spark, sfDir).columns.drop(2)
+    // pass-1 category discovery must surface every segment present
+    val segs = graft.core.Tables.customer(spark, sfDir)
+      .select("c_mktsegment").distinct().collect().map(_.getString(0)).sorted
+    assert(segCols.toSeq == segs.toSeq.map("seg_" + _.toLowerCase))
+    got.foreach { r =>
+      val n = r.getLong(1)
+      val dummies = segCols.indices.map(i => r.getLong(2 + i))
+      assert(dummies.sum == n, s"dummies of nation ${r.get(0)} don't partition n_cust")
+      assert(dummies.forall(_ >= 0))
+    }
+    // column sums reproduce the global segment histogram
+    val hist = graft.core.Tables.customer(spark, sfDir)
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    segs.zipWithIndex.foreach { case (seg, i) =>
+      assert(got.map(_.getLong(2 + i)).sum == hist(seg), s"column sum for $seg")
+    }
+  }
+
   test("timeseries generator: bounds, frequency and value domain") {
     val ts = Generators.makeTimeseries(spark, 500, 946684800L, 7200L, 1L)
     assert(ts.count() == 500)

@@ -777,6 +777,95 @@ class OperatorsSpec extends SparkSpec {
     assert(nNotExists == nProbe && nProbe > 0)
   }
 
+  test("q61 ewma: matches a local per-user recursion and converges toward the tail") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")),
+              round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).iterator.flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(_._2)
+      var y = 0.0
+      sorted.iterator.zipWithIndex.map { case ((_, _, c), i) =>
+        y = if (i == 0) c.toDouble else 0.2 * c.toDouble + 0.8 * y
+        ((u, (i + 1).toLong),
+         BigDecimal(y).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toMap
+    val got = Relational.ewmaPerUser(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - expect(k)) < 1e-9, s"ewma mismatch at $k: $v vs ${expect(k)}")
+    }
+    // smoothing invariant: every ewma stays inside the running value envelope
+    rows.groupBy(_._1).foreach { case (u, evs) =>
+      val sorted = evs.sortBy(_._2).map(_._3)
+      sorted.indices.foreach { i =>
+        val prefix = sorted.take(i + 1)
+        val e = got((u, (i + 1).toLong))
+        assert(e >= prefix.min - 1e-6 && e <= prefix.max + 1e-6,
+          s"ewma escaped the prefix envelope for user $u at rn ${i + 1}")
+      }
+    }
+  }
+
+  test("q62 spearman: equals brute-force Pearson over local min-ranks") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), round(col("l_quantity")).cast("long"),
+              round(col("l_discount") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (k, g) =>
+      def minRanks(vs: Seq[Long]): Seq[Long] = {
+        val below = vs.distinct.map(v => v -> (vs.count(_ < v) + 1L)).toMap
+        vs.map(below)
+      }
+      val rx = minRanks(g.map(_._2).toSeq)
+      val ry = minRanks(g.map(_._3).toSeq)
+      val n = g.length.toDouble
+      def s(xs: Seq[Long]) = xs.map(BigInt(_)).sum.toDouble
+      val (sx, sy) = (s(rx), s(ry))
+      val sxy = s(rx.zip(ry).map { case (a, b) => a * b })
+      val (sxx, syy) = (s(rx.map(v => v * v)), s(ry.map(v => v * v)))
+      k -> (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    val got = Relational.spearmanRanks(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, rho) =>
+      assert(math.abs(rho) <= 1.0 + 1e-12, s"|rho| > 1 for $k")
+      assert(math.abs(rho - expect(k)) < 1e-5, s"rho mismatch for $k: $rho vs ${expect(k)}")
+    }
+  }
+
+  test("t45 weighted sample: the kept set IS the local A-ES top-20 per language") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("lang", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def key(docId: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      -math.log((h.toDouble + 1.0) / 1.152921504606846976e18) / w.toDouble
+    }
+    val expect = docs.groupBy(_._1).iterator.flatMap { case (lang, g) =>
+      g.map(d => (lang, d._2, key(d._2, d._3)))
+        .sortBy(t => (t._3, t._2)).take(20).zipWithIndex
+        .map { case ((l, id, _), i) => (l, id, i + 1) }
+    }.toSet
+    val got = TextOps.weightedSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == expect)
+    // ranks are contiguous 1..min(20, stratum size) per language
+    got.groupBy(_._1).foreach { case (lang, g) =>
+      val ranks = g.map(_._3).toSeq.sorted
+      assert(ranks == (1 to ranks.length), s"non-contiguous ranks for $lang")
+    }
+  }
+
   test("q50 clip/impute/drop equals a local brute-force repair") {
     import org.apache.spark.sql.functions._
     val rows = graft.core.Tables.events(spark, sfDir)
