@@ -1417,7 +1417,46 @@ object Relational {
         .as("spearman_rho"))
   }
 
+  /** q63: rolling correlation — `df.rolling(20).corr(other)` — the
+    * pairwise drift detector for co-moving series (price vs quantity
+    * here), the windowed sibling of q49's static corr. All six power
+    * sums (n, Σx, Σy, Σxy, Σx², Σy²) ride ONE trailing 20-row frame
+    * per supplier — sliding-frame integer sums are incrementally
+    * maintained and order-exact on both engines — and the corr closed
+    * form runs once per row as the single double tail. Degenerate
+    * windows (n<2 or zero variance) gate on EXACT integer comparisons,
+    * so the null set is engine-independent. Scale: partitioned on the
+    * high-cardinality supplier key, O(1) frame state per row, one
+    * exchange. The cross-term products stay well inside int64 at any
+    * window width (the frame bounds the sum at 20 terms; only the
+    * per-key exchange grows with data). */
+  def rollingCorr(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("sk"))
+      .orderBy(col("sd"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-19, 0)
+    val base = Tables.lineitem(s, d).select(
+      col("l_suppkey").as("sk"), col("l_orderkey"), col("l_linenumber"),
+      col("l_shipdate").as("sd"),
+      round(col("l_quantity")).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val sums = base.select(
+      col("sk"), col("l_orderkey"), col("l_linenumber"),
+      count(lit(1)).over(w).as("n"),
+      sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+      sum(col("x") * col("y")).over(w).as("sxy"),
+      sum(col("x") * col("x")).over(w).as("sxx"),
+      sum(col("y") * col("y")).over(w).as("syy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    sums.select(col("sk"), col("l_orderkey"), col("l_linenumber"), col("n"),
+      when(vx > 0L && vy > 0L,
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt(vx.cast("double") * vy.cast("double")), 6))
+        .otherwise(lit(null).cast("double")).as("corr_r"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q63_rolling_corr"      -> (rollingCorr _),
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_project_filter"    -> (projectFilter _),
     "q03_revenue_by_nation" -> (revenueByNation _),
@@ -1800,6 +1839,32 @@ object Relational {
                   0.2e0 * CAST(t.cents AS DOUBLE) + 0.8e0 * r.y
            FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
          SELECT user_id, rn, round(y, 6) AS ewma FROM r""",
+    // same trailing frame, same exact integer window sums, same gated
+    // double tail
+    "q63_rolling_corr" ->
+      """WITH base AS (
+           SELECT l_suppkey AS sk, l_orderkey, l_linenumber, l_shipdate AS sd,
+                  CAST(round(l_quantity) AS BIGINT) AS x,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS y
+           FROM lineitem),
+         sums AS (
+           SELECT sk, l_orderkey, l_linenumber,
+                  CAST(count(*) OVER w AS BIGINT) AS n,
+                  CAST(sum(x) OVER w AS BIGINT) AS sx,
+                  CAST(sum(y) OVER w AS BIGINT) AS sy,
+                  CAST(sum(x*y) OVER w AS BIGINT) AS sxy,
+                  CAST(sum(x*x) OVER w AS BIGINT) AS sxx,
+                  CAST(sum(y*y) OVER w AS BIGINT) AS syy
+           FROM base
+           WINDOW w AS (PARTITION BY sk ORDER BY sd, l_orderkey, l_linenumber
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT sk, l_orderkey, l_linenumber, n,
+                CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                     THEN round(CAST(n*sxy - sx*sy AS DOUBLE)
+                                / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                       * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                     ELSE NULL END AS corr_r
+         FROM sums""",
     // same min-ranks from the value-frequency dim, same exact integer
     // power sums, same single corr tail
     "q62_spearman" ->

@@ -459,7 +459,52 @@ object Similarity {
   def rangeQuery(s: SparkSession, d: String): DataFrame =
     rangeSearch(TextSim.spread(Tables.embeddings(s, d)), 40L)
 
+  /** e12: ANN RECALL EVALUATION — the measurement loop every approximate
+    * index needs before it replaces the exact path: for a probe sample
+    * (every 50th vector, the e01 set), compare the LSH-bucket top-3
+    * against the exact cosine top-3 and report per-query hit counts.
+    * recall@3 = n_hits/3; n_approx < 3 exposes bucket under-fill (a
+    * lone vector in its bucket has no candidates at all) — the two
+    * failure modes an index operator actually tunes against. Scale
+    * shape: the probe side is the SMALL side everywhere — probes
+    * broadcast into the bucket equi-join (the corpus is never
+    * re-shuffled for the evaluation) and into the brute-force pass
+    * (e01 discipline: n·|probes| dots, the unavoidable exact cost).
+    * All outputs are integer counts — exact cross-engine. */
+  def recallQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = TextSim.spread(Tables.embeddings(s, d))
+    val exact = bruteKnn(emb, emb.filter(col("vec_id") % 50 === 0), 3)
+      .select(col("q_id"), col("n_id"))
+    val side = emb.select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", dotInt(col("v"), col("v")))
+      .join(lshBuckets(emb), "vec_id")
+    val probe = side.filter(col("vec_id") % 50 === 0)
+      .select(col("bucket"), col("vec_id").as("q_id"),
+              col("v").as("pv"), col("nrm").as("pn"))
+    val cand = side.select(col("bucket").as("b2"), col("vec_id").as("n_id"),
+                           col("v").as("nv"), col("nrm").as("nn"))
+    val cos = dotInt(col("pv"), col("nv")).cast("double") /
+      (sqrt(col("pn").cast("double")) * sqrt(col("nn").cast("double")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val approx = broadcast(probe)
+      .join(cand, col("bucket") === col("b2") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val nApprox = approx.groupBy(col("q_id")).agg(count(lit(1)).as("n_approx"))
+    val nHits = exact.join(approx, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("q_id")).distinct()
+      .join(nApprox, Seq("q_id"), "left")
+      .join(nHits, Seq("q_id"), "left")
+      .select(col("q_id"),
+              coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e12_ann_recall"  -> (recallQuery _),
     "e10_range_search" -> (rangeQuery _),
     "e01_knn_cosine"  -> (knnQuery _),
     "e02_lsh_buckets" -> (bucketsQuery _),
@@ -485,6 +530,43 @@ object Similarity {
             FROM q)"""
 
   val oracles: Map[String, String] = Map(
+    // exact top-3 vs same-bucket top-3 for the same probe set; pure
+    // integer hit counts
+    "e12_ann_recall" ->
+      s"""WITH $quantSql, $bucketSql,
+          ex AS (
+            SELECT q_id, n_id FROM (
+              SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                     row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+                       / (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE))
+                          * sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE))) DESC,
+                       b.vec_id) AS rank
+              FROM q a JOIN q b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id) t
+            WHERE rank <= 3),
+          ap AS (
+            SELECT q_id, n_id FROM (
+              SELECT qa.vec_id AS q_id, qb.vec_id AS n_id,
+                     row_number() OVER (PARTITION BY qa.vec_id ORDER BY
+                       CAST(list_dot_product(qa.qv, qb.qv) AS DOUBLE)
+                       / (sqrt(CAST(list_dot_product(qa.qv, qa.qv) AS DOUBLE))
+                          * sqrt(CAST(list_dot_product(qb.qv, qb.qv) AS DOUBLE))) DESC,
+                       qb.vec_id) AS rank
+              FROM b ba JOIN b bb ON ba.bucket = bb.bucket
+                   AND ba.vec_id % 50 = 0 AND ba.vec_id <> bb.vec_id
+              JOIN q qa ON qa.vec_id = ba.vec_id
+              JOIN q qb ON qb.vec_id = bb.vec_id) t
+            WHERE rank <= 3),
+          aa AS (SELECT q_id, count(*) AS n_approx FROM ap GROUP BY 1),
+          ha AS (SELECT ex.q_id, count(*) AS n_hits
+                 FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+                 GROUP BY 1)
+          SELECT e.q_id,
+                 CAST(coalesce(aa.n_approx, 0) AS BIGINT) AS n_approx,
+                 CAST(coalesce(ha.n_hits, 0) AS BIGINT) AS n_hits
+          FROM (SELECT DISTINCT q_id FROM ex) e
+          LEFT JOIN aa ON e.q_id = aa.q_id
+          LEFT JOIN ha ON e.q_id = ha.q_id""",
     // same cross-multiplied integer threshold — no float ever compares
     "e10_range_search" ->
       s"""WITH $quantSql,

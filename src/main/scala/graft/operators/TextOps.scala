@@ -329,6 +329,47 @@ object TextOps {
       .select(col("lang"), col("doc_id"), col("n_chars"), col("rank"))
   }
 
+  /** t46: Jensen–Shannon divergence of each language's unigram
+    * distribution against the corpus distribution — the drift/mix
+    * metric curation pipelines track when a domain or language starts
+    * dominating a training mix (symmetric, bounded by ln 2, defined
+    * even where a language has zero mass on a token). Numeric
+    * discipline: every per-token JSD term is computed from EXACT
+    * integer counts (identical doubles on both engines), then floored
+    * to integer NANO-NATS — so the final per-language reduction is an
+    * integer sum, immune to FP summation order, the same trick as
+    * t32's bit-length surprisal. Scale shape: one token explode feeds
+    * both count tables; the lang×vocab expansion is |langs|·|vocab|
+    * rows keyed on (lang, tok) — the heavy join is an equi-join on
+    * that key, text never shuffles, and the 1-row corpus total plus
+    * the |langs|-row totals broadcast. */
+  def jsDivergence(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("lang"), explode(TextSim.words(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = tk.groupBy(col("tok")).agg(count(lit(1)).as("gcnt"))
+    val gt = g.agg(sum(col("gcnt")).cast("long").as("gtot"))
+    val l = tk.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("lcnt"))
+    val lt = l.groupBy(col("lang")).agg(sum(col("lcnt")).cast("long").as("ltot"))
+    val p = coalesce(col("lcnt"), lit(0L)).cast("double") / col("ltot").cast("double")
+    val q = col("gcnt").cast("double") / col("gtot").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term = when(col("lcnt").isNotNull,
+        lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m))
+      .otherwise(lit(0.5) * q * log(q / m))
+    val out = g.crossJoin(broadcast(gt)).crossJoin(broadcast(lt))
+      .join(l, Seq("lang", "tok"), "left")
+      .select(col("lang"), floor(term * lit(1.0e9)).cast("long").as("nano"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_vocab"), sum(col("nano")).cast("long").as("jsd_nano"))
+      .select(col("lang"), col("n_vocab"), col("jsd_nano"),
+              round(col("jsd_nano").cast("double") / lit(1.0e9), 6).as("jsd"))
+      .localCheckpoint(true)
+    tk.unpersist(false)
+    out
+  }
+
   /** Global vocabulary top-k: explode normalized tokens, count, keep the
     * 100 most frequent with a total (count desc, token) order. The
     * rank-filter spelling hits the TopKPerKey rewrite with an EMPTY
@@ -1024,6 +1065,7 @@ object TextOps {
     "t14_clean_corpus" -> (cleanCorpusProfile _),
     "t15_stratified_sample" -> (stratifiedSample _),
     "t45_weighted_sample" -> (weightedSample _),
+    "t46_js_divergence" -> (jsDivergence _),
     "t16_vocab_topk"   -> (vocabulary _),
     "t17_seq_chunks"   -> (sequenceChunks _),
     "t18_domain_mix"   -> (domainMix _),
@@ -1211,6 +1253,37 @@ object TextOps {
          sel AS (SELECT k.lang, k.n_tokens FROM dd JOIN kept k ON k.doc_id = dd.doc_id)
          SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM sel GROUP BY lang""",
+    // same exact-integer count inputs, same double term tree, same
+    // nano-nat floor — the sum is an integer, order-free
+    "t46_js_divergence" ->
+      """WITH tk AS (
+           SELECT lang, tok FROM (
+             SELECT lang,
+                    UNNEST(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS tok
+             FROM documents) u
+           WHERE tok <> ''),
+         g AS (SELECT tok, count(*) AS gcnt FROM tk GROUP BY 1),
+         gt AS (SELECT CAST(sum(gcnt) AS BIGINT) AS gtot FROM g),
+         l AS (SELECT lang, tok, count(*) AS lcnt FROM tk GROUP BY 1, 2),
+         lt AS (SELECT lang, CAST(sum(lcnt) AS BIGINT) AS ltot FROM l GROUP BY 1),
+         x AS (SELECT lt.lang, g.tok, g.gcnt, gt.gtot, lt.ltot, l.lcnt
+               FROM g CROSS JOIN gt CROSS JOIN lt
+               LEFT JOIN l ON l.lang = lt.lang AND l.tok = g.tok),
+         pq AS (SELECT lang, lcnt,
+                       CAST(coalesce(lcnt, 0) AS DOUBLE)/CAST(ltot AS DOUBLE) AS p,
+                       CAST(gcnt AS DOUBLE)/CAST(gtot AS DOUBLE) AS q
+                FROM x),
+         terms AS (SELECT lang,
+                          CASE WHEN lcnt IS NOT NULL
+                               THEN 0.5e0*p*ln(p/((p+q)/2.0e0)) + 0.5e0*q*ln(q/((p+q)/2.0e0))
+                               ELSE 0.5e0*q*ln(q/((p+q)/2.0e0)) END AS term
+                   FROM pq),
+         agg AS (SELECT lang, count(*) AS n_vocab,
+                        CAST(sum(CAST(floor(term*1.0e9) AS BIGINT)) AS BIGINT) AS jsd_nano
+                 FROM terms GROUP BY 1)
+         SELECT lang, n_vocab, jsd_nano,
+                round(CAST(jsd_nano AS DOUBLE)/1.0e9, 6) AS jsd
+         FROM agg""",
     // same md5→uniform→−ln(u)/w key, same (key, doc_id) order, same k
     "t45_weighted_sample" ->
       """WITH k AS (

@@ -866,6 +866,84 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q63 rolling corr: equals a local trailing-window walk, null iff degenerate") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+              unix_micros(col("l_shipdate").cast("timestamp")),
+              round(col("l_quantity")).cast("long"),
+              round(col("l_extendedprice") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val expect = rows.groupBy(_._1).iterator.flatMap { case (sk, g) =>
+      val sorted = g.sortBy(t => (t._4, t._2, t._3))
+      sorted.indices.map { i =>
+        val win = sorted.slice(math.max(0, i - 19), i + 1)
+        val n = win.length.toLong
+        val (sx, sy) = (win.map(_._5).sum, win.map(_._6).sum)
+        val sxy = win.map(t => t._5 * t._6).sum
+        val (sxx, syy) = (win.map(t => t._5 * t._5).sum, win.map(t => t._6 * t._6).sum)
+        val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+        val c = if (vx > 0 && vy > 0)
+          Some((n * sxy - sx * sy).toDouble / math.sqrt(vx.toDouble * vy.toDouble))
+        else None
+        ((sk, sorted(i)._2, sorted(i)._3), (n, c))
+      }
+    }.toMap
+    val got = Relational.rollingCorr(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getInt(2)),
+                 (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, (n, c)) =>
+      val (en, ec) = expect(k)
+      assert(n == en, s"window count mismatch at $k")
+      (c, ec) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-5, s"corr at $k: $a vs $b")
+        case (None, None)       => ()
+        case _ => fail(s"null-ness mismatch at $k: $c vs $ec")
+      }
+    }
+  }
+
+  test("t46 JSD: matches an independent local walk; bounded by ln 2; zero-mass handled") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val toks = docs.flatMap { case (lang, text) =>
+      text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").filter(_.nonEmpty)
+        .map(lang -> _)
+    }
+    val g = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val gtot = toks.length.toLong
+    val byLang = toks.groupBy(_._1)
+    val expect = byLang.map { case (lang, ts) =>
+      val l = ts.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val ltot = ts.length.toLong
+      val nano = g.toSeq.map { case (tok, gcnt) =>
+        val q = gcnt.toDouble / gtot.toDouble
+        val term = l.get(tok) match {
+          case Some(lcnt) =>
+            val p = lcnt.toDouble / ltot.toDouble
+            val m = (p + q) / 2.0
+            0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+          case None =>
+            val p = 0.0; val m = (p + q) / 2.0
+            0.5 * q * math.log(q / m)
+        }
+        math.floor(term * 1.0e9).toLong
+      }.sum
+      lang -> ((g.size.toLong, nano))
+    }
+    val got = TextOps.jsDivergence(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (lang, (nv, nano, jsd)) =>
+      val (env, enano) = expect(lang)
+      assert(nv == env, s"vocab size for $lang")
+      assert(nano == enano, s"nano-nat sum for $lang: $nano vs $enano")
+      assert(jsd >= -1e-6 && jsd <= math.log(2.0) + 1e-6, s"JSD out of [0, ln2] for $lang")
+    }
+  }
+
   test("q50 clip/impute/drop equals a local brute-force repair") {
     import org.apache.spark.sql.functions._
     val rows = graft.core.Tables.events(spark, sfDir)

@@ -374,6 +374,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("e12 recall eval: hit counts equal an independent local exact-vs-bucket walk") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)).toDouble /
+        (math.sqrt(dot(vecs(a), vecs(a)).toDouble) * math.sqrt(dot(vecs(b), vecs(b)).toDouble))
+    // local sign-bit buckets with the same lcg plane weights
+    def bucket(v: Array[Long]): Long =
+      (0 until 8).map { p =>
+        val w = Array.tabulate(64)(d =>
+          ((p.toLong * 64L + d) * 1103515245L + 17L) % 2147483647L % 2001L - 1000L)
+        if (dot(w, v) > 0) 1L << p else 0L
+      }.sum
+    val buckets = vecs.view.mapValues(bucket).toMap
+    val probes = vecs.keys.filter(_ % 50 == 0).toSeq
+    val expect = probes.map { q =>
+      val exact = vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(q, n))).sortBy { case (n, c) => (-c, n) }.take(3).map(_._1).toSet
+      val approx = vecs.keys.filter(n => n != q && buckets(n) == buckets(q)).toSeq
+        .map(n => (n, cos(q, n))).sortBy { case (n, c) => (-c, n) }.take(3).map(_._1).toSet
+      q -> ((approx.size.toLong, (exact & approx).size.toLong))
+    }.toMap
+    val got = Similarity.recallQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    // structural invariants: hits never exceed candidates, both capped at k
+    got.values.foreach { case (na, nh) =>
+      assert(nh <= na && na <= 3 && nh >= 0)
+    }
+  }
+
   test("e08 PQ/ADC: codes and ADC ranking match an independent local model") {
     import org.apache.spark.sql.functions._
     val vecs = graft.core.Tables.embeddings(spark, sfDir)

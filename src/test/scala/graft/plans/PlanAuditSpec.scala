@@ -295,6 +295,10 @@ class PlanAuditSpec extends SparkSpec {
     // to an RDD scan; their join shapes are asserted by their own specs —
     // this sweep still covers everything visible in the returned plan.
     val bnljAllowed = Set("e01_knn_cosine", "e07_mips", "mm04_hist_knn",
+                          // e12: recall eval re-runs the e01 brute-force
+                          // baseline (broadcast probe set vs corpus) to
+                          // produce the exact reference answers
+                          "e12_ann_recall",
                           // e10: range-search baseline — same broadcast-
                           // query-set stream as e01, with a non-equi
                           // (q_id =!= n_id) condition by design
