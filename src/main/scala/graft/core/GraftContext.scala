@@ -136,9 +136,61 @@ object IterativeQueries {
     out
   }
 
+  /** i03: TRIANGLE COUNTING over the supplier co-purchase graph (edge =
+    * two suppliers sharing an order) — the clustering-coefficient /
+    * community primitive of graph analytics, and the canonical
+    * two-join distributed algorithm. Skew discipline: edges are
+    * oriented LOW-DEGREE → HIGH-DEGREE (rank = (degree, id)), the
+    * standard trick that bounds every node's out-list by O(√m) — a
+    * celebrity hub never fans out its full neighborhood into the
+    * wedge join, which is what keeps the wedge count (the quadratic
+    * term) survivable at 100×. Both joins are equi-joins on node ids;
+    * all arithmetic is integer counts. Output is the graph profile
+    * (nodes/edges/max-degree/wedges/triangles) — global closure stats
+    * every graph pipeline reports. */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val e0 = li.select(col("l_orderkey"), col("l_suppkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_suppkey").as("b")), "l_orderkey")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient each edge from lower to higher (deg, id) rank
+    val withDeg = e0
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    val oriented = withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+             struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ordered wedges (v, x) both out of u: each unordered wedge appears
+    // twice, but only ONE of its two orderings can match an oriented
+    // edge (orientation is a DAG) — so closed ordered wedges = triangles
+    // exactly, while the wedge total halves
+    val wedges = oriented.select(col("u"), col("w").as("v"))
+      .join(oriented.select(col("u"), col("w").as("x")), "u")
+      .filter(col("v") =!= col("x"))
+    val closed = wedges.join(
+      oriented.select(col("u").as("v"), col("w").as("x")), Seq("v", "x"), "left_semi")
+    val out = e0.agg(count(lit(1)).as("n_edges")).crossJoin(
+        deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_deg")))
+      .crossJoin(wedges.agg((count(lit(1)) / 2).cast("long").as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("max_deg"),
+              col("n_wedges"), col("n_triangles"))
+      .localCheckpoint(true)
+    oriented.unpersist(false); e0.unpersist(false)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "i01_iterative_trim" -> (iterativeTrim _),
     "i02_pagerank"       -> (pagerank _),
+    "i03_triangles"      -> (triangles _),
   )
 
   /** The i02 oracle: the same integer update unrolled — generated so the
@@ -164,6 +216,30 @@ object IterativeQueries {
 
   val oracles: Map[String, String] = Map(
     "i02_pagerank" -> pagerankOracle(3),
+    // same distinct co-purchase edges, same (deg, id) orientation, same
+    // ordered-wedge probe — all integer counts
+    "i03_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+         e0 AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+                FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+         deg AS (SELECT v, count(*) AS deg FROM (
+                   SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0) un
+                 GROUP BY 1),
+         o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+                           THEN e0.a ELSE e0.b END AS u,
+                      CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+                           THEN e0.b ELSE e0.a END AS w
+               FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+         wg AS (SELECT w1.u, w1.w AS v, w2.w AS x
+                FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.w <> w2.w),
+         cl AS (SELECT * FROM wg
+                WHERE EXISTS (SELECT 1 FROM o WHERE o.u = wg.v AND o.w = wg.x))
+         SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                (SELECT count(*) FROM e0) AS n_edges,
+                (SELECT CAST(max(deg) AS BIGINT) FROM deg) AS max_deg,
+                CAST((SELECT count(*) FROM wg) // 2 AS BIGINT) AS n_wedges,
+                (SELECT count(*) FROM cl) AS n_triangles""",
     "i01_iterative_trim" ->
       """WITH o0 AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
          o1 AS (SELECT cents FROM o0

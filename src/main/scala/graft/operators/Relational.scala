@@ -351,6 +351,28 @@ object Relational {
       .select(col("month") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
   }
 
+  /** q64: pandas `pivot_table(aggfunc=['count','sum'])` — the MULTI-
+    * AGGREGATE pivot: q29 widens one measure; real pivot tables carry
+    * several per cell. Spark's `pivot(...).agg(count, sum)` plans ONE
+    * hash-agg pair (every type×agg cell partial-combines map-side in
+    * the same pass — not one pass per aggregate), keyed only on the
+    * per-user grouping; sums stay in the exact integer-cents domain
+    * and null cells coalesce to 0 to match the oracle's FILTER form.
+    * Pinned pivot values, 100 TB discipline as q29. */
+  def pivotTable(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "purchase", "view")
+    val cents = round(col("value") * 100).cast("long")
+    val base = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("event_type").isin(types: _*))
+      .select(col("user_id"), col("event_type"), cents.as("cents"))
+    val wide = base.groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    wide.select(col("user_id") +: types.flatMap(t => Seq(
+      coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+      coalesce(col(s"${t}_cents"), lit(0L)).as(s"${t}_cents"))): _*)
+  }
+
   /** quantile (dask `df.quantile`): exact interpolated percentiles of
     * line-item cents per return flag. Rows collapse to a per-(flag,
     * value) frequency table (the only corpus-sized exchange), then the
@@ -1519,6 +1541,7 @@ object Relational {
     "q60_not_in_nulls"      -> (notInNulls _),
     "q61_ewma"              -> (ewmaPerUser _),
     "q62_spearman"          -> (spearmanRanks _),
+    "q64_pivot_table"       -> (pivotTable _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1839,6 +1862,21 @@ object Relational {
                   0.2e0 * CAST(t.cents AS DOUBLE) + 0.8e0 * r.y
            FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
          SELECT user_id, rn, round(y, 6) AS ewma FROM r""",
+    // same pinned types, same (count, sum-cents) per cell via FILTER
+    "q64_pivot_table" ->
+      """SELECT user_id,
+                count(*) FILTER (event_type = 'click') AS click_n,
+                CAST(coalesce(sum(CAST(round(value*100) AS BIGINT))
+                              FILTER (event_type = 'click'), 0) AS BIGINT) AS click_cents,
+                count(*) FILTER (event_type = 'purchase') AS purchase_n,
+                CAST(coalesce(sum(CAST(round(value*100) AS BIGINT))
+                              FILTER (event_type = 'purchase'), 0) AS BIGINT) AS purchase_cents,
+                count(*) FILTER (event_type = 'view') AS view_n,
+                CAST(coalesce(sum(CAST(round(value*100) AS BIGINT))
+                              FILTER (event_type = 'view'), 0) AS BIGINT) AS view_cents
+         FROM events
+         WHERE value IS NOT NULL AND event_type IN ('click', 'purchase', 'view')
+         GROUP BY 1""",
     // same trailing frame, same exact integer window sums, same gated
     // double tail
     "q63_rolling_corr" ->

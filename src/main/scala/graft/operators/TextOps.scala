@@ -370,6 +370,48 @@ object TextOps {
     out
   }
 
+  /** t47: COUNT-MIN SKETCH heavy-hitter estimation — the point-query
+    * frequency sketch that completes the repo's sketch family (KMV
+    * t13/t31 for distincts, HLL t40 for cardinality, MinHash/SimHash
+    * for similarity): d=4 hash rows × w=256 counters, fixed-size state
+    * however large the token stream, mergeable by cell-wise addition
+    * (the counter build IS a partial-aggregable hash agg, so map-side
+    * combine gives the sketch merge for free). Estimates are read for
+    * the exact top-20 tokens (TopKPerKey pre-cut) by probing each
+    * token's d cells against the BROADCAST 1,024-row counter table and
+    * taking the min — the CMS one-sided guarantee est ≥ true holds by
+    * construction and is spec-pinned. Deterministic md5 row-salted
+    * hashes make the sketch identical on any engine. */
+  def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val depth = 4
+    def h(r: Int, c: Column): Column =
+      conv(substring(md5(concat(lit(s"${r}_"), c).cast("binary")), 1, 15), 16, 10)
+        .cast("long") % lit(256L)
+    def cellsOf(base: DataFrame): DataFrame =
+      base.select(col("*"), explode(array((0 until depth).map(r =>
+          struct(lit(r.toLong).as("r"), h(r, col("tok")).as("bucket"))): _*)).as("c"))
+        .select(base.columns.map(col) :+ col("c.r").as("r") :+ col("c.bucket").as("bucket"): _*)
+    val toks = Tables.documents(s, d)
+      .select(explode(TextSim.words(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counters = cellsOf(toks.select(col("tok"))).drop("tok")
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok"))
+    val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 20)
+      .select(col("tok"), col("n"))
+    val out = cellsOf(probes)
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy(col("tok"), col("n"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    out
+  }
+
   /** Global vocabulary top-k: explode normalized tokens, count, keep the
     * 100 most frequent with a total (count desc, token) order. The
     * rank-filter spelling hits the TopKPerKey rewrite with an EMPTY
@@ -1066,6 +1108,7 @@ object TextOps {
     "t15_stratified_sample" -> (stratifiedSample _),
     "t45_weighted_sample" -> (weightedSample _),
     "t46_js_divergence" -> (jsDivergence _),
+    "t47_cms_sketch" -> (cmsHeavyHitters _),
     "t16_vocab_topk"   -> (vocabulary _),
     "t17_seq_chunks"   -> (sequenceChunks _),
     "t18_domain_mix"   -> (domainMix _),
@@ -1253,6 +1296,28 @@ object TextOps {
          sel AS (SELECT k.lang, k.n_tokens FROM dd JOIN kept k ON k.doc_id = dd.doc_id)
          SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM sel GROUP BY lang""",
+    // same row-salted md5 cells, same counter table, same min probe
+    "t47_cms_sketch" ->
+      """WITH toks AS (
+           SELECT tok FROM (
+             SELECT UNNEST(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS tok
+             FROM documents) u
+           WHERE tok <> ''),
+         rr AS (SELECT UNNEST(generate_series(0, 3)) AS r),
+         cells AS (
+           SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || '_' || tok), 1, 15))::BIGINT % 256 AS bucket,
+                  count(*) AS cnt
+           FROM toks CROSS JOIN rr GROUP BY 1, 2),
+         probes AS (
+           SELECT tok, count(*) AS n FROM toks GROUP BY 1
+           QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= 20),
+         pc AS (
+           SELECT p.tok, p.n, rr.r,
+                  ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || '_' || p.tok), 1, 15))::BIGINT % 256 AS bucket
+           FROM probes p CROSS JOIN rr)
+         SELECT pc.tok, CAST(pc.n AS BIGINT) AS n, CAST(min(c.cnt) AS BIGINT) AS cms_est
+         FROM pc JOIN cells c ON c.r = pc.r AND c.bucket = pc.bucket
+         GROUP BY 1, 2""",
     // same exact-integer count inputs, same double term tree, same
     // nano-nat floor — the sum is an integer, order-free
     "t46_js_divergence" ->

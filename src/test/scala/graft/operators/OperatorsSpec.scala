@@ -944,6 +944,80 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("i03 triangles: profile equals a local adjacency-set walk") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ss = g.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.length) yield (ss(i), ss(j))
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val adj = nodes.map(v => v ->
+      edges.collect { case (a, b) if a == v => b; case (a, b) if b == v => a }).toMap
+    val sorted = nodes.toSeq.sorted
+    var tri = 0L
+    for (i <- sorted.indices; j <- (i + 1) until sorted.length; k <- (j + 1) until sorted.length) {
+      val (a, b, c) = (sorted(i), sorted(j), sorted(k))
+      if (adj(a)(b) && adj(a)(c) && adj(b)(c)) tri += 1
+    }
+    val wedges = nodes.toSeq.map { v => val d = adj(v).size.toLong; d * (d - 1) / 2 }.sum
+    val row = graft.core.IterativeQueries.triangles(spark, sfDir).collect().head
+    assert(row.getLong(0) == nodes.size.toLong, "n_nodes")
+    assert(row.getLong(1) == edges.size.toLong, "n_edges")
+    assert(row.getLong(2) == adj.values.map(_.size).max.toLong, "max_deg")
+    assert(row.getLong(4) == tri, s"n_triangles: ${row.getLong(4)} vs $tri")
+    // oriented wedge count is a lower bound on the full wedge count
+    assert(row.getLong(3) <= wedges && row.getLong(3) >= tri,
+      s"oriented wedges ${row.getLong(3)} outside [$tri, $wedges]")
+  }
+
+  test("t47 CMS: estimates match a local sketch and never undercount") {
+    val toks = graft.core.Tables.documents(spark, sfDir)
+      .select("text").collect().flatMap(r =>
+        r.getString(0).toLowerCase.replaceAll("\\s+", " ").trim.split(" ").filter(_.nonEmpty))
+    def h(r: Int, tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${r}_$tok".getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 256L
+    }
+    val counters = (0 until 4).map { r =>
+      toks.groupBy(t => h(r, t)).view.mapValues(_.length.toLong).toMap
+    }
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = TextOps.cmsHeavyHitters(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == math.min(20, exact.size))
+    got.foreach { case (tok, n, est) =>
+      assert(n == exact(tok), s"exact count for $tok")
+      val localEst = (0 until 4).map(r => counters(r)(h(r, tok))).min
+      assert(est == localEst, s"CMS estimate for $tok: $est vs $localEst")
+      assert(est >= n, s"CMS undercounted $tok: $est < $n")
+    }
+  }
+
+  test("q64 pivot table: every cell equals the local (count, cents) fold") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(t => Set("click", "purchase", "view")(t._2))
+    val expect = rows.groupBy(_._1).map { case (u, g) =>
+      val by = g.groupBy(_._2)
+      def cell(t: String) = by.get(t) match {
+        case Some(xs) => (xs.length.toLong, xs.map(_._3).sum)
+        case None     => (0L, 0L)
+      }
+      u -> Seq("click", "purchase", "view").map(cell)
+    }
+    val got = Relational.pivotTable(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> Seq((r.getLong(1), r.getLong(2)),
+                                    (r.getLong(3), r.getLong(4)),
+                                    (r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect)
+  }
+
   test("q50 clip/impute/drop equals a local brute-force repair") {
     import org.apache.spark.sql.functions._
     val rows = graft.core.Tables.events(spark, sfDir)
