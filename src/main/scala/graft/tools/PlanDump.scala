@@ -59,6 +59,16 @@ object PlanDump {
       "HLL registers: token hash → bucket → leading-zero rank all fuse into the scan projection; the register max partial-combines before its (lang, bucket) exchange, so state per task is 256 longs per language regardless of corpus size; the ALL row reuses the register frame (elementwise-max merge), never the token stream.",
     "t39_bpe_pairs" ->
       "BPE pair counting: the pair explode fuses into the scan, counts partial-combine, and the global top-50 rank filter rewrites to TopKPerKey (map-side bounded heaps) — no Window, no global sort of the pair vocabulary. (q44/q30's quartiles now run driver-coordinated rank probes over a range exchange — their returned frames are LocalTableScans, so the interesting structure lives in Relational.rankScan, not a dumpable plan.)",
+    "q62_spearman" ->
+      "Spearman rank correlation: BOTH rank dims (value-frequency tables, <= 50/<= 11 distinct values per group) come back as BroadcastHashJoin build sides — the fact table is ranked map-side and its ONLY exchange is the final per-group power-sum aggregation (decimal sums partial-combine).",
+    "q63_rolling_corr" ->
+      "Rolling correlation: all six power sums (n, Σx, Σy, Σxy, Σx², Σy²) evaluate in ONE Window operator over a single hashpartitioning(sk) exchange — the trailing 20-row frame maintains them incrementally; the corr tail is a projection.",
+    "q64_pivot_table" ->
+      "Multi-aggregate pivot: (count, sum) for every type cell ride one two-stage HashAggregate pair — partial pivotfirst combines map-side, so the user-keyed exchange carries 6 cells per user per partition, not rows.",
+    "t45_weighted_sample" ->
+      "Weighted sampling (A-ES): the −ln(u)/w key is fused into the scan projection and the per-language rank filter rewrites to TopKPerKey — each map partition pre-cuts to 20 rows per stratum before the single exchange.",
+    "q61_ewma" ->
+      "EWMA: one hashpartitioning(user_id) exchange + per-partition sort feeds MapGroups — the sequential α·x + (1−α)·y recursion is the operator's semantics (this IS how pandas/dask run ewm), state one double per group, scan pruned to 3 columns with the null filter pushed.",
   )
 
   def main(args: Array[String]): Unit = {
