@@ -401,6 +401,32 @@ object ArrayQueries {
     DMatrix.randInt(s, 256, 256, 64, 221L).histogram(0.0, 1000.0, 10)
       .orderBy("bin")
 
+  /** a45: `da.unique(x, return_counts=True)` — distinct values with
+    * multiplicities over a 256² LCG integer matrix (values 0..999).
+    * Per-block bincount partial-combines map-side, so the shuffle
+    * carries ≤ |domain| longs per map partition — the same bounded-
+    * state shape as a25's histogram, but over the discovered value set
+    * rather than fixed bins. Output is value-ordered (dask returns
+    * sorted uniques). */
+  def uniqueCounts(s: SparkSession, d: String): DataFrame =
+    DMatrix.randInt(s, 256, 256, 64, 241L).toCoords
+      .select(col("v").cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .orderBy(col("v"))
+
+  /** a46: `da.percentile(x.flatten(), [25, 50, 75])` — exact linearly-
+    * interpolated percentiles of a chunked 1-D view, via the SAME
+    * rank-probe prefix-scan machinery as q30 (`Relational.rankScan`):
+    * the cells collapse to a value-frequency table (≤ |domain| rows),
+    * one range exchange, bounded state at any array size — never a
+    * percentile aggregate's per-reducer value map. */
+  def percentileEntry(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.quartilesByKey(
+      DMatrix.randInt(s, 256, 256, 64, 241L).toCoords
+        .select(lit("all").as("k"), col("v").cast("long").as("v"))
+        .groupBy(col("k"), col("v")).agg(count(lit(1)).as("cnt")))
+      .toDF("k", "p25", "p50", "p75")
+
   /** Blocked LU without pivoting (dask `da.linalg.lu`) on a
     * diagonally-dominant integer matrix (96², chunks 32 — 3 panel
     * steps), validated through the reconstruction invariant L·U = A:
@@ -699,6 +725,8 @@ object ArrayQueries {
     "a23_axis_cumsum"    -> (axisCumsum _),
     "a24_lu_recon"       -> (luRecon _),
     "a25_histogram"      -> (histogram _),
+    "a45_unique"         -> (uniqueCounts _),
+    "a46_percentile"     -> (percentileEntry _),
     "a26_vstack"         -> (vstackConcat _),
     "a27_global_topk"    -> (globalTopk _),
     "a28_argmax_rows"    -> (argmaxRows _),
@@ -899,6 +927,19 @@ object ArrayQueries {
           SELECT CAST(floor(v/100) AS BIGINT) AS bin,
                  floor(v/100)*100.0 AS bin_lo, count(*) AS n
           FROM a GROUP BY 1, 2 ORDER BY 1""",
+    // same discovered value set, same multiplicities, same order
+    "a45_unique" ->
+      s"""WITH ${matSql("a", 256, 256, 241)}
+          SELECT CAST(v AS BIGINT) AS v, count(*) AS n
+          FROM a GROUP BY 1 ORDER BY 1""",
+    // same interpolated quartiles as q30's spelling, single stratum
+    "a46_percentile" ->
+      s"""WITH ${matSql("a", 256, 256, 241)}
+          SELECT 'all' AS k,
+                 round(quantile_cont(CAST(v AS BIGINT), 0.25), 4) AS p25,
+                 round(quantile_cont(CAST(v AS BIGINT), 0.5), 4) AS p50,
+                 round(quantile_cont(CAST(v AS BIGINT), 0.75), 4) AS p75
+          FROM a""",
     "a26_vstack" ->
       s"""WITH ${matSql("a", 64, 48, 7)}, ${matSql("e", 64, 48, 19)}
           SELECT i, j, v FROM a

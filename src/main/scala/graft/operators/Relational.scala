@@ -373,6 +373,20 @@ object Relational {
       coalesce(col(s"${t}_cents"), lit(0L)).as(s"${t}_cents"))): _*)
   }
 
+  /** q65: exact grouped `nunique` — pandas `groupby(k).nunique()` over
+    * TWO columns at once, the cardinality profile q32's approximate
+    * path trades away. Spark plans multi-distinct via Expand (one
+    * projection per distinct column): each (key, value) stream dedups
+    * under partial aggregation BEFORE the final count, so the shuffle
+    * carries distinct pairs, not rows — the exact-nunique scale shape.
+    * The plain count rides the same pass. */
+  def groupNunique(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"))
+
   /** quantile (dask `df.quantile`): exact interpolated percentiles of
     * line-item cents per return flag. Rows collapse to a per-(flag,
     * value) frequency table (the only corpus-sized exchange), then the
@@ -789,7 +803,7 @@ object Relational {
     * interpolates between its two bracketing ranks exactly as percentile
     * does. Returns (key, p25, p50, p75) — callers rename positionally
     * via toDF. */
-  private[operators] def quartilesByKey(freq: DataFrame): DataFrame = {
+  private[graft] def quartilesByKey(freq: DataFrame): DataFrame = {
     val s = freq.sparkSession
     import s.implicits._
     val (_, quarts) = rankScan(freq)
@@ -1542,6 +1556,7 @@ object Relational {
     "q61_ewma"              -> (ewmaPerUser _),
     "q62_spearman"          -> (spearmanRanks _),
     "q64_pivot_table"       -> (pivotTable _),
+    "q65_group_nunique"     -> (groupNunique _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1862,6 +1877,11 @@ object Relational {
                   0.2e0 * CAST(t.cents AS DOUBLE) + 0.8e0 * r.y
            FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
          SELECT user_id, rn, round(y, 6) AS ewma FROM r""",
+    "q65_group_nunique" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY 1, 2""",
     // same pinned types, same (count, sum-cents) per cell via FILTER
     "q64_pivot_table" ->
       """SELECT user_id,

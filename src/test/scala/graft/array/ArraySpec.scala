@@ -172,6 +172,33 @@ class ArraySpec extends SparkSpec {
     assert(nInf == (0 until 21).map(i => bsum(breeze.numerics.abs(bl(i, ::).t))).max)
   }
 
+  test("a45/a46: unique counts and percentiles agree with the local cell walk") {
+    val a = DMatrix.randInt(spark, 48, 32, 16, 77L)  // values in [0, 1000)
+    val local = a.toLocal
+    val cells = for (i <- 0 until 48; j <- 0 until 32) yield local(i, j).toLong
+    // unique + counts (the a45 shape, on a spec-sized matrix)
+    val expect = cells.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = a.toCoords.selectExpr("CAST(v AS LONG) AS v")
+      .groupBy("v").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // interpolated quartiles via the shared rankScan (the a46 shape)
+    import org.apache.spark.sql.functions._
+    val quarts = graft.operators.Relational.quartilesByKey(
+      a.toCoords.select(lit("all").as("k"), col("v").cast("long").as("v"))
+        .groupBy(col("k"), col("v")).agg(count(lit(1)).as("cnt"))).collect().head
+    val sorted = cells.sorted
+    def interp(p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
+    Seq(0.25 -> 1, 0.5 -> 2, 0.75 -> 3).foreach { case (p, idx) =>
+      assert(math.abs(quarts.getDouble(idx) - interp(p)) < 1e-4,
+        s"quartile $p: ${quarts.getDouble(idx)} vs ${interp(p)}")
+    }
+  }
+
   test("histogram: bins match local counts; out-of-range dropped; top edge inclusive") {
     val a = DMatrix.randInt(spark, 50, 40, 16, 71L)  // values in [0, 1000)
     val local = a.toLocal

@@ -1018,6 +1018,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q65 group nunique: exact distinct counts match local sets") {
+    val rows = graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "l_partkey", "l_suppkey").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    val expect = rows.groupBy(_._1).map { case (k, g) =>
+      k -> ((g.length.toLong, g.map(_._2._1).distinct.length.toLong,
+             g.map(_._2._2).distinct.length.toLong))
+    }
+    val got = Relational.groupNunique(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+                 (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+  }
+
   test("q50 clip/impute/drop equals a local brute-force repair") {
     import org.apache.spark.sql.functions._
     val rows = graft.core.Tables.events(spark, sfDir)
