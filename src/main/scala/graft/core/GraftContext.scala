@@ -167,22 +167,37 @@ object IterativeQueries {
           .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ordered wedges (v, x) both out of u: each unordered wedge appears
-    // twice, but only ONE of its two orderings can match an oriented
-    // edge (orientation is a DAG) — so closed ordered wedges = triangles
-    // exactly, while the wedge total halves
-    val wedges = oriented.select(col("u"), col("w").as("v"))
-      .join(oriented.select(col("u"), col("w").as("x")), "u")
-      .filter(col("v") =!= col("x"))
-    val closed = wedges.join(
-      oriented.select(col("u").as("v"), col("w").as("x")), Seq("v", "x"), "left_semi")
+    // Wedges never materialize: the unordered wedge count is Σ_u C(c_u, 2)
+    // straight off the out-degrees, and triangles come from the edge-local
+    // identity  Δ = Σ_{(u,v)∈E⃗} |N⁺(u) ∩ N⁺(v)|  (orientation is a DAG, so
+    // each triangle's unique lowest-rank vertex u contributes it exactly
+    // once via its u→v edge). The earlier self-join materialized every
+    // ordered wedge — Σ c_u(c_u−1) rows ≈ 3·10⁸ at sf0.1 on this dense
+    // co-purchase graph — through a full shuffle before the closure probe
+    // (40 s measured). Intersecting per-node out-adjacency arrays does the
+    // same Σ c_u² work as tight in-row array scans with ZERO wedge shuffle:
+    // bytes moved drop from O(Σc²) rows to |E⃗| rows carrying O(√m)-bounded
+    // arrays (the orientation caps every out-list at O(√m)), which is the
+    // same O(m^1.5) asymptotic the wedge join already paid — minus the
+    // exchange, the sort, and the 3·10⁸-row semi-join build side.
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("w"))).as("nbrs"),
+           count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedgeCnt = adj.agg(expr("sum(c * (c - 1)) div 2").as("n_wedges"))
+    val tri = oriented
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("w"), col("nbrs").as("nw")), Seq("w"))
+      .select(size(array_intersect(col("nu"), col("nw"))).as("t"))
+      .agg(sum(col("t")).cast("long").as("n_triangles"))
     val out = e0.agg(count(lit(1)).as("n_edges")).crossJoin(
         deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_deg")))
-      .crossJoin(wedges.agg((count(lit(1)) / 2).cast("long").as("n_wedges")))
-      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(wedgeCnt)
+      .crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("max_deg"),
               col("n_wedges"), col("n_triangles"))
       .localCheckpoint(true)
+    adj.unpersist(false)
     oriented.unpersist(false); e0.unpersist(false)
     out
   }
