@@ -214,7 +214,7 @@ object Streams {
     * (append mode would hold the tail windows back forever); on an
     * unbounded production stream the same plan runs in append mode with
     * watermark-driven state eviction. */
-  def streamedEventCounts(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+  def streamedEventCounts(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
     val raw = s.read.parquet(s"$d/events.parquet")
     val src = s.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
@@ -235,7 +235,7 @@ object Streams {
     * gap-closed session. The oracle reconstructs sessions in SQL (lag >
     * gap marks a boundary, running sum numbers the sessions) and drops
     * each user's final session, which the stream correctly holds open. */
-  def streamedSessions(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+  def streamedSessions(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
     import s.implicits._
     val raw = s.read.parquet(s"$d/events.parquet")
     val src = s.readStream.schema(raw.schema)
@@ -262,7 +262,7 @@ object Streams {
     * emits them all in the trailing no-data batch, and the sentinel
     * itself is filtered out after the watermark node. Oracle: full
     * session reconstruction INCLUDING each user's final session. */
-  def streamedSessionsFlushed(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+  def streamedSessionsFlushed(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
     val batch = graft.core.Tables.events(s, d)
     // floor to whole seconds: the oracle sessionizes over floor(epoch(ts)),
     // and native session_window merges on raw event time — grain must match
@@ -294,7 +294,7 @@ object Streams {
     * time-bounded production variant swaps in
     * `dropDuplicatesWithinWatermark` — same plan shape, evictable
     * state. */
-  def streamedDedup(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+  def streamedDedup(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
     val raw = s.read.parquet(s"$d/documents.parquet")
     val src = s.readStream.schema(raw.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
@@ -332,7 +332,7 @@ object Streams {
     * Output: each fingerprint at epoch T0 and T0+200000, heartbeat once —
     * closed-form from `documents`, so the horizon behavior itself is
     * hash-checked against the oracle. */
-  def streamedDedupBounded(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+  def streamedDedupBounded(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
     val T0 = 1700000000L
     val fps = s.read.parquet(s"$d/documents.parquet")
       .select(graft.operators.TextOps.fingerprint(col("text")).as("fp"))
@@ -380,7 +380,7 @@ object Streams {
     * and `broadcast()` pins the same no-shuffle plan the batch query
     * would get, so at scale the fact stream never round-trips an
     * exchange for the join. Same complete/AvailableNow drive as st01. */
-  def streamedEnriched(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+  def streamedEnriched(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
     val raw = s.read.parquet(s"$d/events.parquet")
     val src = s.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
@@ -414,7 +414,7 @@ object Streams {
     * Inner join, so the finite AvailableNow drain emits the complete
     * pair set regardless of watermark timing; the oracle is the plain
     * batch self-join. */
-  def streamedAttribution(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+  def streamedAttribution(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
     val raw = s.read.parquet(s"$d/events.parquet")
     def src(): DataFrame = graft.core.Tables.normalizeTs(
       s.readStream.schema(raw.schema)
@@ -457,7 +457,7 @@ object Streams {
     * emitted from the inner path). The no-data final micro-batch
     * (noDataMicroBatches, on by default) is what flushes the evictable
     * outer rows before termination. */
-  def streamedAttributionOuter(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+  def streamedAttributionOuter(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
     val raw = s.read.parquet(s"$d/events.parquet")
     def src(): DataFrame = graft.core.Tables.normalizeTs(
       s.readStream.schema(raw.schema)
@@ -496,7 +496,7 @@ object Streams {
     * final table profile equals the batch-dedup oracle only if the
     * upsert is idempotent. maxFilesPerTrigger=1 forces one batch per
     * staged file. */
-  def streamedUpsert(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+  def streamedUpsert(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
     val batch0 = graft.core.Tables.events(s, d)
     val purch = batch0.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
@@ -572,7 +572,7 @@ object Streams {
     * fall short. The parquet sink's own `_spark_metadata` commit log
     * makes the read-back exactly-once too. StreamingSpec additionally
     * pins run 2's numInputRows to exactly the gen-2 row count. */
-  def streamedIncrementalResume(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+  def streamedIncrementalResume(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
     val run = sinkSeq.incrementAndGet()
     val srcDir = graft.sources.FileFormats.scratch(s"st10_src_$run")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
@@ -644,7 +644,7 @@ object Streams {
     * required by the API; the provider conf is pinned for the drive and
     * restored after so the other streaming entries keep the session
     * default store. */
-  def streamedTransformState(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 8) {
+  def streamedTransformState(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(provKey)
     s.conf.set(provKey,
