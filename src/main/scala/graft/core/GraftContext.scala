@@ -202,11 +202,71 @@ object IterativeQueries {
     out
   }
 
+  /** i04: multi-source BFS hop distance — the frontier-relaxation
+    * primitive under shortest paths / reachability / influence radius,
+    * and the third classic graph kernel next to i02's fixed-point and
+    * i03's enumeration. Same bipartite customer↔supplier graph as i02;
+    * sources are every 10th supplier. Three relaxation rounds of
+    * dist' = min(dist, min over in-edges of dist(src)+1) — the update is
+    * monotone integer min, so edge multiplicity (kept from lineitem) is
+    * harmless and the oracle unrolls exactly. Scale shape mirrors i02:
+    * edges persisted ONCE, each round one equi-join + min-agg shuffling
+    * only (node, dist) pairs — frontier state is node-sized no matter
+    * how large the edge set, and lineage truncates via ctx.iterate.
+    * Output: nodes per hop level (unreached nodes carry no row), the
+    * reachability histogram a 100 TB graph job reports. */
+  def bfsLayers(s: SparkSession, d: String): DataFrame = {
+    val ctx = new GraftContext(s)
+    val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+              (col("l_suppkey") + 10000000L).as("supp"))
+    val edges = ctx.persist(
+      pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst"))))
+    val init = edges.select(col("src").as("v")).distinct()
+      .filter(col("v") >= 10000000L && (col("v") - 10000000L) % 10 === 0)
+      .select(col("v"), lit(0L).as("dist"))
+    val dists = ctx.iterate(init, steps = 3, checkpointEvery = 2) { (cur, _) =>
+      cur.unionByName(
+          edges.join(cur, edges("src") === cur("v"))
+            .select(edges("dst").as("v"), (col("dist") + 1L).as("dist")))
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+    }
+    val out = dists.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes")).localCheckpoint(true)
+    ctx.stop()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "i01_iterative_trim" -> (iterativeTrim _),
     "i02_pagerank"       -> (pagerank _),
     "i03_triangles"      -> (triangles _),
+    "i04_bfs_layers"     -> (bfsLayers _),
   )
+
+  /** The i04 oracle: the same min-relax rounds unrolled. */
+  private def bfsOracle(iters: Int): String = {
+    val base = """WITH e0 AS (
+         SELECT o_custkey AS cust, l_suppkey + 10000000 AS supp
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       e AS (SELECT cust AS src, supp AS dst FROM e0
+             UNION ALL SELECT supp AS src, cust AS dst FROM e0),
+       d0 AS (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS dist FROM e
+              WHERE src >= 10000000 AND (src - 10000000) % 10 = 0)"""
+    val steps = (1 to iters).map { i =>
+      s""",
+       d$i AS (SELECT v, min(dist) AS dist FROM (
+                 SELECT v, dist FROM d${i - 1}
+                 UNION ALL
+                 SELECT e.dst AS v, d${i - 1}.dist + 1 AS dist
+                 FROM e JOIN d${i - 1} ON d${i - 1}.v = e.src) u
+               GROUP BY 1)"""
+    }.mkString
+    base + steps + s"\n       SELECT dist, count(*) AS n_nodes FROM d$iters GROUP BY 1"
+  }
 
   /** The i02 oracle: the same integer update unrolled — generated so the
     * iteration count cannot drift between the Spark loop and the SQL. */
@@ -231,6 +291,7 @@ object IterativeQueries {
 
   val oracles: Map[String, String] = Map(
     "i02_pagerank" -> pagerankOracle(3),
+    "i04_bfs_layers" -> bfsOracle(3),
     // same distinct co-purchase edges, same (deg, id) orientation, same
     // ordered-wedge probe — all integer counts
     "i03_triangles" ->

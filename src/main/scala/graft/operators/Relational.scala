@@ -1491,7 +1491,42 @@ object Relational {
         .otherwise(lit(null).cast("double")).as("corr_r"))
   }
 
+  /** q66: INTERVAL COVERAGE — the sweep-line union-of-intervals kernel
+    * behind billing, uptime and session-overlap analytics: each event
+    * opens an interval [t, t + dur) (dur derived deterministically from
+    * event_id), and per user we report the union's covered seconds, the
+    * peak concurrency, and the interval count. The classic algorithm,
+    * expressed as ONE keyed window: explode each interval to ±1 boundary
+    * rows, running-sum per user ordered by (t, delta, event_id) — the
+    * third key makes the ROWS frame total-ordered, so the running count
+    * is engine-independent even with tied boundaries (delta −1 sorts
+    * before +1, so touching intervals do not count as concurrent) — and
+    * a segment [t, next t) contributes to coverage iff the running count
+    * is positive. Two rows per event, one hash exchange on user_id
+    * (high cardinality), zero joins: at 100 TB this is a single shuffle
+    * of 2·|events| skinny rows, and the window state per user is O(1). */
+  def intervalCoverage(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"), col("event_id"))
+      .withColumn("dur", col("event_id") % 900 + 60L)
+    val bounds = ev.select(col("user_id"), col("t"), lit(1L).as("delta"), col("event_id"))
+      .unionByName(ev.select(col("user_id"), (col("t") + col("dur")).as("t"),
+                             lit(-1L).as("delta"), col("event_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+    bounds
+      .withColumn("run", sum(col("delta")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nxt", lead(col("t"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("run") > 0 && col("nxt").isNotNull,
+                    col("nxt") - col("t")).otherwise(0L)).as("covered_secs"),
+           max(col("run")).as("max_concurrency"),
+           expr("count(1) div 2").as("n_intervals"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q66_interval_coverage" -> (intervalCoverage _),
     "q63_rolling_corr"      -> (rollingCorr _),
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_project_filter"    -> (projectFilter _),
@@ -1560,6 +1595,29 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same ±1 boundary sweep; the (t, delta, event_id) total order and the
+    // explicit ROWS frame pin identical running counts in both engines
+    "q66_interval_coverage" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+                  event_id % 900 + 60 AS dur
+           FROM events),
+         b AS (SELECT user_id, t, CAST(1 AS BIGINT) AS delta, event_id FROM ev
+               UNION ALL
+               SELECT user_id, t + dur AS t, CAST(-1 AS BIGINT) AS delta, event_id FROM ev),
+         r AS (SELECT user_id, t, delta, event_id,
+                      sum(delta) OVER (PARTITION BY user_id
+                        ORDER BY t, delta, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+                      lead(t) OVER (PARTITION BY user_id
+                        ORDER BY t, delta, event_id) AS nxt
+               FROM b)
+         SELECT user_id,
+                CAST(sum(CASE WHEN run > 0 AND nxt IS NOT NULL
+                              THEN nxt - t ELSE 0 END) AS BIGINT) AS covered_secs,
+                CAST(max(run) AS BIGINT) AS max_concurrency,
+                CAST(count(*) // 2 AS BIGINT) AS n_intervals
+         FROM r GROUP BY 1""",
     "q33_json_extract" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

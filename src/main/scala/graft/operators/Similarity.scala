@@ -254,6 +254,35 @@ object Similarity {
     bruteKnn(emb, emb.filter(col("vec_id") % 50 === 0), 3)
   }
 
+  /** e13: kNN CLASSIFIER — the label-transfer / auto-labeling primitive
+    * of embedding pipelines (and the standard eval harness for embedding
+    * quality): each held-out query vector (vec_id % 50 == 0) takes the
+    * majority label of its k = 10 exact-cosine neighbors among the
+    * labeled corpus (the other 49/50). Reuses [[bruteKnn]] (queries
+    * broadcast, corpus streamed, no corpus shuffle); the vote is a
+    * (query, label) hash agg over q·k rows, winner by (votes desc,
+    * label) — a total order, so tied votes resolve identically in any
+    * engine. Output carries the true label and a 0/1 correctness flag,
+    * making the entry double as a labeled-accuracy report. */
+  def knnClassifyQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = TextSim.spread(Tables.embeddings(s, d))
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val nn = bruteKnn(corpus, emb.filter(col("vec_id") % 50 === 0), 10)
+    val votes = nn
+      .join(corpus.select(col("vec_id").as("n_id"),
+                          col("label").cast("long").as("n_label")), "n_id")
+      .groupBy(col("q_id"), col("n_label")).agg(count(lit(1)).as("votes"))
+    val best = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    votes.withColumn("rk", row_number().over(best)).filter(col("rk") === 1)
+      .join(emb.select(col("vec_id").as("q_id"),
+                       col("label").cast("long").as("true_label")), "q_id")
+      .select(col("q_id"), col("n_label").as("pred_label"), col("votes"),
+              col("true_label"),
+              when(col("n_label") === col("true_label"), 1L).otherwise(0L)
+                .as("correct"))
+  }
+
   /** e02: LSH bucket assignment for every vector (exact oracle). */
   def bucketsQuery(s: SparkSession, d: String): DataFrame =
     lshBuckets(TextSim.spread(Tables.embeddings(s, d)))
@@ -504,6 +533,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "e13_knn_classify" -> (knnClassifyQuery _),
     "e12_ann_recall"  -> (recallQuery _),
     "e10_range_search" -> (rangeQuery _),
     "e01_knn_cosine"  -> (knnQuery _),
@@ -530,6 +560,34 @@ object Similarity {
             FROM q)"""
 
   val oracles: Map[String, String] = Map(
+    // same quantized-cosine top-10, same (votes desc, label) majority
+    "e13_knn_classify" ->
+      s"""WITH $quantSql,
+          pairs AS (
+            SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                   CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+                   / (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE))
+                      * sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE))) AS cos
+            FROM q a JOIN q b ON a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0),
+          top AS (SELECT q_id, n_id FROM (
+                    SELECT q_id, n_id,
+                           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+                    FROM pairs) t
+                  WHERE rank <= 10),
+          votes AS (SELECT top.q_id, CAST(e.label AS BIGINT) AS n_label,
+                           count(*) AS votes
+                    FROM top JOIN embeddings e ON e.vec_id = top.n_id
+                    GROUP BY 1, 2),
+          best AS (SELECT q_id, n_label, votes FROM (
+                     SELECT q_id, n_label, votes,
+                            row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) AS rk
+                     FROM votes) t
+                   WHERE rk = 1)
+          SELECT best.q_id, best.n_label AS pred_label, best.votes,
+                 CAST(qe.label AS BIGINT) AS true_label,
+                 CAST(CASE WHEN best.n_label = CAST(qe.label AS BIGINT)
+                           THEN 1 ELSE 0 END AS BIGINT) AS correct
+          FROM best JOIN embeddings qe ON qe.vec_id = best.q_id""",
     // exact top-3 vs same-bucket top-3 for the same probe set; pure
     // integer hit counts
     "e12_ann_recall" ->

@@ -1088,7 +1088,50 @@ object TextOps {
       .withColumn("cum_pos", sum(col("n_pos")).over(w))
   }
 
+  /** t48: BM25 RELEVANCE — the Okapi ranking function behind lexical
+    * retrieval (and the quality-ranked recall stage of RAG-style data
+    * pipelines): score = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * k1 = 1.2, b = 0.75. Cross-engine exactness discipline: with
+    * k1 = 6/5, b = 3/4 and avgdl = T/N the term ratio clears to the pure
+    * integer form 22000·tf·T div (10·tf·T + 3·T + 9·dl·N) (one floor
+    * division per (doc, term)), and idf uses the same bit-length log2
+    * surrogate t32's surprisal pins (⌊log2 N⌋ − ⌊log2 df⌋) — no float
+    * ever enters the plan. The query is derived, not hard-coded: the 5
+    * highest-df terms with df·2 < N (ties by token), so the entry is
+    * fixture-agnostic. Scale shape: tokens shuffle ONCE into the (doc,
+    * term) tf table; df is a second vocab-sized agg over tf; the 5-term
+    * query broadcasts back onto tf (map-side), and top-20 is a
+    * TakeOrdered — no sort of the corpus, no joins on raw text. */
+  def bm25TopDocs(s: SparkSession, d: String): DataFrame = {
+    val ws = TextSim.spread(Tables.documents(s, d))
+      .select(col("doc_id"), TextSim.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+    val toks = ws.select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+                         explode(col("ws")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nt = ws.agg(count(lit(1)).as("nn"),
+                    sum(size(col("ws")).cast("long")).as("tt"))
+    val qterms = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(nt)
+      .filter(col("df") * 2 < col("nn"))
+      .orderBy(col("df").desc, col("tok")).limit(5)
+    val out = tf.join(broadcast(qterms), "tok")
+      .withColumn("idf_bits",
+        (length(bin(col("nn"))) - length(bin(col("df")))).cast("long"))
+      .withColumn("part", col("idf_bits") *
+        expr("(22000 * tf * tt) div (10 * tf * tt + 3 * tt + 9 * dl * nn)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("part")).as("bm25_sc"), count(lit(1)).as("n_qterms"))
+      .orderBy(col("bm25_sc").desc, col("doc_id")).limit(20)
+      .localCheckpoint(true)   // 20 rows; detach before releasing tf
+    tf.unpersist(false)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "t48_bm25"            -> (bm25TopDocs _),
     "t43_threshold_sweep" -> (thresholdSweep _),
     "t42_temperature_mix" -> (temperatureMix _),
     "t40_hll_sketch"   -> (hllSketch _),
@@ -1131,6 +1174,26 @@ object TextOps {
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
   // replace all matches (Spark replaces all by default).
   val oracles: Map[String, String] = Map(
+    // same integer BM25: 22000·tf·T // (10·tf·T + 3·T + 9·dl·N), bit-length
+    // idf, derived 5-term query, (score desc, doc_id) top-20
+    "t48_bm25" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+           FROM documents),
+         w AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d WHERE len(ws) >= 1),
+         toks AS (SELECT doc_id, dl, unnest(ws) AS tok FROM w),
+         tf AS (SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl FROM toks GROUP BY 1, 2),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(dl) AS BIGINT) AS tt FROM w),
+         qt AS (SELECT tok, df, nn, tt FROM
+                  (SELECT tok, count(*) AS df FROM tf GROUP BY 1) dfreq, nt
+                WHERE df * 2 < nn ORDER BY df DESC, tok LIMIT 5),
+         sc AS (SELECT tf.doc_id,
+                       CAST(length(bin(qt.nn)) - length(bin(qt.df)) AS BIGINT)
+                         * ((22000 * tf.tf * qt.tt)
+                            // (10 * tf.tf * qt.tt + 3 * qt.tt + 9 * tf.dl * qt.nn)) AS part
+                FROM tf JOIN qt USING (tok))
+         SELECT doc_id, CAST(sum(part) AS BIGINT) AS bm25_sc, count(*) AS n_qterms
+         FROM sc GROUP BY 1 ORDER BY bm25_sc DESC, doc_id LIMIT 20""",
     // same permille score, same decile buckets, same from-the-top
     // cumulative window (11 rows at most)
     "t43_threshold_sweep" ->

@@ -1132,4 +1132,78 @@ class OperatorsSpec extends SparkSpec {
     expect.foreach { case (eid, n) =>
       assert(got(eid) == n, s"event $eid: got ${got(eid)}, want $n") }
   }
+
+  test("i04 BFS layers equal a local 3-round frontier expansion") {
+    val pairs = graft.core.Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .join(graft.core.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1) + 10000000L))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    pairs.foreach { case (c, s) => adj(c) += s; adj(s) += c }
+    val sources = adj.keys.filter(v => v >= 10000000L && (v - 10000000L) % 10 == 0).toSet
+    var dist = sources.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (v, dv) => adj(v).map(_ -> (dv + 1)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).map { case (v, ds) => v -> ds.map(_._2).min }
+    }
+    val expect = dist.values.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val got = graft.core.IterativeQueries.bfsLayers(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"got $got want $expect")
+  }
+
+  test("q66 interval coverage equals a per-user local sweep") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = evs.groupBy(_._1).map { case (u, g) =>
+      val iv = g.map { case (_, t, eid) => (t, t + eid % 900 + 60) }
+      // exact union length over the merged sorted intervals
+      val sorted = iv.sortBy(_._1)
+      var covered = 0L; var curS = Long.MinValue; var curE = Long.MinValue
+      sorted.foreach { case (s0, e0) =>
+        if (s0 > curE) { if (curE > curS) covered += curE - curS; curS = s0; curE = e0 }
+        else if (e0 > curE) curE = e0
+      }
+      if (curE > curS) covered += curE - curS
+      // peak concurrency: ends before starts at tied instants
+      val bounds = iv.flatMap { case (s0, e0) => Seq((s0, 1), (e0, -1)) }
+        .sortBy { case (t, dl) => (t, dl) }
+      var run = 0; var peak = 0
+      bounds.foreach { case (_, dl) => run += dl; peak = math.max(peak, run) }
+      u -> ((covered, peak.toLong, iv.length.toLong))
+    }
+    val got = Relational.intervalCoverage(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, s"first diff: ${(got.toSet diff expect.toSet).take(3)}")
+  }
+
+  test("t48 BM25 matches a local integer-domain recompute") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim.split(" ").toSeq)
+      .filter(_._2.nonEmpty)
+    val nn = docs.length.toLong
+    val tt = docs.map(_._2.length.toLong).sum
+    val dfreq = docs.flatMap { case (_, ws) => ws.distinct }.groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val qterms = dfreq.filter(_._2 * 2 < nn).toSeq.sortBy { case (t, c) => (-c, t) }.take(5)
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val expect = docs.map { case (id, ws) =>
+      val dl = ws.length.toLong
+      val tfm = ws.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      val sc = qterms.collect { case (t, dfc) if tfm.contains(t) =>
+        val tf = tfm(t)
+        (bits(nn) - bits(dfc)) * ((22000L * tf * tt) / (10L * tf * tt + 3L * tt + 9L * dl * nn))
+      }
+      (id, sc.sum, sc.length.toLong)
+    }.filter(_._3 > 0).sortBy { case (id, s, _) => (-s, id) }.take(20)
+    val got = TextOps.bm25TopDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect.toSeq, s"got ${got.take(3)} want ${expect.take(3)}")
+  }
 }

@@ -528,4 +528,29 @@ class SimilaritySpec extends SparkSpec {
         s"IVF-PQ top-1 diverged for query $qId")
     }
   }
+
+  test("e13 kNN classifier equals a local top-10 majority vote") {
+    val rows = graft.core.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray,
+        r.getInt(2).toLong))
+    val corpus = rows.filter(_._1 % 50 != 0)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+             math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val expect = rows.filter(_._1 % 50 == 0).map { case (qId, qv, qLabel) =>
+      val top = corpus.map { case (nId, nv, nl) => (nId, cos(qv, nv), nl) }
+        .sortBy { case (nId, c, _) => (-c, nId) }.take(10)
+      val (pred, votes) = top.groupBy(_._3).view.mapValues(_.length.toLong)
+        .toSeq.sortBy { case (l, v) => (-v, l) }.head
+      (qId, pred, votes, qLabel, if (pred == qLabel) 1L else 0L)
+    }.sortBy(_._1).toSeq
+    val got = Similarity.knnClassifyQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == expect, s"first diff: ${got.zip(expect).find(p => p._1 != p._2)}")
+  }
 }
