@@ -350,7 +350,44 @@ object Predict {
       .agg(count(lit(1)).as("n_cust"), dummies: _*)
   }
 
+  /** ml10: distributed SYNCHRONOUS full-batch subgradient descent — the
+    * data-parallel training loop itself (the shape under every
+    * large-scale SGD/AllReduce pipeline), not just post-fit scoring:
+    * per epoch, every partition computes a partial subgradient, one
+    * tree-aggregated reduce combines them, the driver applies the
+    * model-sized update and re-broadcasts. Three epochs of the batch
+    * perceptron rule w ← w + Σ_{yᵢ(w·xᵢ)≤0} yᵢxᵢ over lineitem features
+    * x = (quantity, discount-cents, 1), y = ±1 on returnflag='R'. All
+    * arithmetic is integer (no learning rate, no float), so the oracle
+    * unrolls the three epochs exactly. What moves per epoch: the 3-long
+    * model to executors, ONE 4-long partial per partition back — the
+    * driver holds model-sized state only, at any data scale. Output:
+    * (epoch, misclassified count, w) — the training curve. */
+  def parallelSgd(s: SparkSession, d: String): DataFrame = {
+    val facts = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100).cast("long").as("x2"),
+        when(col("l_returnflag") === "R", 1L).otherwise(-1L).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = (0L, 0L, 0L)
+    val curve = (1 to 3).map { epoch =>
+      val m = col("y") * (lit(w._1) * col("x1") + lit(w._2) * col("x2") + lit(w._3))
+      val g = facts.filter(m <= 0)
+        .agg(count(lit(1)).as("mis"),
+             coalesce(sum(col("y") * col("x1")), lit(0L)).as("g1"),
+             coalesce(sum(col("y") * col("x2")), lit(0L)).as("g2"),
+             coalesce(sum(col("y")), lit(0L)).as("gb"))
+        .collect().head   // ONE model-sized row per epoch — the AllReduce result
+      w = (w._1 + g.getLong(1), w._2 + g.getLong(2), w._3 + g.getLong(3))
+      (epoch.toLong, g.getLong(0), w._1, w._2, w._3)
+    }
+    facts.unpersist(false)
+    import s.implicits._
+    curve.toDF("epoch", "mis", "w1", "w2", "wb")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml10_parallel_sgd"  -> (parallelSgd _),
     "ml08_std_scaler"    -> (standardScaler _),
     "ml09_onehot"        -> (oneHotDummies _),
     "ml01_predict"       -> (predictLineitem _),
@@ -361,7 +398,37 @@ object Predict {
     "ml07_hash_features" -> (hashFeatureScore _),
   )
 
+  /** The ml10 oracle: the same three epochs unrolled — generated so the
+    * epoch count and update rule cannot drift between loop and SQL. */
+  private def sgdOracle(epochs: Int): String = {
+    val base = """WITH f AS (
+         SELECT CAST(l_quantity AS BIGINT) AS x1,
+                CAST(round(l_discount*100) AS BIGINT) AS x2,
+                CASE WHEN l_returnflag = 'R' THEN CAST(1 AS BIGINT)
+                     ELSE CAST(-1 AS BIGINT) END AS y
+         FROM lineitem),
+       w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+                     CAST(0 AS BIGINT) AS wb)"""
+    val steps = (1 to epochs).map { e =>
+      s""",
+       g$e AS (SELECT count(*) AS mis,
+                      CAST(COALESCE(sum(y * x1), 0) AS BIGINT) AS s1,
+                      CAST(COALESCE(sum(y * x2), 0) AS BIGINT) AS s2,
+                      CAST(COALESCE(sum(y), 0) AS BIGINT) AS sb
+               FROM f, w${e - 1}
+               WHERE y * (w${e - 1}.w1 * x1 + w${e - 1}.w2 * x2 + w${e - 1}.wb) <= 0),
+       w$e AS (SELECT w${e - 1}.w1 + g$e.s1 AS w1, w${e - 1}.w2 + g$e.s2 AS w2,
+                      w${e - 1}.wb + g$e.sb AS wb
+               FROM w${e - 1}, g$e)"""
+    }.mkString
+    val rows = (1 to epochs).map { e =>
+      s"SELECT CAST($e AS BIGINT) AS epoch, g$e.mis AS mis, w$e.w1, w$e.w2, w$e.wb FROM g$e, w$e"
+    }.mkString("\n       UNION ALL ")
+    base + steps + "\n       " + rows
+  }
+
   val oracles: Map[String, String] = Map(
+    "ml10_parallel_sgd" -> sgdOracle(3),
     // the oracle pins the discovered category set (pass-1 distinct,
     // sorted): the five TPC-H market segments of the fixture
     "ml09_onehot" ->

@@ -230,6 +230,34 @@ object Streams {
     s.table(sink)
   }
 
+  /** st12: SLIDING (hopping) windows — the one event-time window shape
+    * the rest of the suite lacks: length 2 days, slide 1 day, so every
+    * event belongs to exactly TWO overlapping windows. Structured
+    * Streaming implements this by expanding each row to its window set
+    * before the keyed aggregation (the state grows with windows-per-
+    * event × keys, which is why the slide ratio — not the event rate —
+    * is the state knob at 100 TB). Same complete/AvailableNow drive and
+    * watermark as st01; the oracle mirrors the expansion as a UNION ALL
+    * of the two day-aligned window starts. */
+  def streamedSlidingCounts(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val src = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val events = graft.core.Tables.normalizeTs(src)
+    val counts = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("wstart"),
+              col("event_type"), col("n_events"), col("sum_value"))
+    val sink = s"graft_st12_sink_${sinkSeq.incrementAndGet()}"
+    val q = counts.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   /** st02: sessionization end-to-end on the streaming path — the events
     * fixture drained through `flatMapGroupsWithState`, emitting every
     * gap-closed session. The oracle reconstructs sessions in SQL (lag >
@@ -701,6 +729,7 @@ object Streams {
     "st09_stream_outer"  -> (streamedAttributionOuter _),
     "st10_incremental_resume" -> (streamedIncrementalResume _),
     "st11_transform_state" -> (streamedTransformState _),
+    "st12_sliding_window" -> (streamedSlidingCounts _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -721,6 +750,18 @@ object Streams {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                 count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // each event expands to its two day-aligned 2-day windows — the same
+    // row expansion the streaming engine performs before aggregating
+    "st12_sliding_window" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                           event_type, value
+                    FROM events),
+         x AS (SELECT (t // 86400) * 86400 AS wstart, event_type, value FROM e
+               UNION ALL
+               SELECT ((t // 86400) - 1) * 86400 AS wstart, event_type, value FROM e)
+         SELECT wstart, event_type, count(*) AS n_events,
+                round(sum(value), 2) AS sum_value
+         FROM x GROUP BY 1, 2""",
     "st06_stream_enrich" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, c_mktsegment,
                 count(*) AS n_events, round(sum(value), 2) AS sum_value

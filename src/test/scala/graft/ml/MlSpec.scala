@@ -208,4 +208,26 @@ class MlSpec extends SparkSpec {
     assert(r.getLong(1) == 946684800L + 499 * 7200L)
     assert(r.getDouble(2) >= 0.0 && r.getDouble(3) < 1000.0)
   }
+
+  test("ml10 parallel SGD equals a local 3-epoch batch-perceptron loop") {
+    val rows = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("long"),
+              round(col("l_discount") * 100).cast("long"),
+              when(col("l_returnflag") === "R", 1L).otherwise(-1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var w = (0L, 0L, 0L)
+    val expect = (1 to 3).map { e =>
+      val mis = rows.filter { case (x1, x2, y) => y * (w._1 * x1 + w._2 * x2 + w._3) <= 0 }
+      w = (w._1 + mis.map(r => r._3 * r._1).sum,
+           w._2 + mis.map(r => r._3 * r._2).sum,
+           w._3 + mis.map(_._3).sum)
+      (e.toLong, mis.length.toLong, w._1, w._2, w._3)
+    }
+    val got = Predict.parallelSgd(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == expect, s"training curves diverge: $got vs $expect")
+    // epoch 1 must touch every row (w=0 misclassifies everything)
+    assert(got.head._2 == rows.length.toLong)
+  }
 }

@@ -330,4 +330,20 @@ class StreamingSpec extends SparkSpec {
     assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       .forall(!_.contains("RocksDB")), "provider conf leaked")
   }
+
+  test("st12 sliding windows: every event lands in exactly two 2-day windows") {
+    import org.apache.spark.sql.functions._
+    val got = Streams.streamedSlidingCounts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val evs = graft.core.Tables.events(spark, sfDir)
+      .select(unix_timestamp(col("ts")).as("t"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = evs.flatMap { case (t, et) =>
+      val d = t / 86400 * 86400
+      Seq((d, et), (d - 86400, et))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    assert(got == expect, "window expansion must duplicate each event into 2 windows")
+    // total window-rows = 2 × events: the slide-ratio state-cost identity
+    assert(got.values.sum == 2L * evs.length)
+  }
 }
