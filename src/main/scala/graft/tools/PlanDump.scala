@@ -69,7 +69,16 @@ object PlanDump {
       "Weighted sampling (A-ES): the −ln(u)/w key is fused into the scan projection and the per-language rank filter rewrites to TopKPerKey — each map partition pre-cuts to 20 rows per stratum before the single exchange.",
     "q61_ewma" ->
       "EWMA: one hashpartitioning(user_id) exchange + per-partition sort feeds MapGroups — the sequential α·x + (1−α)·y recursion is the operator's semantics (this IS how pandas/dask run ewm), state one double per group, scan pruned to 3 columns with the null filter pushed.",
+    "q66_interval_coverage" ->
+      "Interval coverage: the ±1 boundary union feeds ONE hashpartitioning(user_id) exchange that serves the running-count window, the lead() window AND the final per-user roll-up (subset rule) — a single shuffle of 2·|events| skinny rows, no joins anywhere.",
+    "t48_bm25" ->
+      "Integer BM25: tokens shuffle once into the (doc, term) tf aggregate (partial_count map-side); the derived 5-term query comes back as a BroadcastHashJoin build side over tf; the top-20 is TakeOrderedAndProject — no sort of the corpus, the raw text never joins.",
+    "e13_knn_classify" ->
+      "kNN classifier: the probe set broadcasts against the streamed corpus (the documented bruteKnn BNLJ baseline); votes aggregate partial-first on (q_id, label), and the winner filter rewrites to TopKPerKey — bounded heaps, no per-query sort.",
   )
+  // i03/i04 return eagerly localCheckpoint'ed frames (their plans collapse
+  // to an RDD scan here); their join/agg shapes are asserted by their own
+  // specs and documented in SURVEY §8 instead.
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local()
