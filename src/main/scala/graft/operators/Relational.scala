@@ -1525,7 +1525,30 @@ object Relational {
            expr("count(1) div 2").as("n_intervals"))
   }
 
+  /** q67: pandas/dask `pct_change` per key — the return-series transform
+    * (q28 is the absolute lag delta; this is the relative one). Exact
+    * discipline: cents·1000 stays integer-exact in a double (≤ 2⁵³), so
+    * the permille change is ONE deterministic IEEE division and one
+    * subtraction, mirrored token-for-token in the oracle, then
+    * round(·, 4) — the established float-tail recipe. Zero/absent
+    * predecessors are filtered (pandas emits NaN there; the gate's
+    * hash compare needs NULL-free doubles). Same single keyed window
+    * as q28: one exchange, no joins. */
+  def pctChange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("t"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= 0)
+      .select(col("event_id"),
+              round((col("cents") * 1000L).cast("double") / col("prev") - 1000.0, 4)
+                .as("pct_pm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q67_pct_change"        -> (pctChange _),
     "q66_interval_coverage" -> (intervalCoverage _),
     "q63_rolling_corr"      -> (rollingCorr _),
     "q01_pricing_summary"   -> (pricingSummary _),
@@ -1595,6 +1618,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same lag, same token-for-token float tail: cents·1000 exact in a
+    // double, one division, one subtraction, round(·,4)
+    "q67_pct_change" ->
+      """WITH e AS (
+           SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  CAST(round(value*100) AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         l AS (SELECT event_id, cents,
+                      lag(cents) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+               FROM e)
+         SELECT event_id,
+                round(CAST(cents * 1000 AS DOUBLE) / prev - 1000.0, 4) AS pct_pm
+         FROM l WHERE prev IS NOT NULL AND prev <> 0""",
     // same ±1 boundary sweep; the (t, delta, event_id) total order and the
     // explicit ROWS frame pin identical running counts in both engines
     "q66_interval_coverage" ->

@@ -283,6 +283,27 @@ object Similarity {
                 .as("correct"))
   }
 
+  /** e14: CONFUSION-MATRIX EVALUATION over the e13 classifier — the
+    * eval harness every labeling pipeline ships next to its model:
+    * (true, predicted) cell counts plus per-cell recall (share of the
+    * true class) and precision (share of the predicted class), both in
+    * exact integer permille from whole-partition window sums. The cell
+    * table is classes², so everything after the vote is dimension-sized
+    * at any corpus scale. */
+  def confusionMetrics(s: SparkSession, d: String): DataFrame = {
+    val cells = knnClassifyQuery(s, d)
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("true_label"))))
+      .withColumn("col_total",
+        sum(col("n")).over(Window.partitionBy(col("pred_label"))))
+      .select(col("true_label"), col("pred_label"), col("n"),
+              expr("n * 1000 div row_total").as("recall_pm"),
+              expr("n * 1000 div col_total").as("precision_pm"))
+  }
+
   /** e02: LSH bucket assignment for every vector (exact oracle). */
   def bucketsQuery(s: SparkSession, d: String): DataFrame =
     lshBuckets(TextSim.spread(Tables.embeddings(s, d)))
@@ -533,6 +554,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "e14_confusion"   -> (confusionMetrics _),
     "e13_knn_classify" -> (knnClassifyQuery _),
     "e12_ann_recall"  -> (recallQuery _),
     "e10_range_search" -> (rangeQuery _),
@@ -559,35 +581,52 @@ object Similarity {
                              for p in generate_series(0,7)]) AS BIGINT) AS bucket
             FROM q)"""
 
-  val oracles: Map[String, String] = Map(
-    // same quantized-cosine top-10, same (votes desc, label) majority
-    "e13_knn_classify" ->
-      s"""WITH $quantSql,
-          pairs AS (
-            SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-                   CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
-                   / (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE))
-                      * sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE))) AS cos
-            FROM q a JOIN q b ON a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0),
-          top AS (SELECT q_id, n_id FROM (
-                    SELECT q_id, n_id,
-                           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-                    FROM pairs) t
-                  WHERE rank <= 10),
-          votes AS (SELECT top.q_id, CAST(e.label AS BIGINT) AS n_label,
-                           count(*) AS votes
-                    FROM top JOIN embeddings e ON e.vec_id = top.n_id
-                    GROUP BY 1, 2),
-          best AS (SELECT q_id, n_label, votes FROM (
-                     SELECT q_id, n_label, votes,
-                            row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) AS rk
-                     FROM votes) t
-                   WHERE rk = 1)
+  /** Shared CTE chain for the e13 classifier (also the e14 input) —
+    * defined once so the two oracles cannot drift. Ends with `preds`. */
+  private lazy val knnClassifyCte =
+    s"""$quantSql,
+        pairs AS (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                 CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+                 / (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE))
+                    * sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE))) AS cos
+          FROM q a JOIN q b ON a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0),
+        top AS (SELECT q_id, n_id FROM (
+                  SELECT q_id, n_id,
+                         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+                  FROM pairs) t
+                WHERE rank <= 10),
+        votes AS (SELECT top.q_id, CAST(e.label AS BIGINT) AS n_label,
+                         count(*) AS votes
+                  FROM top JOIN embeddings e ON e.vec_id = top.n_id
+                  GROUP BY 1, 2),
+        best AS (SELECT q_id, n_label, votes FROM (
+                   SELECT q_id, n_label, votes,
+                          row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) AS rk
+                   FROM votes) t
+                 WHERE rk = 1),
+        preds AS (
           SELECT best.q_id, best.n_label AS pred_label, best.votes,
                  CAST(qe.label AS BIGINT) AS true_label,
                  CAST(CASE WHEN best.n_label = CAST(qe.label AS BIGINT)
                            THEN 1 ELSE 0 END AS BIGINT) AS correct
-          FROM best JOIN embeddings qe ON qe.vec_id = best.q_id""",
+          FROM best JOIN embeddings qe ON qe.vec_id = best.q_id)"""
+
+  val oracles: Map[String, String] = Map(
+    // same quantized-cosine top-10, same (votes desc, label) majority
+    "e13_knn_classify" ->
+      s"""WITH $knnClassifyCte
+          SELECT q_id, pred_label, votes, true_label, correct FROM preds""",
+    // same cell counts; whole-partition window sums give the class and
+    // prediction totals, permille by integer floor division
+    "e14_confusion" ->
+      s"""WITH $knnClassifyCte,
+          cells AS (SELECT true_label, pred_label, count(*) AS n
+                    FROM preds GROUP BY 1, 2)
+          SELECT true_label, pred_label, n,
+                 CAST(n * 1000 // CAST(sum(n) OVER (PARTITION BY true_label) AS BIGINT) AS BIGINT) AS recall_pm,
+                 CAST(n * 1000 // CAST(sum(n) OVER (PARTITION BY pred_label) AS BIGINT) AS BIGINT) AS precision_pm
+          FROM cells""",
     // exact top-3 vs same-bucket top-3 for the same probe set; pure
     // integer hit counts
     "e12_ann_recall" ->

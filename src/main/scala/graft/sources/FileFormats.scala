@@ -233,6 +233,34 @@ object FileFormats {
            sum(col("event_id")).as("sum_ids"),
            countDistinct(col("user_id")).as("n_users"))
 
+  /** src12: DYNAMIC PARTITION OVERWRITE — the idempotent-backfill write
+    * mode every partitioned warehouse depends on: a corrective job
+    * recomputes ONE partition and `INSERT OVERWRITE`s only it, leaving
+    * sibling partitions untouched (static overwrite mode would drop
+    * them; append would double-count — the oracle catches both). Here
+    * the 'click' partition is rewritten with doubled cents; the final
+    * per-type profile proves replaced-not-appended for clicks AND
+    * survival of the other four partitions. The conf flip is scoped and
+    * restored, mirroring how a production job pins the mode per-write. */
+  def dynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("evdynover")
+    val base = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              round(col("value") * 100).cast("long").as("cents"))
+    base.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val fixed = base.filter(col("event_type") === "click")
+      .withColumn("cents", col("cents") * 2)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try fixed.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    s.read.parquet(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+           sum(col("event_id")).as("sum_ids"))
+  }
+
   /** The event-type dimension for [[dynamicPrune]] — the small side a
     * warehouse would keep as a dim table; inline literal rows here (the
     * fixture has no such table) so the join is fully deterministic. */
@@ -499,6 +527,7 @@ object FileFormats {
   }
 
   val queries: Map[String, Q] = Map(
+    "src12_dynamic_overwrite" -> (dynamicOverwrite _),
     "src11_gzip_csv"        -> (gzipCsvRoundtrip _),
     "src10_permissive_json" -> (permissiveJson _),
     "src01_csv_roundtrip"  -> (csvRoundtrip _),
@@ -520,6 +549,21 @@ object FileFormats {
        FROM orders"""
 
   val oracles: Map[String, String] = Map(
+    // replaced-not-appended for clicks (cents doubled once), untouched
+    // siblings — static overwrite or append would both hash-mismatch
+    "src12_dynamic_overwrite" ->
+      """WITH e AS (SELECT event_id, event_type,
+                           CAST(round(value*100) AS BIGINT) AS cents
+                    FROM events),
+         merged AS (SELECT event_id, event_type, cents FROM e
+                    WHERE event_type <> 'click'
+                    UNION ALL
+                    SELECT event_id, event_type, cents * 2 AS cents FROM e
+                    WHERE event_type = 'click')
+         SELECT event_type, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(sum(event_id) AS BIGINT) AS sum_ids
+         FROM merged GROUP BY 1""",
     // clean/corrupt populations rebuilt from the source by the same
     // mod-7 rule; the corrupt signature re-renders the torn line text
     "src10_permissive_json" ->

@@ -1133,6 +1133,26 @@ class OperatorsSpec extends SparkSpec {
       assert(got(eid) == n, s"event $eid: got ${got(eid)}, want $n") }
   }
 
+  test("q67 pct_change equals a local per-user lag recompute") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.core.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"), col("event_id"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = evs.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      sorted.zip(sorted.drop(1)).collect {
+        case (prev, cur) if prev._4 != 0 =>
+          val raw = cur._4.toDouble * 1000 / prev._4 - 1000.0
+          cur._3 -> BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    val got = Relational.pctChange(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expect, s"first diff: ${(got.toSet diff expect.toSet).take(3)}")
+  }
+
   test("i04 BFS layers equal a local 3-round frontier expansion") {
     val pairs = graft.core.Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
       .join(graft.core.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey"),

@@ -553,4 +553,20 @@ class SimilaritySpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(got == expect, s"first diff: ${got.zip(expect).find(p => p._1 != p._2)}")
   }
+
+  test("e14 confusion matrix aggregates e13's predictions exactly") {
+    val preds = Similarity.knnClassifyQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(3), r.getLong(1)))            // (true, pred)
+    val cells = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowTot = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colTot = preds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expect = cells.map { case ((t, p), n) =>
+      (t, p, n, n * 1000 / rowTot(t), n * 1000 / colTot(p))
+    }.toSet
+    val got = Similarity.confusionMetrics(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expect, s"diff: ${(got diff expect).take(3)} / ${(expect diff got).take(3)}")
+    assert(got.toSeq.map(_._3).sum == preds.length.toLong, "cells must partition the queries")
+  }
 }

@@ -295,9 +295,10 @@ class PlanAuditSpec extends SparkSpec {
     // to an RDD scan; their join shapes are asserted by their own specs —
     // this sweep still covers everything visible in the returned plan.
     val bnljAllowed = Set("e01_knn_cosine", "e07_mips", "mm04_hist_knn",
-                          // e13: the kNN classifier votes over the same
-                          // bruteKnn broadcast-queries-vs-corpus baseline
-                          "e13_knn_classify",
+                          // e13/e14: the kNN classifier (and its confusion
+                          // eval) vote over the same bruteKnn
+                          // broadcast-queries-vs-corpus baseline
+                          "e13_knn_classify", "e14_confusion",
                           // e12: recall eval re-runs the e01 brute-force
                           // baseline (broadcast probe set vs corpus) to
                           // produce the exact reference answers

@@ -60,4 +60,25 @@ class PartitionPruneSpec extends SparkSpec {
       .collect().head
     assert(got == want)
   }
+
+  test("src12 dynamic overwrite replaces only the click partition, idempotently") {
+    def profile() = FileFormats.dynamicOverwrite(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = profile()
+    val expect = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (t, g) =>
+        val mult = if (t == "click") 2L else 1L
+        t -> ((g.length.toLong, g.map(_._3 * mult).sum, g.map(_._2).sum))
+      }
+    assert(got == expect,
+      "click cells must double exactly once; sibling partitions must survive")
+    // the whole entry is an idempotent backfill: a re-run converges
+    assert(profile() == got, "second run must reproduce the same table")
+    // the conf flip must not leak into later entries
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .contains("dynamic"), "partitionOverwriteMode leaked")
+  }
 }
