@@ -1547,7 +1547,37 @@ object Relational {
                 .as("pct_pm"))
   }
 
+  /** q68: grouped MEDIAN ABSOLUTE DEVIATION — the robust scale estimate
+    * (pandas `(x - x.median()).abs().median()`) outlier pipelines use
+    * where std is poisoned by the outliers themselves. Two passes of the
+    * same [[rankScan]] machinery q30/q44 already prove exact: pass 1
+    * takes per-group medians off the value-frequency table, broadcasts
+    * the group-sized result back (the fact rows never re-shuffle for
+    * their median), pass 2 runs the identical rank probe over the
+    * absolute-deviation frequencies. Deviations stay integer by working
+    * in median-units ×10⁴ (the median is a .5-interpolated integer, so
+    * ×10⁴ is exact); the final /10⁴ is one mirrored IEEE division.
+    * Never a `percentile` aggregate: its per-key value map is the
+    * single-reducer OOM at warehouse scale (see [[rankScan]]). */
+  def groupMad(s: SparkSession, d: String): DataFrame = {
+    val cents = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("k"),
+              round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val freq1 = cents.groupBy(col("k"), col("v")).agg(count(lit(1)).as("cnt"))
+    val med = quartilesByKey(freq1)
+      .select(col("k"), round(col("p50"), 4).as("med"))
+    val dev = cents.join(broadcast(med), "k")
+      .select(col("k"),
+              abs(col("v") * 10000L - round(col("med") * 10000).cast("long")).as("dv"))
+    val freq2 = dev.groupBy(col("k"), col("dv")).agg(count(lit(1)).as("cnt"))
+    quartilesByKey(freq2.select(col("k"), col("dv"), col("cnt")))
+      .select(col("k"), round(col("p50") / 10000, 4).as("mad"))
+      .join(med, "k")
+      .select(col("k"), col("med"), col("mad"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q68_group_mad"         -> (groupMad _),
     "q67_pct_change"        -> (pctChange _),
     "q66_interval_coverage" -> (intervalCoverage _),
     "q63_rolling_corr"      -> (rollingCorr _),
@@ -1618,6 +1648,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same two-pass shape: exact median, integer deviations in ×10⁴
+    // median-units, exact deviation median, one mirrored /10⁴ tail
+    "q68_group_mad" ->
+      """WITH c AS (SELECT l_returnflag AS k,
+                           CAST(round(l_extendedprice*100) AS BIGINT) AS v
+                    FROM lineitem),
+         med AS (SELECT k, round(quantile_cont(v, 0.5), 4) AS med
+                 FROM c GROUP BY 1),
+         dev AS (SELECT c.k,
+                        abs(c.v * 10000 - CAST(round(med.med * 10000) AS BIGINT)) AS dv
+                 FROM c JOIN med ON med.k = c.k),
+         madt AS (SELECT k, round(quantile_cont(dv, 0.5) / 10000, 4) AS mad
+                  FROM dev GROUP BY 1)
+         SELECT med.k, med.med, madt.mad FROM med JOIN madt USING (k)""",
     // same lag, same token-for-token float tail: cents·1000 exact in a
     // double, one division, one subtraction, round(·,4)
     "q67_pct_change" ->

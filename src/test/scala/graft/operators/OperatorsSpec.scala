@@ -1133,6 +1133,24 @@ class OperatorsSpec extends SparkSpec {
       assert(got(eid) == n, s"event $eid: got ${got(eid)}, want $n") }
   }
 
+  test("q68 MAD equals an independent percentile-aggregate recompute") {
+    import org.apache.spark.sql.functions._
+    val cents = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("k"),
+              round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val med = cents.groupBy(col("k"))
+      .agg(round(expr("percentile(v, 0.5)"), 4).as("med"))
+    val expect = cents.join(med, "k")
+      .select(col("k"), col("med"),
+              abs(col("v") * 10000L - round(col("med") * 10000).cast("long")).as("dv"))
+      .groupBy(col("k"), col("med"))
+      .agg(round(expr("percentile(dv, 0.5)") / 10000, 4).as("mad"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val got = Relational.groupMad(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == expect, s"rankScan MAD diverges from percentile: $got vs $expect")
+  }
+
   test("q67 pct_change equals a local per-user lag recompute") {
     import org.apache.spark.sql.functions._
     val evs = graft.core.Tables.events(spark, sfDir)
