@@ -1576,7 +1576,109 @@ object Relational {
       .select(col("k"), col("med"), col("mad"))
   }
 
+  /** q69: running-peak DRAWDOWN — the pandas `(x.cummax() - x) / x.cummax()`
+    * risk metric, per customer over the order-date series. ONE keyed
+    * window with the running `[unboundedPreceding, currentRow]` frame —
+    * Spark maintains the running max incrementally, O(n) per partition
+    * (the q40 lesson: never an UnboundedFollowing frame). Cents are
+    * exact integers; the permille drawdown is one mirrored IEEE
+    * multiply+divide with round(·,4) at output. (o_orderdate,
+    * o_orderkey) is a total order, so the running peak is
+    * engine-independent. Scale: one hash exchange on the
+    * high-cardinality customer key, O(1) window state per row. */
+  def drawdownPeak(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("peak", max(col("cents")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("peak"),
+              round((col("peak") - col("cents")).cast("double") * 1000.0 /
+                    col("peak"), 4).as("dd_pm"))
+  }
+
+  /** q70: per-group OLS (closed-form simple linear regression) — the
+    * distributed `regr_slope/regr_intercept` kernel: y = price cents on
+    * x = quantity per supplier. All five power sums accumulate as
+    * decimal(38,0) (exact at any group size — the q62 overflow
+    * discipline), partial-aggregable in ONE map-side-combined exchange
+    * on the high-cardinality supplier key; the slope/intercept closed
+    * form is the single double tail, mirrored token-for-token (DuckDB
+    * side sums in HUGEINT). Degenerate groups (n<2 or zero x-variance)
+    * are filtered on EXACT integer comparisons, so the row set is
+    * engine-independent. */
+  def groupOls(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = Tables.lineitem(s, d).select(
+      col("l_suppkey").as("sk"),
+      round(col("l_quantity")).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val sums = base.groupBy(col("sk")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum((col("x").cast(dec)) * (col("y").cast(dec))).as("sxy"),
+      sum((col("x").cast(dec)) * (col("x").cast(dec))).as("sxx"))
+    val nd = col("n").cast("double")
+    val (sxd, syd) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxyd, sxxd) = (col("sxy").cast("double"), col("sxx").cast("double"))
+    val slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    sums
+      .filter(col("n") >= 2 &&
+              col("n").cast(dec) * col("sxx") =!= col("sx") * col("sx"))
+      .select(col("sk"), col("n"),
+              round(slope, 6).as("slope"),
+              round((syd - slope * sxd) / nd, 6).as("intercept"))
+  }
+
+  /** q71: deterministic per-group SAMPLE — `df.groupby(g).sample(k)`
+    * with a seeded hash in place of an RNG: rank customers per nation by
+    * md5(custkey) and keep the 3 smallest. Hash-ranking makes the sample
+    * reproducible across engines, partitionings and reruns (the t15
+    * sampling discipline), and the keyed row_number window is the
+    * standard top-k-per-key shape (q14/TopKPerKey): one exchange, heap
+    * state O(k) per group under AQE. The (hash, key) order is tie-free
+    * — md5 collisions aside, custkey breaks any tie exactly. */
+  def groupSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("h"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"),
+              md5(col("c_custkey").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey"), col("rn"), col("c_custkey"), col("h"))
+  }
+
+  /** q72: MARKOV TRANSITION COUNTS — the event-sequence bigram table
+    * (prev_type → cur_type) behavior models train on: lag the type over
+    * each user's (ts, event_id)-ordered stream, count pairs, and report
+    * each transition's parts-per-million share of its source row. The
+    * heavy lifting is ONE keyed window exchange + one partial-aggregable
+    * count on a |types|²-bounded key space; the per-source totals ride a
+    * window over that TINY aggregate (never the fact table). ppm uses
+    * exact integer floor division (`div` ≡ DuckDB `//` on positives) —
+    * no floats anywhere. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("t"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    pairs
+      .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("cur_type"), col("cnt"),
+              expr("cnt * 1000000 div tot").as("ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q72_transitions"       -> (eventTransitions _),
+    "q71_group_sample"      -> (groupSample _),
+    "q70_group_ols"         -> (groupOls _),
+    "q69_drawdown"          -> (drawdownPeak _),
     "q68_group_mad"         -> (groupMad _),
     "q67_pct_change"        -> (pctChange _),
     "q66_interval_coverage" -> (intervalCoverage _),
@@ -1648,6 +1750,73 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same running-max window over the same (date, key) total order;
+    // one mirrored double multiply+divide tail, round(·,4) at output
+    "q69_drawdown" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                           CAST(round(o_totalprice*100) AS BIGINT) AS cents
+                    FROM orders),
+         p AS (SELECT o_custkey, o_orderkey, cents,
+                      max(cents) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS peak
+               FROM o)
+         SELECT o_custkey, o_orderkey, peak,
+                round(CAST(peak - cents AS DOUBLE) * 1000.0 / peak, 4) AS dd_pm
+         FROM p""",
+    // HUGEINT power sums mirror the decimal(38,0) accumulators exactly;
+    // the closed-form slope/intercept tail is token-for-token identical
+    "q70_group_ols" ->
+      """WITH li AS (SELECT l_suppkey AS sk,
+                            CAST(round(l_quantity) AS BIGINT) AS x,
+                            CAST(round(l_extendedprice*100) AS BIGINT) AS y
+                     FROM lineitem),
+         s AS (SELECT sk, count(*) AS n,
+                      sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                      sum(CAST(x AS HUGEINT)*y) AS sxy,
+                      sum(CAST(x AS HUGEINT)*x) AS sxx
+               FROM li GROUP BY 1
+               HAVING count(*) >= 2 AND count(*)*sum(CAST(x AS HUGEINT)*x)
+                                        <> sum(CAST(x AS HUGEINT))*sum(CAST(x AS HUGEINT)))
+         SELECT sk, n,
+                round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     /(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6) AS slope,
+                round((CAST(sy AS DOUBLE)
+                       - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                        /(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+         FROM s""",
+    // identical md5 hex (lowercase in both engines), identical tie-free
+    // (hash, key) rank order — pure string/integer domain, no floats
+    "q71_group_sample" ->
+      """WITH h AS (SELECT c_nationkey, c_custkey,
+                           md5(CAST(c_custkey AS VARCHAR)) AS h
+                    FROM customer),
+         r AS (SELECT c_nationkey, c_custkey, h,
+                      CAST(row_number() OVER (PARTITION BY c_nationkey
+                                              ORDER BY h, c_custkey) AS BIGINT) AS rn
+               FROM h)
+         SELECT c_nationkey, rn, c_custkey, h FROM r WHERE rn <= 3""",
+    // same lag over the same (t, event_id) total order; ppm is exact
+    // integer floor division on positives (Spark `div` ≡ DuckDB `//`)
+    "q72_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+                    FROM events),
+         p AS (SELECT event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY t, event_id) AS prev_type
+               FROM e),
+         c AS (SELECT prev_type, event_type AS cur_type, count(*) AS cnt
+               FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, cur_type, cnt,
+                cnt * 1000000 // CAST(sum(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS ppm
+         FROM c""",
     // same two-pass shape: exact median, integer deviations in ×10⁴
     // median-units, exact deviation median, one mirrored /10⁴ tail
     "q68_group_mad" ->

@@ -1244,4 +1244,95 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expect.toSeq, s"got ${got.take(3)} want ${expect.take(3)}")
   }
+
+  test("q69 drawdown equals a local per-customer running-peak recompute") {
+    import org.apache.spark.sql.functions._
+    val os = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("o_orderdate").cast("timestamp").cast("long").as("t"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = os.groupBy(_._1).values.flatMap { g =>
+      var peak = Long.MinValue
+      g.sortBy(o => (o._3, o._2)).map { o =>
+        peak = math.max(peak, o._4)
+        val dd = BigDecimal((peak - o._4).toDouble * 1000.0 / peak)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        o._2 -> ((peak, dd))
+      }
+    }.toMap
+    val got = Relational.drawdownPeak(spark, sfDir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expect, s"first diff: ${(got.toSet diff expect.toSet).take(3)}")
+  }
+
+  test("q70 OLS matches Breeze least-squares per supplier") {
+    import org.apache.spark.sql.functions._
+    val pts = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), round(col("l_quantity")).cast("long").as("x"),
+              round(col("l_extendedprice") * 100).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = Relational.groupOls(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val grouped = pts.groupBy(_._1)
+    grouped.foreach { case (sk, g) =>
+      val xs = g.map(_._2.toDouble); val ys = g.map(_._3.toDouble)
+      val n = g.length
+      val varx = xs.map(x => x * x).sum * n - math.pow(xs.sum, 2)
+      if (n >= 2 && varx != 0.0) {
+        // normal-equations solve via Breeze as the independent oracle
+        val a = breeze.linalg.DenseMatrix.horzcat(
+          breeze.linalg.DenseMatrix(xs: _*),
+          breeze.linalg.DenseMatrix.ones[Double](n, 1))
+        val sol = breeze.linalg.pinv(a) * breeze.linalg.DenseVector(ys: _*)
+        val (gn, gs, gi) = got(sk)
+        assert(gn == n.toLong)
+        assert(math.abs(gs - sol(0)) < 1e-4, s"sk=$sk slope $gs vs ${sol(0)}")
+        assert(math.abs(gi - sol(1)) < 1e-2, s"sk=$sk intercept $gi vs ${sol(1)}")
+      } else assert(!got.contains(sk), s"degenerate sk=$sk should be filtered")
+    }
+    assert(got.keySet.subsetOf(grouped.keySet))
+  }
+
+  test("q71 per-group sample is 3 per nation, reproducible, hash-minimal") {
+    val got = Relational.groupSample(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2), r.getString(3)))
+    val byNation = got.groupBy(_._1)
+    val all = graft.core.Tables.customer(spark, sfDir)
+      .select("c_nationkey", "c_custkey").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1)))
+    def h(k: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    byNation.foreach { case (nk, rows) =>
+      val pop = all.filter(_._1 == nk).map(_._2)
+      assert(rows.length == math.min(3, pop.length), s"nation $nk size")
+      val expectKeys = pop.map(k => (h(k), k)).sorted.take(3).map(_._2).toSeq
+      assert(rows.sortBy(_._2).map(_._3).toSeq == expectKeys, s"nation $nk keys")
+      rows.foreach { case (_, _, k, hex) => assert(hex == h(k)) }
+    }
+    // deterministic: a second run returns the identical set
+    val again = Relational.groupSample(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSet == again.toSet)
+  }
+
+  test("q72 transition counts equal a local bigram recompute; ppm sums to ~1e6") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"), col("event_id"),
+              col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = evs.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      sorted.zip(sorted.drop(1)).map { case (p, c) => (p._4, c._4) }
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val got = Relational.eventTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == expect)
+    // floor-division ppm per source: within n_targets of exactly 1e6
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length, s"$src ppm sum $s")
+    }
+  }
 }
