@@ -694,7 +694,28 @@ object ArrayQueries {
   def bandEntry(s: SparkSession, d: String): DataFrame =
     DMatrix.randInt(s, 64, 64, BS, 83L).band(3, 5).toCoords
 
+  /** a47: constant pad (`da.pad(x, ((3,13),(5,3)), mode='constant',
+    * constant_values=7)`) of a 40×28 LCG matrix on a bs-16 grid — the
+    * pad widths straddle block boundaries on every side (3 ragged-top,
+    * 13 = blockSize-less-3 tail, 5/3 on columns), so both the offset
+    * interior shuffle AND all four synthesized border strip shapes are
+    * exercised. The oracle is the index-shifted LCG closed form with the
+    * constant outside the interior window. */
+  def padEntry(s: SparkSession, d: String): DataFrame =
+    DMatrix.randInt(s, 40, 28, BS, 91L).pad(3, 13, 5, 3, 7.0).toCoords
+
+  /** a48: row sort (`np.sort(x, axis=1)` via dask's rechunk-then-
+    * map_blocks) on a 48×40 LCG matrix spanning 3 column blocks — the
+    * stripe gather does real multi-block assembly. The oracle restates
+    * "position j holds the j-th smallest" as a per-row row_number over
+    * (v, j): with ties the VALUE at each rank is unique even though the
+    * source index is not, and values are all the compare hashes. */
+  def rowSortEntry(s: SparkSession, d: String): DataFrame =
+    DMatrix.randInt(s, 48, 40, BS, 97L).sortAxis1
+
   val queries: Map[String, Q] = Map(
+    "a48_row_sort"       -> (rowSortEntry _),
+    "a47_pad"            -> (padEntry _),
     "a44_band"           -> (bandEntry _),
     "a43_matrix_power"   -> (matrixPowerEntry _),
     "a42_nan_stats"      -> (nanStatsEntry _),
@@ -744,6 +765,19 @@ object ArrayQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // interior = the LCG at the un-shifted indices; border = the constant
+    "a47_pad" ->
+      s"""SELECT ri.range AS i, rj.range AS j,
+                 CASE WHEN ri.range BETWEEN 3 AND 42 AND rj.range BETWEEN 5 AND 32
+                      THEN ${lcgSql("(ri.range-3)", "(rj.range-5)", 28, 91, 1000)}
+                      ELSE 7.0 END AS v
+          FROM range(56) ri, range(36) rj""",
+    // value at sort position j = j-th smallest of the row
+    "a48_row_sort" ->
+      s"""WITH ${matSql("a", 48, 40, 97)}
+          SELECT i, CAST(row_number() OVER (PARTITION BY i ORDER BY v, j) - 1
+                         AS BIGINT) AS j, v
+          FROM a""",
     // same cell mask + the same block-level pruning row set
     "a44_band" ->
       s"""WITH ${matSql("s", 64, 64, 83)}

@@ -262,6 +262,117 @@ class DMatrix(
     assemblePieces(pieces, r1 - r0, c1 - c0, bs)
   }
 
+  /** Constant pad (numpy/dask `da.pad(x, ((rb,ra),(cb,ca)), mode=
+    * 'constant', constant_values=v)` — the boundary-conditioning step
+    * stencil and convolution pipelines run before an overlap map).
+    * Interior cells ship exactly once through the [[rechunk]]-style piece
+    * shuffle at a (+rb, +cb) offset; the pad border NEVER moves data —
+    * each target block's pad region is emitted as ≤4 constant strips
+    * generated directly on the executors from the block-grid range, so
+    * the strips tile disjointly with the interior pieces and
+    * [[assemblePieces]] overlays them without ordering concerns. Cost:
+    * one pass over the matrix volume + O(border) synthesized cells, at
+    * any scale. */
+  def pad(rBefore: Long, rAfter: Long, cBefore: Long, cAfter: Long,
+          value: Double): DMatrix = {
+    require(rBefore >= 0 && rAfter >= 0 && cBefore >= 0 && cAfter >= 0,
+      s"negative pad ($rBefore,$rAfter,$cBefore,$cAfter)")
+    if (rBefore == 0 && rAfter == 0 && cBefore == 0 && cAfter == 0) return this
+    val bs = blockSize
+    val (srcM, srcN) = (nRows, nCols)
+    val M = srcM + rBefore + rAfter
+    val N = srcN + cBefore + cAfter
+    // interior: each source block lands at a (+rBefore, +cBefore) offset,
+    // split on target block boundaries (the rechunk pattern)
+    val interior = blocks.rdd.flatMap { b =>
+      val gr0 = b.bi.toLong * bs + rBefore
+      val gc0 = b.bj.toLong * bs + cBefore
+      for {
+        tbi <- ((gr0 / bs).toInt to ((gr0 + b.rows - 1) / bs).toInt).iterator
+        tbj <- ((gc0 / bs).toInt to ((gc0 + b.cols - 1) / bs).toInt).iterator
+      } yield {
+        val r0 = math.max(gr0, tbi.toLong * bs)
+        val r1 = math.min(gr0 + b.rows, (tbi + 1).toLong * bs)
+        val c0 = math.max(gc0, tbj.toLong * bs)
+        val c1 = math.min(gc0 + b.cols, (tbj + 1).toLong * bs)
+        val pr = (r1 - r0).toInt; val pc = (c1 - c0).toInt
+        val piece = new Array[Double](pr * pc)
+        var cc = 0
+        while (cc < pc) {
+          val srcOff = ((c0 - gc0).toInt + cc) * b.rows + (r0 - gr0).toInt
+          System.arraycopy(b.data, srcOff, piece, cc * pr, pr)
+          cc += 1
+        }
+        ((tbi, tbj),
+         ((r0 - tbi.toLong * bs).toInt, (c0 - tbj.toLong * bs).toInt, pr, pc, piece))
+      }
+    }
+    // border: per target block, the complement of the interior rect
+    // [rBefore, rBefore+srcM) × [cBefore, cBefore+srcN) as ≤4 disjoint
+    // strips (rows above / rows below / left / right of the middle band)
+    val nbM = DMatrix.nBlocks(M, bs); val nbN = DMatrix.nBlocks(N, bs)
+    val slices = math.max(1, math.min(nbM * nbN, blocks.rdd.getNumPartitions))
+    val fills = blocks.sparkSession.sparkContext
+      .range(0L, nbM.toLong * nbN, numSlices = slices)
+      .flatMap { idx =>
+        val tbi = (idx / nbN).toInt; val tbj = (idx % nbN).toInt
+        val br0 = tbi.toLong * bs; val bc0 = tbj.toLong * bs
+        val rows = DMatrix.blockDim(M, bs, tbi)
+        val cols = DMatrix.blockDim(N, bs, tbj)
+        // block ∩ interior, in block-local coordinates (empty ⇒ all pad)
+        val ir0 = (math.max(br0, rBefore) - br0).toInt
+        val ir1 = (math.min(br0 + rows, rBefore + srcM) - br0).toInt
+        val ic0 = (math.max(bc0, cBefore) - bc0).toInt
+        val ic1 = (math.min(bc0 + cols, cBefore + srcN) - bc0).toInt
+        def strip(r0: Int, r1: Int, c0: Int, c1: Int) = {
+          val pr = r1 - r0; val pc = c1 - c0
+          ((tbi, tbj), (r0, c0, pr, pc, Array.fill(pr * pc)(value)))
+        }
+        if (ir0 >= ir1 || ic0 >= ic1) Iterator.single(strip(0, rows, 0, cols))
+        else Iterator(
+          strip(0, ir0, 0, cols),          // above the interior band
+          strip(ir1, rows, 0, cols),       // below it
+          strip(ir0, ir1, 0, ic0),         // left of it
+          strip(ir0, ir1, ic1, cols)       // right of it
+        ).filter { case (_, (_, _, pr, pc, _)) => pr > 0 && pc > 0 }
+      }
+    assemblePieces(interior.union(fills), M, N, bs)
+  }
+
+  /** Sort each row ascending (dask `da.map_blocks(np.sort, axis=1)`
+    * after `rechunk({1: -1})` — dask itself requires the sorted axis in
+    * one chunk, and this op fuses that rechunk). Blocks gather into
+    * per-stripe groups keyed by row-block index — the per-key payload is
+    * one bs×nCols row stripe (the TSQR stripe-size discipline), so state
+    * is bounded by the chunk geometry, not the matrix — and each row
+    * sorts locally. Emits coordinates: a sorted row is a VALUE sequence
+    * (position j = j-th smallest), the form the oracle checks. */
+  def sortAxis1: DataFrame = {
+    require(nCols <= Int.MaxValue, "row length must fit an array")
+    import blocks.sparkSession.implicits._
+    val bs = blockSize; val n = nCols.toInt
+    val parts = math.max(1, math.min(nbRows, blocks.rdd.getNumPartitions))
+    blocks.rdd.map(b => (b.bi, b)).groupByKey(parts).flatMap { case (bi, grp) =>
+      val stripe = grp.toArray
+      val rows = stripe.head.rows
+      val gr0 = bi.toLong * bs
+      Iterator.range(0, rows).map { r =>
+        val row = new Array[Double](n)
+        stripe.foreach { b =>
+          var c = 0
+          while (c < b.cols) {
+            row(b.bj * bs + c) = b.data(c * b.rows + r)
+            c += 1
+          }
+        }
+        java.util.Arrays.sort(row)
+        (gr0 + r, row)
+      }
+    }.flatMap { case (i, row) =>
+      row.iterator.zipWithIndex.map { case (v, j) => (i, j.toLong, v) }
+    }.toDF("i", "j", "v")
+  }
+
   /** Blocked GEMM (reference flagship: `da.matmul`, 10k×10k blocks 1k —
     * README.md:265-270). Join A-blocks and B-blocks on the inner block
     * index, per-pair Breeze GEMM, then reduceByKey-sum partial products

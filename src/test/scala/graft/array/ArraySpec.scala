@@ -439,4 +439,33 @@ class ArraySpec extends SparkSpec {
     // unaligned top must be rejected loudly, not silently misplace rows
     intercept[IllegalArgumentException] { b.vstack(a) }
   }
+
+  test("pad: constant borders and exact interior on ragged, boundary-straddling widths") {
+    val m = DMatrix.randInt(spark, 21, 13, 8, 101L)  // ragged source grid
+    val p = m.pad(5, 2, 0, 11, -3.0)                 // zero-width side included
+    assert(p.nRows == 28 && p.nCols == 24)
+    val local = m.toLocal
+    val want = breeze.linalg.DenseMatrix.tabulate(28, 24) { (i, j) =>
+      if (i >= 5 && i < 26 && j < 13) local(i - 5, j) else -3.0
+    }
+    assert(p.toLocal == want)
+    // target grid is fully tiled: piece overlay produced every block once
+    assert(p.blocks.count() == DMatrix.nBlocks(28, 8).toLong * DMatrix.nBlocks(24, 8))
+    // zero pad is the identity (same object, no extra stage)
+    assert(m.pad(0, 0, 0, 0, 9.9) eq m)
+  }
+
+  test("sortAxis1: each row is the sorted multiset of its source row") {
+    val m = DMatrix.randInt(spark, 21, 29, 8, 103L)  // ragged, 4 col blocks
+    val local = m.toLocal
+    val rows = m.sortAxis1.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(rows.size == 21)
+    rows.foreach { case (i, cells) =>
+      val got = cells.sortBy(_._2).map(_._3).toSeq
+      val want = (0 until 29).map(j => local(i.toInt, j)).sorted
+      assert(got == want, s"row $i")
+    }
+  }
 }
