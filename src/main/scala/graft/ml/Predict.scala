@@ -386,7 +386,41 @@ object Predict {
     curve.toDF("epoch", "mis", "w1", "w2", "wb")
   }
 
+  /** ml11: RIDGE REGRESSION, closed form — the regularized sibling of
+    * q70's OLS, per returnflag: β = (XᵀX + λI)⁻¹ Xᵀt for two features
+    * (quantity, discount-cents) → price cents, λ = 1000 in squared
+    * feature units. The whole fit is ONE partial-aggregable pass over
+    * the facts (five exact decimal(38,0) power sums, map-side combined);
+    * the 2×2 inverse is the explicit determinant closed form — a
+    * six-operation double tail the oracle mirrors token-for-token on
+    * HUGEINT sums. The distributed shape is the AllReduce-to-normal-
+    * equations pattern every d≪N linear model trains with at 100 TB:
+    * gram-matrix sums shrink the data to O(d²) per partition, the solve
+    * is free. */
+  def ridgeClosedForm(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sums = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("k"),
+        round(col("l_quantity")).cast("long").cast(dec).as("x"),
+        round(col("l_discount") * 100).cast("long").cast(dec).as("y"),
+        round(col("l_extendedprice") * 100).cast("long").cast(dec).as("t"))
+      .groupBy(col("k")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("t")).as("sxt"), sum(col("y") * col("t")).as("syt"))
+    val lam = lit(1000.0)
+    val (sxx, sxy, syy) = (col("sxx").cast("double"), col("sxy").cast("double"),
+                           col("syy").cast("double"))
+    val (sxt, syt) = (col("sxt").cast("double"), col("syt").cast("double"))
+    val det = (sxx + lam) * (syy + lam) - sxy * sxy
+    sums.select(col("k"), col("n"),
+      round(((syy + lam) * sxt - sxy * syt) / det, 6).as("beta_qty"),
+      round(((sxx + lam) * syt - sxy * sxt) / det, 6).as("beta_disc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml11_ridge"         -> (ridgeClosedForm _),
     "ml10_parallel_sgd"  -> (parallelSgd _),
     "ml08_std_scaler"    -> (standardScaler _),
     "ml09_onehot"        -> (oneHotDummies _),
@@ -428,6 +462,28 @@ object Predict {
   }
 
   val oracles: Map[String, String] = Map(
+    // HUGEINT power sums; the same six-operation 2×2-inverse double tail
+    "ml11_ridge" ->
+      """WITH f AS (SELECT l_returnflag AS k,
+                           CAST(round(l_quantity) AS BIGINT) AS x,
+                           CAST(round(l_discount*100) AS BIGINT) AS y,
+                           CAST(round(l_extendedprice*100) AS BIGINT) AS t
+                    FROM lineitem),
+         s AS (SELECT k, count(*) AS n,
+                      sum(CAST(x AS HUGEINT)*x) AS sxx, sum(CAST(x AS HUGEINT)*y) AS sxy,
+                      sum(CAST(y AS HUGEINT)*y) AS syy,
+                      sum(CAST(x AS HUGEINT)*t) AS sxt, sum(CAST(y AS HUGEINT)*t) AS syt
+               FROM f GROUP BY 1)
+         SELECT k, n,
+                round(((CAST(syy AS DOUBLE) + 1000.0) * CAST(sxt AS DOUBLE)
+                       - CAST(sxy AS DOUBLE) * CAST(syt AS DOUBLE))
+                     /((CAST(sxx AS DOUBLE) + 1000.0) * (CAST(syy AS DOUBLE) + 1000.0)
+                       - CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE)), 6) AS beta_qty,
+                round(((CAST(sxx AS DOUBLE) + 1000.0) * CAST(syt AS DOUBLE)
+                       - CAST(sxy AS DOUBLE) * CAST(sxt AS DOUBLE))
+                     /((CAST(sxx AS DOUBLE) + 1000.0) * (CAST(syy AS DOUBLE) + 1000.0)
+                       - CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE)), 6) AS beta_disc
+         FROM s""",
     "ml10_parallel_sgd" -> sgdOracle(3),
     // the oracle pins the discovered category set (pass-1 distinct,
     // sorted): the five TPC-H market segments of the fixture

@@ -1674,7 +1674,30 @@ object Relational {
               expr("cnt * 1000000 div tot").as("ppm"))
   }
 
+  /** q73: CALENDAR FEATURE EXTRACTION — the pandas `.dt` accessor sweep
+    * (dask `df.date.dt.dayofweek` et al.) every temporal feature
+    * pipeline starts with. Pure map, zero shuffle, whole-stage-codegen'd
+    * end to end. Day-of-week comes from the `(epoch_day + 4) % 7`
+    * closed form (0 = Sunday) rather than each engine's dayofweek — the
+    * builtin's week-start convention differs across engines, the integer
+    * formula cannot. Month-end is the `month(d+1) ≠ month(d)` identity.
+    * All outputs integer-exact. */
+  def dateFeatures(s: SparkSession, d: String): DataFrame = {
+    val dt = col("o_orderdate").cast("date")
+    val epochDay = datediff(dt, lit(java.sql.Date.valueOf("1970-01-01")))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      epochDay.cast("long").as("epoch_day"),
+      year(dt).cast("long").as("yr"),
+      quarter(dt).cast("long").as("qtr"),
+      month(dt).cast("long").as("mth"),
+      dayofmonth(dt).cast("long").as("dom"),
+      ((epochDay + 4) % 7).cast("long").as("dow"),
+      when(month(date_add(dt, 1)) =!= month(dt), 1L).otherwise(0L).as("is_month_end"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q73_date_features"     -> (dateFeatures _),
     "q72_transitions"       -> (eventTransitions _),
     "q71_group_sample"      -> (groupSample _),
     "q70_group_ols"         -> (groupOls _),
@@ -1750,6 +1773,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical integer calendar math; dow via the shared (epoch+4)%7
+    // closed form, never the engines' differing dayofweek conventions
+    "q73_date_features" ->
+      """SELECT o_orderkey,
+                CAST(datediff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day,
+                CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+                CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+                CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mth,
+                CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS dom,
+                CAST((datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) + 4) % 7 AS BIGINT) AS dow,
+                CAST(CASE WHEN month(CAST(o_orderdate AS DATE) + INTERVAL 1 DAY)
+                               <> month(CAST(o_orderdate AS DATE))
+                          THEN 1 ELSE 0 END AS BIGINT) AS is_month_end
+         FROM orders""",
     // same running-max window over the same (date, key) total order;
     // one mirrored double multiply+divide tail, round(·,4) at output
     "q69_drawdown" ->

@@ -1130,7 +1130,45 @@ object TextOps {
     out
   }
 
+  /** t49: COLLOCATION MINING — the phrase-detection pass (word2vec-
+    * phrases / gensim `Phrases`) corpus builds run to merge "new york"-
+    * style bigrams before tokenization. Association strength is an
+    * integer PMI RATIO in ppm — score = ((c_ab·N) div c_a · 10⁶) div
+    * c_b, a log-free monotone transform of pointwise mutual information
+    * (log is NOT ulp-stable across engines; the ratio is exact) — with
+    * the standard min-support cut c_ab ≥ 5. Distributed shape: bigram
+    * and unigram counts are both partial-aggregable; the two unigram
+    * attachments join on the token key (vocabulary-sized, NOT broadcast
+    * — vocab grows with the corpus); the 1-row total crosses as a
+    * broadcast; the final top-20 is an orderBy+limit → TakeOrdered
+    * (map-side cut, never a full sort). */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(TextSim.words(col("text")).as("ws"))
+    val toks = docs.select(explode(col("ws")).as("tok")).filter(col("tok") =!= "")
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nTot = toks.groupBy().agg(count(lit(1)).as("n_tot"))
+    val pairs = docs.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("a"),
+                    element_at(col("ws"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val scored = pairs
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(nTot))
+      .select(col("a"), col("b"), col("c_ab"),
+              expr("((c_ab * n_tot) div c_a * 1000000) div c_b").as("score"))
+    scored.orderBy(col("score").desc, col("a"), col("b")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("a"), col("b"))).cast("long"))
+      .select(col("rank"), col("a"), col("b"), col("c_ab"), col("score"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t49_collocations"    -> (collocations _),
     "t48_bm25"            -> (bm25TopDocs _),
     "t43_threshold_sweep" -> (thresholdSweep _),
     "t42_temperature_mix" -> (temperatureMix _),
@@ -1174,6 +1212,32 @@ object TextOps {
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
   // replace all matches (Spark replaces all by default).
   val oracles: Map[String, String] = Map(
+    // same integer ppm PMI-ratio (mirrored left-assoc floor divisions),
+    // same min-support 5, same (score desc, a, b) top-20
+    "t49_collocations" ->
+      """WITH d AS (
+           SELECT string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+           FROM documents),
+         t AS (SELECT unnest(ws) AS tok FROM d),
+         tt AS (SELECT tok FROM t WHERE tok <> ''),
+         nt AS (SELECT count(*) AS n_tot FROM tt),
+         u AS (SELECT tok, count(*) AS c FROM tt GROUP BY 1),
+         pl AS (SELECT unnest([{'a': ws[i], 'b': ws[i+1]}
+                               for i in generate_series(1, len(ws)-1)]) AS p
+                FROM d WHERE len(ws) >= 2),
+         pc AS (SELECT p.a AS a, p.b AS b, count(*) AS c_ab FROM pl
+                WHERE p.a <> '' AND p.b <> '' GROUP BY 1, 2
+                HAVING count(*) >= 5),
+         sc AS (SELECT pc.a, pc.b, pc.c_ab,
+                       ((pc.c_ab * nt.n_tot) // u1.c * 1000000) // u2.c AS score
+                FROM pc CROSS JOIN nt
+                JOIN u u1 ON u1.tok = pc.a
+                JOIN u u2 ON u2.tok = pc.b),
+         r AS (SELECT a, b, c_ab, score,
+                      CAST(row_number() OVER (ORDER BY score DESC, a, b)
+                           AS BIGINT) AS rank
+               FROM sc)
+         SELECT rank, a, b, c_ab, score FROM r WHERE rank <= 20""",
     // same integer BM25: 22000·tf·T // (10·tf·T + 3·T + 9·dl·N), bit-length
     // idf, derived 5-term query, (score desc, doc_id) top-20
     "t48_bm25" ->

@@ -230,4 +230,27 @@ class MlSpec extends SparkSpec {
     // epoch 1 must touch every row (w=0 misclassifies everything)
     assert(got.head._2 == rows.length.toLong)
   }
+
+  test("ml11 ridge closed form matches a Breeze (XtX+lambda*I) solve per group") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.lineitem(spark, sfDir).select(
+        col("l_returnflag"), round(col("l_quantity")).cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = Predict.ridgeClosedForm(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val xtx = breeze.linalg.DenseMatrix(
+        (g.map(r => r._2.toDouble * r._2).sum + 1000.0, g.map(r => r._2.toDouble * r._3).sum),
+        (g.map(r => r._2.toDouble * r._3).sum, g.map(r => r._3.toDouble * r._3).sum + 1000.0))
+      val xtt = breeze.linalg.DenseVector(
+        g.map(r => r._2.toDouble * r._4).sum, g.map(r => r._3.toDouble * r._4).sum)
+      val beta = xtx \ xtt
+      val (n, bq, bd) = got(k)
+      assert(n == g.length.toLong)
+      assert(math.abs(bq - beta(0)) < 1e-4, s"$k beta_qty $bq vs ${beta(0)}")
+      assert(math.abs(bd - beta(1)) < 1e-4, s"$k beta_disc $bd vs ${beta(1)}")
+    }
+  }
 }

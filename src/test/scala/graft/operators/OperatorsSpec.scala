@@ -1335,4 +1335,44 @@ class OperatorsSpec extends SparkSpec {
       assert(s <= 1000000L && s > 1000000L - rows.length, s"$src ppm sum $s")
     }
   }
+
+  test("t49 collocations equal a local PMI-ratio recompute") {
+    val docs = graft.core.Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).toLowerCase.replaceAll("\\s+", " ").trim.split(" ").toSeq)
+    val toks = docs.flatten.filter(_.nonEmpty)
+    val nTot = toks.length.toLong
+    val uni = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val pairCnt = docs.filter(_.length >= 2)
+      .flatMap(ws => ws.zip(ws.drop(1))).filter { case (a, b) => a.nonEmpty && b.nonEmpty }
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      .filter(_._2 >= 5)
+    val expect = pairCnt.toSeq.map { case ((a, b), cab) =>
+      (a, b, cab, cab * nTot / uni(a) * 1000000L / uni(b))
+    }.sortBy { case (a, b, _, sc) => (-sc, a, b) }.take(20)
+      .zipWithIndex.map { case ((a, b, c, sc), i) => (i + 1L, a, b, c, sc) }
+    val got = TextOps.collocations(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+    assert(got == expect, s"got ${got.take(3)} want ${expect.take(3)}")
+  }
+
+  test("q73 date features match java.time per order date") {
+    import org.apache.spark.sql.functions._
+    val dates = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date")).collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate)
+    val got = Relational.dateFeatures(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    dates.foreach { case (k, ld) =>
+      val (ep, yr, qtr, mth, dom, dow, me) = got(k)
+      assert(ep == ld.toEpochDay)
+      assert(yr == ld.getYear.toLong && mth == ld.getMonthValue.toLong)
+      assert(qtr == (ld.getMonthValue + 2) / 3)
+      assert(dom == ld.getDayOfMonth.toLong)
+      assert(dow == ld.getDayOfWeek.getValue.toLong % 7) // java: Mon=1..Sun=7; ours: Sun=0
+      assert(me == (if (ld.getDayOfMonth == ld.lengthOfMonth) 1L else 0L))
+    }
+  }
 }
