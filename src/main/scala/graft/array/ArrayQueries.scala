@@ -713,7 +713,20 @@ object ArrayQueries {
   def rowSortEntry(s: SparkSession, d: String): DataFrame =
     DMatrix.randInt(s, 48, 40, BS, 97L).sortAxis1
 
+  /** a49: `da.where(cond, x, y)` composed with `da.clip` — the masked
+    * conditional select numpy pipelines use for outlier capping. A pure
+    * elementwise [[DMatrix.zip]]: block-aligned co-map, zero shuffle,
+    * cost = one pass over the cells at any scale. Integer LCG operands
+    * keep every branch exact. */
+  def whereClipEntry(s: SparkSession, d: String): DataFrame = {
+    val a = DMatrix.randInt(s, 64, 48, BS, 107L)
+    val b = DMatrix.randInt(s, 64, 48, BS, 109L)
+    a.zip(b)((av, bv) =>
+      if (av > 500) math.min(math.max(bv, 100.0), 900.0) else -av).toCoords
+  }
+
   val queries: Map[String, Q] = Map(
+    "a49_where_clip"     -> (whereClipEntry _),
     "a48_row_sort"       -> (rowSortEntry _),
     "a47_pad"            -> (padEntry _),
     "a44_band"           -> (bandEntry _),
@@ -765,6 +778,13 @@ object ArrayQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same mask + clip branches on the two LCG closed forms
+    "a49_where_clip" ->
+      s"""WITH ${matSql("a", 64, 48, 107)}, ${matSql("e", 64, 48, 109)}
+          SELECT a.i AS i, a.j AS j,
+                 CASE WHEN a.v > 500 THEN least(greatest(e.v, 100.0), 900.0)
+                      ELSE -a.v END AS v
+          FROM a JOIN e ON a.i = e.i AND a.j = e.j""",
     // interior = the LCG at the un-shifted indices; border = the constant
     "a47_pad" ->
       s"""SELECT ri.range AS i, rj.range AS j,

@@ -138,7 +138,25 @@ object Apply {
     }.toDF("c_custkey", "bal_cents", "n_orders", "spend_cents", "over_budget")
   }
 
+  /** Bag frequencies + topk (dask `db.frequencies()` then `.topk(10)` —
+    * the remaining bag combinators after b01 groupby / b02 foldby):
+    * `reduceByKey` keeps the count partial-aggregable (≤ |keys| pairs
+    * leave each map partition), and topk is `takeOrdered` — per-
+    * partition heaps, the driver sees exactly 10 rows, dask's own topk
+    * contract. The knuth-hash key spread makes the counts non-trivial
+    * while staying a pure closed form for the oracle. */
+  def bagFrequencies(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val top = s.range(200000L).rdd
+      .map(v => ((v * 2654435761L) % 997L, 1L))
+      .reduceByKey(_ + _)
+      .takeOrdered(10)(Ordering.by { case (k, n) => (-n, k) })
+    top.zipWithIndex.map { case ((k, n), i) => (i + 1L, k, n) }
+      .toSeq.toDF("rank", "k", "n")
+  }
+
   val queries: Map[String, Q] = Map(
+    "b03_bag_frequencies" -> (bagFrequencies _),
     "g01_groupby_apply" -> (secondHighestOrder _),
     "g02_typed_agg"     -> (typedSpendStats _),
     "g03_cogroup"       -> (cogroupSpend _),
@@ -147,6 +165,13 @@ object Apply {
   )
 
   val oracles: Map[String, String] = Map(
+    // same closed-form key hash, count, and (n desc, k) top-10
+    "b03_bag_frequencies" ->
+      """WITH f AS (SELECT (r.range * 2654435761) % 997 AS k, count(*) AS n
+                    FROM range(200000) r GROUP BY 1),
+         t AS (SELECT k, n, CAST(row_number() OVER (ORDER BY n DESC, k)
+                                 AS BIGINT) AS rank FROM f)
+         SELECT rank, k, n FROM t WHERE rank <= 10""",
     "g01_groupby_apply" ->
       """SELECT o_custkey, o_totalprice AS second_price FROM (
            SELECT o_custkey, o_totalprice,

@@ -293,6 +293,28 @@ object MultiModal {
       .toDF("asset_id", "frame_idx", "energy")
   }
 
+  /** mm08: SCENE-CUT DETECTION — the video shot-segmentation pass a
+    * curation pipeline runs before per-shot frame sampling: adjacent
+    * frame features (here the stub 16-byte-window checksums from
+    * [[sampleFrames]] — a real build swaps in decoded-frame histograms,
+    * same shape) are lag-compared per asset and a cut fires where the
+    * absolute jump exceeds the threshold. ONE keyed window over the
+    * frame features (frames per asset are codec-bounded, the classic
+    * bounded-group argument); payload bytes never shuffle — only the
+    * per-frame scalars do. Integer-exact end to end. */
+  def sceneCuts(frames: DataFrame, threshold: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev", lag(col("checksum"), 1).over(w))
+      .filter(col("prev").isNotNull && abs(col("checksum") - col("prev")) > threshold)
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+              abs(col("checksum") - col("prev")).as("jump"))
+  }
+
+  def sceneCutsQuery(s: SparkSession, d: String): DataFrame =
+    sceneCuts(sampleFrames(synthesizeAssets(s, 200)), 300L)
+
   def audioEnergyQuery(s: SparkSession, d: String): DataFrame =
     audioFrameEnergy(synthesizeAssets(s, 200))
       .groupBy(col("asset_id"))
@@ -311,6 +333,7 @@ object MultiModal {
     "mm05_phash_neardup" -> (phashQuery _),
     "mm06_shard_pack"   -> (shardPack _),
     "mm07_audio_energy" -> (audioEnergyQuery _),
+    "mm08_scene_cuts"   -> (sceneCutsQuery _),
   )
 
   private val byteSql = "(((B)*1103515245+99)%2147483647)%256"
@@ -412,6 +435,23 @@ object MultiModal {
                 min(asset_id) AS first_asset, max(asset_id) AS last_asset
          FROM c GROUP BY 1""",
     // overlapping frames (win 16, hop 8); packed argmax mirrors the Spark agg
+    // the mm02 frame-checksum CTEs + one lag window and the jump cut
+    "mm08_scene_cuts" ->
+      s"""WITH v AS (SELECT r.range AS asset_id, 64 + r.range % 32 AS len
+                     FROM range(200) r WHERE r.range % 3 = 2),
+          frames AS (SELECT asset_id, f.range AS frame_idx, len FROM v, range(6) f
+                     WHERE f.range < len // 16),
+          cs AS (SELECT asset_id, frame_idx,
+                 CAST((SELECT sum(${byteSql.replace("B", "asset_id*64 + frame_idx*16 + t.range")})
+                       FROM range(16) t) AS BIGINT) AS checksum
+                 FROM frames),
+          l AS (SELECT asset_id, frame_idx, checksum,
+                       lag(checksum) OVER (PARTITION BY asset_id
+                                           ORDER BY frame_idx) AS prev
+                FROM cs)
+          SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                 CAST(abs(checksum - prev) AS BIGINT) AS jump
+          FROM l WHERE prev IS NOT NULL AND abs(checksum - prev) > 300""",
     "mm07_audio_energy" ->
       s"""WITH au AS (SELECT r.range AS asset_id, 64 + CAST(r.range % 32 AS INT) AS len
                       FROM range(200) r WHERE r.range % 3 = 1),

@@ -553,7 +553,38 @@ object Similarity {
               coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** e15: SCALAR (int8) QUANTIZATION — the embedding-compression pass
+    * vector stores run before ANN serving (4 bytes → 1 byte per dim).
+    * Per-dimension min/max train on ONE tiny d-row aggregate (collected
+    * — bounded by the embedding width, the k-centroids discipline) and
+    * come back as broadcast array literals, so the quantization itself
+    * is a MAP-ONLY whole-stage-codegen'd transform+aggregate over the
+    * vectors: zero shuffle of vector data at any corpus size. The whole
+    * chain runs in the permille-integer domain (the shared `quantSql`
+    * grid): codes are exact floor divisions, the per-vector code sums
+    * are exact integers — no float tail at all. */
+  def sq8Quantize(s: SparkSession, d: String): DataFrame = {
+    val qv = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))")
+        .as("qv"))
+    val dims = qv.select(posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("dim")).collect()          // d rows — the embedding width
+    val mn = dims.map(_.getLong(1)).toSeq
+    val mx = dims.map(_.getLong(2)).toSeq
+    qv.withColumn("mn", typedLit(mn)).withColumn("mx", typedLit(mx))
+      .select(col("vec_id"),
+        expr("""transform(qv, (v, i) -> CASE WHEN mx[i] = mn[i] THEN CAST(0 AS BIGINT)
+                                             ELSE ((v - mn[i]) * 255) div (mx[i] - mn[i]) END)""")
+          .as("codes"))
+      .select(col("vec_id"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (acc, c) -> acc + c)").as("sum_code"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (acc, c) -> acc + c*c)").as("sum_code_sq"),
+        size(col("codes")).cast("long").as("n_dims"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e15_sq8"         -> (sq8Quantize _),
     "e14_confusion"   -> (confusionMetrics _),
     "e13_knn_classify" -> (knnClassifyQuery _),
     "e12_ann_recall"  -> (recallQuery _),
@@ -613,6 +644,21 @@ object Similarity {
           FROM best JOIN embeddings qe ON qe.vec_id = best.q_id)"""
 
   val oracles: Map[String, String] = Map(
+    // same permille grid, per-dim min/max, exact floor-division codes
+    "e15_sq8" ->
+      s"""WITH $quantSql,
+          e AS (SELECT vec_id, unnest(qv) AS v,
+                       CAST(generate_subscripts(qv, 1) AS BIGINT) AS dim
+                FROM q),
+          st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1),
+          c AS (SELECT vec_id,
+                       CASE WHEN mx = mn THEN 0
+                            ELSE ((v - mn) * 255) // (mx - mn) END AS code
+                FROM e JOIN st USING (dim))
+          SELECT vec_id, CAST(sum(code) AS BIGINT) AS sum_code,
+                 CAST(sum(code*code) AS BIGINT) AS sum_code_sq,
+                 count(*) AS n_dims
+          FROM c GROUP BY 1""",
     // same quantized-cosine top-10, same (votes desc, label) majority
     "e13_knn_classify" ->
       s"""WITH $knnClassifyCte

@@ -569,4 +569,60 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect, s"diff: ${(got diff expect).take(3)} / ${(expect diff got).take(3)}")
     assert(got.toSeq.map(_._3).sum == preds.length.toLong, "cells must partition the queries")
   }
+
+  test("e15 sq8: codes from a local quantizer; every code in [0,255]; max hit per dim") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+    }
+    val dims = q.head._2.indices
+    val mn = dims.map(i => q.map(_._2(i)).min).toArray
+    val mx = dims.map(i => q.map(_._2(i)).max).toArray
+    val codes = q.map { case (id, v) =>
+      id -> dims.map(i =>
+        if (mx(i) == mn(i)) 0L else (v(i) - mn(i)) * 255 / (mx(i) - mn(i))).toArray
+    }.toMap
+    codes.values.foreach(_.foreach(c => assert(c >= 0 && c <= 255)))
+    // each dim's max value must quantize to exactly 255 (unless flat)
+    dims.filter(i => mx(i) != mn(i)).foreach { i =>
+      assert(codes.values.map(_(i)).max == 255L, s"dim $i never reaches 255")
+    }
+    val expect = codes.map { case (id, cs) =>
+      (id, cs.sum, cs.map(c => c * c).sum, cs.length.toLong)
+    }.toSet
+    val got = Similarity.sq8Quantize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect, s"diff: ${(got diff expect).take(3)}")
+  }
+
+  test("mm08 scene cuts match a local lag sweep over the stub frame checksums") {
+    import org.apache.spark.sql.functions._
+    val frames = MultiModal.sampleFrames(MultiModal.synthesizeAssets(spark, 200))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expect = frames.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(_._2)
+      sorted.zip(sorted.drop(1)).collect {
+        case (p, c) if math.abs(c._3 - p._3) > 300 =>
+          (c._1, c._2.toLong, math.abs(c._3 - p._3))
+      }
+    }.toSet
+    assert(expect.nonEmpty, "fixture produced no cuts — threshold degenerate")
+    val got = MultiModal.sceneCutsQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"diff: ${(got diff expect).take(3)}")
+  }
+
+  test("b03 bag frequencies: counts sum to the range size, ranks descend") {
+    val got = graft.operators.Apply.bagFrequencies(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.length == 10 && got.map(_._1).toSeq == (1L to 10L))
+    // local recompute of the full frequency table
+    val freq = (0L until 200000L).map(v => (v * 2654435761L) % 997L)
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val expectTop = freq.toSeq.sortBy { case (k, n) => (-n, k) }.take(10)
+    assert(got.map(r => (r._2, r._3)).toSeq == expectTop)
+  }
 }
