@@ -725,7 +725,21 @@ object ArrayQueries {
       if (av > 500) math.min(math.max(bv, 100.0), 900.0) else -av).toCoords
   }
 
+  /** a50: `da.diff(x, axis=0)` on a ragged 37×29 grid — both slices
+    * start/end mid-block, so the crop path does real work. The oracle
+    * is the LCG difference closed form at adjacent row indices. */
+  def diffEntry(s: SparkSession, d: String): DataFrame =
+    DMatrix.randInt(s, 37, 29, BS, 113L).diffAxis0.toCoords
+
+  /** a51: `da.coarsen(np.sum, x, {0: 2, 1: 2})` — 64×48 bs-16 down to
+    * 32×24 bs-8, a pure narrow map. Oracle: group the LCG cells by
+    * (i÷2, j÷2) and sum. */
+  def coarsenEntry(s: SparkSession, d: String): DataFrame =
+    DMatrix.randInt(s, 64, 48, BS, 127L).coarsenSum(2).toCoords
+
   val queries: Map[String, Q] = Map(
+    "a51_coarsen"        -> (coarsenEntry _),
+    "a50_diff"           -> (diffEntry _),
     "a49_where_clip"     -> (whereClipEntry _),
     "a48_row_sort"       -> (rowSortEntry _),
     "a47_pad"            -> (padEntry _),
@@ -778,6 +792,17 @@ object ArrayQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // adjacent-row LCG difference, indices shifted to the diff origin
+    "a50_diff" ->
+      s"""SELECT ri.range AS i, rj.range AS j,
+                 ${lcgSql("(ri.range+1)", "rj.range", 29, 113, 1000)}
+                 - ${lcgSql("ri.range", "rj.range", 29, 113, 1000)} AS v
+          FROM range(36) ri, range(29) rj""",
+    // 2×2 tile sums of the LCG grid
+    "a51_coarsen" ->
+      s"""WITH ${matSql("a", 64, 48, 127)}
+          SELECT i // 2 AS i, j // 2 AS j, sum(v) AS v
+          FROM a GROUP BY 1, 2""",
     // same mask + clip branches on the two LCG closed forms
     "a49_where_clip" ->
       s"""WITH ${matSql("a", 64, 48, 107)}, ${matSql("e", 64, 48, 109)}

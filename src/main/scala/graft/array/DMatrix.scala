@@ -339,6 +339,45 @@ class DMatrix(
     assemblePieces(interior.union(fills), M, N, bs)
   }
 
+  /** First difference down the rows (dask spells `da.diff(x, axis=0)`
+    * as exactly `x[1:] - x[:-1]`, and so do we): two [[slice]] views —
+    * block-pruned, crop-only piece shuffles — re-tiled to a common
+    * origin, then the block-aligned [[zip]] subtraction. Cost: two
+    * linear passes + one co-keyed join; no halo state, and the
+    * composition inherits slice's pruning at any scale. */
+  def diffAxis0: DMatrix = {
+    require(nRows >= 2, s"diff needs at least 2 rows, have $nRows")
+    slice(1, nRows, 0, nCols).zip(slice(0, nRows - 1, 0, nCols))(_ - _)
+  }
+
+  /** Block-reduce downsample (dask `da.coarsen(np.sum, x, {0: f, 1: f})`)
+    * — the multigrid/thumbnail reduction. Factor must divide the block
+    * size (dask's own axis-divisibility rule, applied per block), so
+    * every f×f tile lives inside ONE block and the whole op is a narrow
+    * per-block map: the grid keeps its indices, the block size shrinks
+    * to bs/f, zero shuffle at any scale. */
+  def coarsenSum(f: Int): DMatrix = {
+    require(f > 0 && blockSize % f == 0, s"factor $f must divide blockSize $blockSize")
+    require(nRows % f == 0 && nCols % f == 0,
+      s"coarsen factor $f must divide the ${nRows}×$nCols shape (dask's rule)")
+    import blocks.sparkSession.implicits._
+    val out = blocks.map { b =>
+      val (pr, pc) = (b.rows / f, b.cols / f)
+      val data = new Array[Double](pr * pc)
+      var c = 0
+      while (c < b.cols) {
+        var r = 0
+        while (r < b.rows) {
+          data((c / f) * pr + (r / f)) += b.data(c * b.rows + r)
+          r += 1
+        }
+        c += 1
+      }
+      Block(b.bi, b.bj, pr, pc, data)
+    }
+    new DMatrix(out, nRows / f, nCols / f, blockSize / f)
+  }
+
   /** Sort each row ascending (dask `da.map_blocks(np.sort, axis=1)`
     * after `rechunk({1: -1})` — dask itself requires the sorted axis in
     * one chunk, and this op fuses that rechunk). Blocks gather into

@@ -1467,8 +1467,10 @@ object Relational {
     * window width (the frame bounds the sum at 20 terms; only the
     * per-key exchange grows with data). */
   def rollingCorr(s: SparkSession, d: String): DataFrame = {
+    // x/y close the sort key: one intra-supplier (sd, okey, lnum) tie
+    // with differing quantity exists at sf0.1 — the q74 discipline
     val w = Window.partitionBy(col("sk"))
-      .orderBy(col("sd"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("sd"), col("l_orderkey"), col("l_linenumber"), col("x"), col("y"))
       .rowsBetween(-19, 0)
     val base = Tables.lineitem(s, d).select(
       col("l_suppkey").as("sk"), col("l_orderkey"), col("l_linenumber"),
@@ -1696,7 +1698,67 @@ object Relational {
       when(month(date_add(dt, 1)) =!= month(dt), 1L).otherwise(0L).as("is_month_end"))
   }
 
+  /** q74: ROLLING SKEWNESS — `rolling(20).skew()`'s population form, the
+    * windowed third-moment drift detector. The q63 discipline extended
+    * one moment up: Σx, Σx², Σx³ ride ONE trailing 20-row frame per
+    * supplier (incrementally-maintained integer sums — quantity ≤ 50
+    * keeps n²Σx³ ≤ 10⁹, exact in int64 at any window position), and
+    * g₁ = (n²Σx³ − 3nΣxΣx² + 2(Σx)³) / (d·√d), d = nΣx² − (Σx)², is
+    * the single double tail — √d·d instead of d^1.5 because pow is not
+    * ulp-stable across engines while sqrt is IEEE-exact. Degenerate
+    * windows gate on exact integer d ≤ 0 / n < 3. One exchange. */
+  def rollingSkew(s: SparkSession, d: String): DataFrame = {
+    // x joins the sort key: the fixture carries one (sd, okey, lnum)
+    // tie within a supplier at sf0.1 with DIFFERING quantity — with x
+    // in the key, any remaining ties are value-identical, so every
+    // trailing frame's sums are permutation-invariant (engine-proof)
+    val w = Window.partitionBy(col("sk"))
+      .orderBy(col("sd"), col("l_orderkey"), col("l_linenumber"), col("x"))
+      .rowsBetween(-19, 0)
+    val base = Tables.lineitem(s, d).select(
+      col("l_suppkey").as("sk"), col("l_orderkey"), col("l_linenumber"),
+      col("l_shipdate").as("sd"),
+      round(col("l_quantity")).cast("long").as("x"))
+    val sums = base.select(
+      col("sk"), col("l_orderkey"), col("l_linenumber"),
+      count(lit(1)).over(w).as("n"),
+      sum(col("x")).over(w).as("s1"),
+      sum(col("x") * col("x")).over(w).as("s2"),
+      sum(col("x") * col("x") * col("x")).over(w).as("s3"))
+    val dd = col("n") * col("s2") - col("s1") * col("s1")
+    val n3 = col("n") * col("n") * col("s3") -
+             lit(3L) * col("n") * col("s1") * col("s2") +
+             lit(2L) * col("s1") * col("s1") * col("s1")
+    sums.select(col("sk"), col("l_orderkey"), col("l_linenumber"), col("n"),
+      when(col("n") >= 3 && dd > 0L,
+        round(n3.cast("double") /
+              (dd.cast("double") * sqrt(dd.cast("double"))), 6))
+        .otherwise(lit(null).cast("double")).as("skew_g1"))
+  }
+
+  /** q75: COMBINE_FIRST — pandas `s1.combine_first(s2)` / dask's aligned
+    * null-patching merge: take the preferred frame's value where
+    * present, fall back to the other. One full-outer shuffle join on the
+    * shared key + a coalesce per column — no window, no second pass.
+    * The fixture patches urgent-order prices (preferred) with a +1000
+    * adjusted fallback series computed from the same scan. */
+  def combineFirst(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderpriority"))
+    val preferred = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("cents").as("c1"))
+    val fallback = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), (col("cents") + 1000L).as("c2"))
+    preferred.join(fallback, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+              coalesce(col("c1"), col("c2")).as("cents"),
+              when(col("c1").isNotNull, 1L).otherwise(0L).as("from_preferred"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q75_combine_first"     -> (combineFirst _),
+    "q74_rolling_skew"      -> (rollingSkew _),
     "q73_date_features"     -> (dateFeatures _),
     "q72_transitions"       -> (eventTransitions _),
     "q71_group_sample"      -> (groupSample _),
@@ -1773,6 +1835,44 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same three integer power sums on the same explicit 20-row frame;
+    // the same n3/(d·sqrt(d)) double tail, null-gated on integer d/n
+    "q74_rolling_skew" ->
+      """WITH b AS (SELECT l_suppkey AS sk, l_orderkey, l_linenumber,
+                           l_shipdate AS sd,
+                           CAST(round(l_quantity) AS BIGINT) AS x
+                    FROM lineitem),
+         s AS (SELECT sk, l_orderkey, l_linenumber,
+                      count(*) OVER w AS n,
+                      CAST(sum(x) OVER w AS BIGINT) AS s1,
+                      CAST(sum(x*x) OVER w AS BIGINT) AS s2,
+                      CAST(sum(x*x*x) OVER w AS BIGINT) AS s3
+               FROM b
+               WINDOW w AS (PARTITION BY sk
+                            ORDER BY sd, l_orderkey, l_linenumber, x
+                            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT sk, l_orderkey, l_linenumber, n,
+                CASE WHEN n >= 3 AND n*s2 - s1*s1 > 0
+                     THEN round(CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS DOUBLE)
+                               /(CAST(n*s2 - s1*s1 AS DOUBLE)
+                                 * sqrt(CAST(n*s2 - s1*s1 AS DOUBLE))), 6)
+                END AS skew_g1
+         FROM s""",
+    // same full-outer + coalesce; the provenance flag mirrors IS NOT NULL
+    "q75_combine_first" ->
+      """WITH o AS (SELECT o_orderkey,
+                           CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+                           o_orderpriority
+                    FROM orders),
+         p AS (SELECT o_orderkey, cents AS c1 FROM o
+               WHERE o_orderpriority = '1-URGENT'),
+         f AS (SELECT o_orderkey, cents + 1000 AS c2 FROM o
+               WHERE o_orderkey % 3 <> 0)
+         SELECT coalesce(p.o_orderkey, f.o_orderkey) AS o_orderkey,
+                coalesce(p.c1, f.c2) AS cents,
+                CAST(CASE WHEN p.c1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                  AS from_preferred
+         FROM p FULL OUTER JOIN f ON p.o_orderkey = f.o_orderkey""",
     // identical integer calendar math; dow via the shared (epoch+4)%7
     // closed form, never the engines' differing dayofweek conventions
     "q73_date_features" ->
@@ -2260,7 +2360,8 @@ object Relational {
                   CAST(sum(x*x) OVER w AS BIGINT) AS sxx,
                   CAST(sum(y*y) OVER w AS BIGINT) AS syy
            FROM base
-           WINDOW w AS (PARTITION BY sk ORDER BY sd, l_orderkey, l_linenumber
+           WINDOW w AS (PARTITION BY sk
+                        ORDER BY sd, l_orderkey, l_linenumber, x, y
                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
          SELECT sk, l_orderkey, l_linenumber, n,
                 CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0

@@ -455,6 +455,33 @@ class ArraySpec extends SparkSpec {
     assert(m.pad(0, 0, 0, 0, 9.9) eq m)
   }
 
+  test("diffAxis0 equals the local adjacent-row difference on a ragged grid") {
+    val m = DMatrix.randInt(spark, 21, 13, 8, 131L)
+    val local = m.toLocal
+    val got = m.diffAxis0
+    assert(got.nRows == 20 && got.nCols == 13)
+    val want = breeze.linalg.DenseMatrix.tabulate(20, 13) { (i, j) =>
+      local(i + 1, j) - local(i, j)
+    }
+    assert(got.toLocal == want)
+  }
+
+  test("coarsenSum: 2x2 tile sums match local; indivisible shapes are rejected") {
+    val m = DMatrix.randInt(spark, 32, 16, 8, 137L)
+    val c = m.coarsenSum(2)
+    assert(c.nRows == 16 && c.nCols == 8 && c.blockSize == 4)
+    val local = m.toLocal
+    val want = breeze.linalg.DenseMatrix.tabulate(16, 8) { (i, j) =>
+      local(2 * i, 2 * j) + local(2 * i + 1, 2 * j) +
+        local(2 * i, 2 * j + 1) + local(2 * i + 1, 2 * j + 1)
+    }
+    assert(c.toLocal == want)
+    intercept[IllegalArgumentException] { m.coarsenSum(3) }  // 3 ∤ bs 8
+    intercept[IllegalArgumentException] {
+      DMatrix.randInt(spark, 30, 16, 8, 139L).coarsenSum(4)  // 4 ∤ 30 rows
+    }
+  }
+
   test("sortAxis1: each row is the sorted multiset of its source row") {
     val m = DMatrix.randInt(spark, 21, 29, 8, 103L)  // ragged, 4 col blocks
     val local = m.toLocal

@@ -1356,6 +1356,62 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expect, s"got ${got.take(3)} want ${expect.take(3)}")
   }
 
+  test("q74 rolling skew equals a local trailing-window moment recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.lineitem(spark, sfDir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("timestamp").cast("long"),
+        round(col("l_quantity")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue,
+                           r.getLong(3), r.getLong(4)))
+    // (okey, lnum) is NOT unique in the fixture (dup lineitem rows exist,
+    // even within a supplier) — compare full-row MULTISETS, sorted
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (sup, g) =>
+      val sorted = g.sortBy(e => (e._4, e._2, e._3, e._5))  // entry's order key
+      sorted.indices.map { i =>
+        val win = sorted.slice(math.max(0, i - 19), i + 1).map(_._5)
+        val n = win.length.toLong
+        val (s1, s2, s3) = (win.sum, win.map(x => x * x).sum, win.map(x => x * x * x).sum)
+        val d = n * s2 - s1 * s1
+        val sk = if (n >= 3 && d > 0) {
+          val n3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+          // valueOf (decimal string), not new BigDecimal(double): Spark's
+          // Round works on the canonical decimal rendering, and the two
+          // differ exactly at ...5-boundary quotients
+          BigDecimal(java.math.BigDecimal.valueOf(
+              n3.toDouble / (d.toDouble * math.sqrt(d.toDouble))))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        } else Double.NaN
+        (sup, sorted(i)._2, sorted(i)._3, n, sk)
+      }
+    }.sortBy(t => (t._1, t._2, t._3, t._4, t._5))
+    val got = Relational.rollingSkew(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue,
+                 r.getLong(3), if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+      .toSeq.sortBy(t => (t._1, t._2, t._3, t._4, t._5))
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 && g._4 == e._4 &&
+             (g._5 == e._5 || (g._5.isNaN && e._5.isNaN)), s"got $g want $e")
+    }
+  }
+
+  test("q75 combine_first: urgent price wins, fallback patches, nulls drop out") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.core.Tables.orders(spark, sfDir).select(
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expect = orders.flatMap { case (k, c, pri) =>
+      val p = if (pri == "1-URGENT") Some(c) else None
+      val f = if (k % 3 != 0) Some(c + 1000L) else None
+      p.map(v => (k, v, 1L)).orElse(f.map(v => (k, v, 0L)))
+    }.toSet
+    val got = Relational.combineFirst(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"diff: ${(got diff expect).take(3)} / ${(expect diff got).take(3)}")
+  }
+
   test("q73 date features match java.time per order date") {
     import org.apache.spark.sql.functions._
     val dates = graft.core.Tables.orders(spark, sfDir)

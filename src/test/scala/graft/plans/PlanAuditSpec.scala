@@ -308,6 +308,9 @@ class PlanAuditSpec extends SparkSpec {
                           // (q_id =!= n_id) condition by design
                           "e10_range_search",
                           "t13_kmv_sketch", "t18_domain_mix",
+                          // t49: t18's shape — crossJoin(broadcast(<1-row
+                          // token total>)) feeding the ppm PMI ratio
+                          "t49_collocations",
                           // t42: t18's shape — crossJoin(broadcast(<1-row
                           // global min>)) to attach a computed scalar
                           "t42_temperature_mix",
