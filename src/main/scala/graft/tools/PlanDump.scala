@@ -75,6 +75,18 @@ object PlanDump {
       "Integer BM25: tokens shuffle once into the (doc, term) tf aggregate (partial_count map-side); the derived 5-term query comes back as a BroadcastHashJoin build side over tf; the top-20 is TakeOrderedAndProject — no sort of the corpus, the raw text never joins.",
     "e13_knn_classify" ->
       "kNN classifier: the probe set broadcasts against the streamed corpus (the documented bruteKnn BNLJ baseline); votes aggregate partial-first on (q_id, label), and the winner filter rewrites to TopKPerKey — bounded heaps, no per-query sort.",
+    "q69_drawdown" ->
+      "Running-peak drawdown: ONE hashpartitioning(o_custkey) exchange + sort feeds a single Window whose running [unboundedPreceding, currentRow] max is maintained incrementally (O(1)/row — never the O(span²) UnboundedFollowing frame); the permille tail is a projection.",
+    "q70_group_ols" ->
+      "Closed-form OLS: all five decimal power sums partial-combine in one HashAggregate pair over the single supplier-keyed exchange; the slope/intercept tail and the exact-integer degeneracy filter are projections over the group rows — the fact table is touched once.",
+    "q71_group_sample" ->
+      "Deterministic group sample: the md5 rank key fuses into the scan projection and the row_number<=3 filter rewrites to TopKPerKey — per-partition 3-row heaps before AND after the single nation-keyed exchange, no per-group sort.",
+    "q74_rolling_skew" ->
+      "Rolling skewness: Σx, Σx², Σx³ and the count all ride ONE Window operator over a single supplier-keyed exchange (trailing 20-row frame, incrementally maintained); the g₁ eigen-free tail and integer degeneracy gates are projections.",
+    "t49_collocations" ->
+      "Collocation mining: bigram and unigram counts partial-combine before their token-keyed exchanges; the two unigram attachments are equi-joins on the (vocabulary-sized) token key, the 1-row token total crosses as a broadcast, and the top-20 plans as TakeOrderedAndProject — no global sort of the pair vocabulary.",
+    "e15_sq8" ->
+      "Scalar int8 quantization: after the d-row min/max training aggregate, the quantize-encode-reduce chain (transform + two aggregates over the code array) fuses into ONE map-only projection over the embeddings scan — the vectors cross zero exchanges.",
   )
   // i03/i04 return eagerly localCheckpoint'ed frames (their plans collapse
   // to an RDD scan here); their join/agg shapes are asserted by their own
