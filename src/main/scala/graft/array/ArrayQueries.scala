@@ -737,7 +737,22 @@ object ArrayQueries {
   def coarsenEntry(s: SparkSession, d: String): DataFrame =
     DMatrix.randInt(s, 64, 48, BS, 127L).coarsenSum(2).toCoords
 
+  /** a52: weighted BINCOUNT (`da.bincount(x, weights=w)`) — the
+    * value-frequency + weighted-mass table behind class-balance audits.
+    * Bins from a mod-48 LCG, weights a second integer LCG: one
+    * co-partitioned block join, per-partition bin accumulators, a
+    * ≤ 48-partial shuffle ([[DMatrix.bincount]]). Integer weights keep
+    * the mass sums exact; wsum is emitted as BIGINT. */
+  def bincountEntry(s: SparkSession, d: String): DataFrame = {
+    val x = DMatrix.randInt(s, 96, 80, BS, 131L, 48L)
+    val w = DMatrix.randInt(s, 96, 80, BS, 137L)
+    x.bincount(w)
+      .select(col("bin"), col("n"), col("wsum").cast("long").as("wsum"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a52_bincount"       -> (bincountEntry _),
     "a51_coarsen"        -> (coarsenEntry _),
     "a50_diff"           -> (diffEntry _),
     "a49_where_clip"     -> (whereClipEntry _),
@@ -803,6 +818,13 @@ object ArrayQueries {
       s"""WITH ${matSql("a", 64, 48, 127)}
           SELECT i // 2 AS i, j // 2 AS j, sum(v) AS v
           FROM a GROUP BY 1, 2""",
+    // bin/weight LCG pair joined on the cell index; integer mass sums
+    "a52_bincount" ->
+      s"""WITH ${matSql("x", 96, 80, 131, 48)}, ${matSql("w", 96, 80, 137)}
+          SELECT CAST(x.v AS BIGINT) AS bin, count(*) AS n,
+                 CAST(sum(CAST(w.v AS BIGINT)) AS BIGINT) AS wsum
+          FROM x JOIN w ON x.i = w.i AND x.j = w.j
+          GROUP BY 1""",
     // same mask + clip branches on the two LCG closed forms
     "a49_where_clip" ->
       s"""WITH ${matSql("a", 64, 48, 107)}, ${matSql("e", 64, 48, 109)}

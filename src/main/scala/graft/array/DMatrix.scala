@@ -957,6 +957,41 @@ class DMatrix(
       .toDF("bucket", "n", "sum_v")
   }
 
+  /** numpy/dask `bincount(x, weights=w)`: per non-negative integer value
+    * of `this`, the occurrence count and the weighted sum from an
+    * identically-chunked weight matrix. One co-partitioned block join
+    * (narrow when both sides share a partitioner, exactly [[zip]]'s
+    * shape), then per-partition open-address accumulation keyed by the
+    * bin value — the shuffle carries ≤ |bins| (count, wsum) partials per
+    * map partition, never cells (the [[digitize]] discipline with a
+    * data-defined bin domain). Integer-valued weights keep the double
+    * sums exact and order-independent. */
+  def bincount(weights: DMatrix): DataFrame = {
+    require(nRows == weights.nRows && nCols == weights.nCols &&
+            blockSize == weights.blockSize, "shape/chunk mismatch")
+    import blocks.sparkSession.implicits._
+    blocks.rdd.map(b => ((b.bi, b.bj), b))
+      .join(weights.blocks.rdd.map(b => ((b.bi, b.bj), b)))
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[Long, (Long, Double)]
+        it.foreach { case (_, (x, w)) =>
+          var i = 0
+          while (i < x.data.length) {
+            val bin = x.data(i).toLong
+            require(bin >= 0 && bin.toDouble == x.data(i),
+              s"bincount needs non-negative integer values, got ${x.data(i)}")
+            val (c, s) = acc.getOrElse(bin, (0L, 0.0))
+            acc.update(bin, (c + 1L, s + w.data(i)))
+            i += 1
+          }
+        }
+        acc.iterator
+      }
+      .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2))
+      .map { case (bin, (c, s)) => (bin, c, s) }
+      .toDF("bin", "n", "wsum")
+  }
+
   /** Per-row argmax — dask `da.argmax(axis=1)` (+ the max itself).
     * Per-block partial (max, argj) per row, reduceByKey on the block-row
     * index: the shuffle carries one small pair-vector per block, never

@@ -454,7 +454,48 @@ object Predict {
               round(lamMax / (cxx + cyy), 6).as("evr_pc1"))
   }
 
+  /** ml13: NEAREST-CENTROID (Rocchio) TEXT CLASSIFIER — train/predict
+    * entirely in the engine: class profiles are per-(lang, token) counts
+    * over the training split (doc_id % 5 ≠ 0), normalized to exact
+    * integer ppm of the class token mass (the t49 log-free discipline —
+    * this is multinomial scoring with the float log replaced by a
+    * monotone integer rate), and each held-out document's class score is
+    * the tf·rate dot product, argmax with a deterministic (score desc,
+    * class) tie-break. Distributed shape: tokens shuffle once per split
+    * into partial-combined count aggregates; the class-total attachment
+    * broadcasts (|classes| rows); the tf→profile join keys on the token
+    * (vocabulary-sized, NOT broadcast — vocab grows with the corpus);
+    * the argmax is a per-doc row_number over ≤ |classes| rows. Integer
+    * end-to-end: per-doc scores ≤ doc_len·10⁶, exact in int64. */
+  def centroidClassify(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextSim
+    val base = TextSim.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), TextSim.words(col("text")).as("ws0"))
+      .select(col("doc_id"), col("lang"),
+              expr("filter(ws0, w -> w <> '')").as("ws"))
+    val toks = base.select(col("doc_id"), col("lang"), explode(col("ws")).as("tok"))
+    val prof = toks.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("lang").as("c"), col("tok"))
+      .agg(count(lit(1)).as("n_cw"))
+    val classTot = prof.groupBy(col("c")).agg(sum(col("n_cw")).as("n_c"))
+    val rates = prof.join(broadcast(classTot), "c")
+      .select(col("tok"), col("c"), expr("(n_cw * 1000000) div n_c").as("r_ppm"))
+    val tf = toks.filter(col("doc_id") % 5 === 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val scores = tf.join(rates, "tok")
+      .groupBy(col("doc_id"), col("c"))
+      .agg(sum(col("tf") * col("r_ppm")).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("c"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(base.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("c").as("pred"), col("score"),
+              when(col("c") === col("lang"), 1L).otherwise(0L).as("is_correct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml13_centroid_text" -> (centroidClassify _),
     "ml12_pca"           -> (pcaClosedForm _),
     "ml11_ridge"         -> (ridgeClosedForm _),
     "ml10_parallel_sgd"  -> (parallelSgd _),
@@ -498,6 +539,34 @@ object Predict {
   }
 
   val oracles: Map[String, String] = Map(
+    // same integer ppm rates over the same 80/20 doc_id split; sum of
+    // BIGINT is DECIMAL in DuckDB — cast the score back; same argmax
+    // tie-break (score desc, class)
+    "ml13_centroid_text" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  list_filter(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' '),
+                              w -> w <> '') AS ws
+           FROM documents),
+         t AS (SELECT doc_id, lang, unnest(ws) AS tok FROM d),
+         p AS (SELECT lang AS c, tok, count(*) AS n_cw
+               FROM t WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+         ct AS (SELECT c, CAST(sum(n_cw) AS BIGINT) AS n_c FROM p GROUP BY 1),
+         r AS (SELECT p.tok, p.c, (p.n_cw * 1000000) // ct.n_c AS r_ppm
+               FROM p JOIN ct ON p.c = ct.c),
+         tf AS (SELECT doc_id, tok, count(*) AS tf
+                FROM t WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         sc AS (SELECT tf.doc_id, r.c, CAST(sum(tf.tf * r.r_ppm) AS BIGINT) AS score
+                FROM tf JOIN r ON tf.tok = r.tok GROUP BY 1, 2),
+         b AS (SELECT doc_id, c, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, c) AS rn
+               FROM sc)
+         SELECT b.doc_id, b.c AS pred, b.score,
+                CAST(CASE WHEN b.c = dl.lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+         FROM b JOIN (SELECT doc_id, lang FROM documents) dl
+                ON b.doc_id = dl.doc_id
+         WHERE b.rn = 1""",
     // HUGEINT covariance entries; identical sqrt-eigenvalue double tail
     "ml12_pca" ->
       """WITH f AS (SELECT l_returnflag AS k,

@@ -1756,7 +1756,32 @@ object Relational {
               when(col("c1").isNotNull, 1L).otherwise(0L).as("from_preferred"))
   }
 
+  /** q76: COHORT RETENTION — the acquisition-month × months-since
+    * activity matrix every growth dashboard starts from: cohort = each
+    * customer's first active month, n_active = distinct customers from
+    * that cohort active k months later. ONE exchange on the
+    * high-cardinality customer key does all the heavy lifting: per
+    * customer, the first month and the distinct-month set come out of a
+    * single groupBy (collect_set state is bounded by the calendar span,
+    * ~84 months, per customer — never row counts); the exploded
+    * (cohort, offset) pairs then partial-combine into a months²-sized
+    * aggregate. Month index is the exact integer yr·12+mth−1 — no date
+    * arithmetic conventions in play. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val dt = col("o_orderdate").cast("date")
+    val months = Tables.orders(s, d)
+      .select(col("o_custkey"),
+              (year(dt) * 12 + month(dt) - 1).cast("long").as("mi"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("mi")).as("c0"), collect_set(col("mi")).as("ms"))
+    months
+      .select(col("c0"), explode(col("ms")).as("mi"))
+      .groupBy(col("c0").as("cohort_mi"), (col("mi") - col("c0")).as("months_since"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q76_cohort"            -> (cohortRetention _),
     "q75_combine_first"     -> (combineFirst _),
     "q74_rolling_skew"      -> (rollingSkew _),
     "q73_date_features"     -> (dateFeatures _),
@@ -1835,6 +1860,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer month index, first month via min, distinct-month
+    // activity; all counts exact integers
+    "q76_cohort" ->
+      """WITH a AS (SELECT o_custkey,
+                           CAST(year(CAST(o_orderdate AS DATE)) * 12
+                                + month(CAST(o_orderdate AS DATE)) - 1
+                                AS BIGINT) AS mi
+                    FROM orders),
+         d AS (SELECT DISTINCT o_custkey, mi FROM a),
+         c AS (SELECT o_custkey, min(mi) AS c0 FROM d GROUP BY 1)
+         SELECT c.c0 AS cohort_mi, d.mi - c.c0 AS months_since,
+                count(*) AS n_active
+         FROM d JOIN c ON d.o_custkey = c.o_custkey
+         GROUP BY 1, 2""",
     // same three integer power sums on the same explicit 20-row frame;
     // the same n3/(d·sqrt(d)) double tail, null-gated on integer d/n
     "q74_rolling_skew" ->

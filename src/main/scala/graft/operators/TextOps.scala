@@ -1167,7 +1167,58 @@ object TextOps {
       .select(col("rank"), col("a"), col("b"), col("c_ab"), col("score"))
   }
 
+  /** t50: GOPHER-STYLE QUALITY RULES — the repetition-free subset of the
+    * Gopher/MassiveText document filters (word-count bounds, mean word
+    * length, alphabetic-word fraction, bullet-line fraction, stop-word
+    * presence) as per-document 0/1 flags plus the conjunctive pass bit.
+    * Every rule is an exact integer cross-multiplication
+    * (3·nw ≤ wchars ≤ 10·nw, 5·n_alpha ≥ 4·nw, 10·n_bullets ≤ 9·n_lines,
+    * n_stop ≥ 2) — no ratio ever becomes a float, so the flags are
+    * engine-exact. Map-only: one corpus scan, zero shuffle, the word
+    * and line arrays staged in their own projection (the t06/t35
+    * re-inline discipline) so each count reads a computed attribute. */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val staged = TextSim.spread(Tables.documents(s, d))
+      .select(col("doc_id"), TextSim.words(col("text")).as("ws0"),
+              split(col("text"), "\n").as("lines"))
+      .select(col("doc_id"),
+              expr("filter(ws0, w -> w <> '')").as("ws"), col("lines"))
+    val counted = staged.select(
+      col("doc_id"),
+      size(col("ws")).cast("long").as("nw"),
+      expr("aggregate(ws, cast(0 as bigint), (acc, w) -> acc + length(w))")
+        .as("wchars"),
+      expr("cast(size(filter(ws, w -> w rlike '[a-z]')) as bigint)").as("n_alpha"),
+      expr("""cast(size(filter(lines,
+                l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) as bigint)""")
+        .as("n_bullets"),
+      size(col("lines")).cast("long").as("n_lines"),
+      expr("""cast((case when array_contains(ws, 'the') then 1 else 0 end)
+                 + (case when array_contains(ws, 'and') then 1 else 0 end)
+                 + (case when array_contains(ws, 'of')  then 1 else 0 end)
+                 + (case when array_contains(ws, 'to')  then 1 else 0 end)
+                 + (case when array_contains(ws, 'in')  then 1 else 0 end)
+                 + (case when array_contains(ws, 'a')   then 1 else 0 end)
+                 + (case when array_contains(ws, 'is')  then 1 else 0 end)
+                 + (case when array_contains(ws, 'for') then 1 else 0 end)
+              as bigint)""").as("n_stop"))
+    val fWords  = col("nw") >= 50L && col("nw") <= 100000L
+    val fMwl    = col("wchars") >= lit(3L) * col("nw") &&
+                  col("wchars") <= lit(10L) * col("nw")
+    val fAlpha  = lit(5L) * col("n_alpha") >= lit(4L) * col("nw")
+    val fBullet = lit(10L) * col("n_bullets") <= lit(9L) * col("n_lines")
+    val fStop   = col("n_stop") >= 2L
+    def flag(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+    counted.select(col("doc_id"), col("nw"), col("wchars"), col("n_alpha"),
+      col("n_bullets"), col("n_lines"), col("n_stop"),
+      flag(fWords).as("f_words"), flag(fMwl).as("f_mwl"),
+      flag(fAlpha).as("f_alpha"), flag(fBullet).as("f_bullet"),
+      flag(fStop).as("f_stop"),
+      flag(fWords && fMwl && fAlpha && fBullet && fStop).as("pass"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t50_gopher_rules"    -> (gopherRules _),
     "t49_collocations"    -> (collocations _),
     "t48_bm25"            -> (bm25TopDocs _),
     "t43_threshold_sweep" -> (thresholdSweep _),
@@ -1212,6 +1263,47 @@ object TextOps {
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
   // replace all matches (Spark replaces all by default).
   val oracles: Map[String, String] = Map(
+    // same integer cross-multiplied rules over the same token/line
+    // arrays; lines split on chr(10), words on the shared normalizer
+    "t50_gopher_rules" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws0,
+                  string_split(text, chr(10)) AS lines
+           FROM documents),
+         w AS (SELECT doc_id, list_filter(ws0, w -> w <> '') AS ws, lines FROM d),
+         c AS (SELECT doc_id,
+                      CAST(len(ws) AS BIGINT) AS nw,
+                      CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+                           AS BIGINT) AS wchars,
+                      CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                           AS BIGINT) AS n_alpha,
+                      CAST(len(list_filter(lines,
+                             l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'))
+                           AS BIGINT) AS n_bullets,
+                      CAST(len(lines) AS BIGINT) AS n_lines,
+                      CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END)
+                         + (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END)
+                         + (CASE WHEN list_contains(ws, 'of')  THEN 1 ELSE 0 END)
+                         + (CASE WHEN list_contains(ws, 'to')  THEN 1 ELSE 0 END)
+                         + (CASE WHEN list_contains(ws, 'in')  THEN 1 ELSE 0 END)
+                         + (CASE WHEN list_contains(ws, 'a')   THEN 1 ELSE 0 END)
+                         + (CASE WHEN list_contains(ws, 'is')  THEN 1 ELSE 0 END)
+                         + (CASE WHEN list_contains(ws, 'for') THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_stop
+               FROM w)
+         SELECT doc_id, nw, wchars, n_alpha, n_bullets, n_lines, n_stop,
+                CAST(CASE WHEN nw BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS f_words,
+                CAST(CASE WHEN wchars BETWEEN 3*nw AND 10*nw THEN 1 ELSE 0 END AS BIGINT) AS f_mwl,
+                CAST(CASE WHEN 5*n_alpha >= 4*nw THEN 1 ELSE 0 END AS BIGINT) AS f_alpha,
+                CAST(CASE WHEN 10*n_bullets <= 9*n_lines THEN 1 ELSE 0 END AS BIGINT) AS f_bullet,
+                CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
+                CAST(CASE WHEN nw BETWEEN 50 AND 100000
+                           AND wchars BETWEEN 3*nw AND 10*nw
+                           AND 5*n_alpha >= 4*nw
+                           AND 10*n_bullets <= 9*n_lines
+                           AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+         FROM c""",
     // same integer ppm PMI-ratio (mirrored left-assoc floor divisions),
     // same min-support 5, same (score desc, a, b) top-20
     "t49_collocations" ->

@@ -379,6 +379,23 @@ class ArraySpec extends SparkSpec {
     assertThrows[IllegalArgumentException](m.digitize(Array(1.0, 1.0)))
   }
 
+  test("bincount: weighted counts match a local scan; bad values rejected") {
+    val x = DMatrix.randInt(spark, 37, 23, 8, 131L, 48L)   // ragged blocks
+    val w = DMatrix.randInt(spark, 37, 23, 8, 137L)
+    val pairs = x.toLocal.toArray.zip(w.toLocal.toArray)
+    val expect = pairs.groupBy(_._1.toLong)
+      .map { case (b, xs) => b -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val got = x.bincount(w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expect)
+    // shape mismatch and negative bins are rejected
+    assertThrows[IllegalArgumentException](
+      x.bincount(DMatrix.randInt(spark, 10, 10, 8, 1L)))
+    val neg = DMatrix.fromLocal(spark, breeze.linalg.DenseMatrix((1.0, -2.0)), 2)
+    val ones = DMatrix.fromLocal(spark, breeze.linalg.DenseMatrix((1.0, 1.0)), 2)
+    assertThrows[org.apache.spark.SparkException](neg.bincount(ones).collect())
+  }
+
   test("nanRowStats: skipna reductions match local, all-NaN rows report zero") {
     val m = DMatrix.randInt(spark, 37, 23, 8, 93L)
       .mapElements(v => if (v.toLong % 5 == 2) Double.NaN else v)

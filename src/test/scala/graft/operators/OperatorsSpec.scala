@@ -1396,6 +1396,64 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q76 cohort retention equals a local first-month recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.orders(spark, sfDir).select(
+        col("o_custkey"),
+        (year(col("o_orderdate").cast("date")) * 12 +
+         month(col("o_orderdate").cast("date")) - 1).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = rows.distinct.groupBy(_._1)
+    val expect = byCust.toSeq.flatMap { case (_, ms) =>
+      val c0 = ms.map(_._2).min
+      ms.map(m => (c0, m._2 - c0))
+    }.groupBy(identity).map { case (k, xs) => (k._1, k._2, xs.length.toLong) }
+      .toSeq.sorted
+    val got = Relational.cohortRetention(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == expect)
+    // month-0 row of each cohort covers every customer of that cohort
+    val m0 = got.filter(_._2 == 0L).map(_._3).sum
+    assert(m0 == byCust.size.toLong)
+  }
+
+  test("t50 gopher rules equal a local counter recompute") {
+    val texts = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = texts.map { case (id, text) =>
+      val ws = text.toLowerCase.replaceAll("\\s+", " ").trim
+        .split(" ", -1).filter(_.nonEmpty)
+      val lines = text.split("\n", -1)
+      val nw = ws.length.toLong
+      val wchars = ws.map(_.length.toLong).sum
+      val nAlpha = ws.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val nBullets = lines.count { l =>
+        val t = l.dropWhile(_ == ' ')
+        t.startsWith("-") || t.startsWith("*")
+      }.toLong
+      val nLines = lines.length.toLong
+      val nStop = Seq("the", "and", "of", "to", "in", "a", "is", "for")
+        .count(ws.contains).toLong
+      val fw = if (nw >= 50 && nw <= 100000) 1L else 0L
+      val fm = if (wchars >= 3 * nw && wchars <= 10 * nw) 1L else 0L
+      val fa = if (5 * nAlpha >= 4 * nw) 1L else 0L
+      val fb = if (10 * nBullets <= 9 * nLines) 1L else 0L
+      val fs = if (nStop >= 2) 1L else 0L
+      (id, nw, wchars, nAlpha, nBullets, nLines, nStop,
+       fw, fm, fa, fb, fs, fw * fm * fa * fb * fs)
+    }.sortBy(_._1)
+    val got = TextOps.gopherRules(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+                 r.getLong(8), r.getLong(9), r.getLong(10), r.getLong(11),
+                 r.getLong(12))).sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) => assert(g == e, s"got $g want $e") }
+    // the fixture should exercise both flag outcomes somewhere
+    assert(got.map(_._13).distinct.length == 2)
+  }
+
   test("q75 combine_first: urgent price wins, fallback patches, nulls drop out") {
     import org.apache.spark.sql.functions._
     val orders = graft.core.Tables.orders(spark, sfDir).select(
