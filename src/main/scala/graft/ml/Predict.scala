@@ -494,7 +494,43 @@ object Predict {
               when(col("c") === col("lang"), 1L).otherwise(0L).as("is_correct"))
   }
 
+  /** ml14: DECISION-STUMP TRAINING — the full threshold sweep for a
+    * one-split tree on an integer feature (l_quantity ∈ 1..50, label
+    * l_returnflag = 'R'), minimizing exact misclassification count
+    * (min(pos,neg) on each side — the stump criterion that stays in
+    * integers, unlike Gini's rationals). Distributed shape: ONE
+    * partial-combined groupBy collapses the fact table to |domain| = 50
+    * (value, n, n_pos) rows; the cumulative sweep, totals, and argmin
+    * then run windows over those 50 rows — per-row work is O(rows),
+    * decision work is O(|domain| log |domain|), the same two-phase
+    * split-finding layout xgboost/lightgbm histograms use. Emits the
+    * whole sweep (every candidate's side counts + error) with the
+    * chosen split flagged, deterministic (err, thr) tie-break. */
+  def stumpTrain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perX = Tables.lineitem(s, d)
+      .select(col("l_quantity").cast("long").as("x"),
+              when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    val wCum = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val sides = perX.select(col("x").as("thr"),
+        sum(col("n")).over(wCum).as("nl"), sum(col("np")).over(wCum).as("pl"),
+        sum(col("n")).over(wAll).as("nt"), sum(col("np")).over(wAll).as("pt"))
+      .select(col("thr"), col("nl"), col("pl"),
+              (col("nt") - col("nl")).as("nr"), (col("pt") - col("pl")).as("pr"))
+      .select(col("thr"), col("nl"), col("pl"), col("nr"), col("pr"),
+              (least(col("pl"), col("nl") - col("pl")) +
+               least(col("pr"), col("nr") - col("pr"))).as("err"))
+    sides.select(col("thr"), col("nl"), col("pl"), col("nr"), col("pr"), col("err"),
+      when(row_number().over(Window.orderBy(col("err"), col("thr"))) === 1, 1L)
+        .otherwise(0L).as("is_best"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml14_stump"         -> (stumpTrain _),
     "ml13_centroid_text" -> (centroidClassify _),
     "ml12_pca"           -> (pcaClosedForm _),
     "ml11_ridge"         -> (ridgeClosedForm _),
@@ -539,6 +575,27 @@ object Predict {
   }
 
   val oracles: Map[String, String] = Map(
+    // same 50-value histogram, same cumulative sides and integer
+    // misclassification; DuckDB's default RANGE frame equals the
+    // explicit ROWS frame because x is distinct per row
+    "ml14_stump" ->
+      """WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS x, count(*) AS n,
+                           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                                AS BIGINT) AS np
+                    FROM lineitem GROUP BY 1),
+         c AS (SELECT x AS thr,
+                      CAST(sum(n) OVER (ORDER BY x) AS BIGINT) AS nl,
+                      CAST(sum(np) OVER (ORDER BY x) AS BIGINT) AS pl,
+                      CAST(sum(n) OVER () AS BIGINT) AS nt,
+                      CAST(sum(np) OVER () AS BIGINT) AS pt
+               FROM g),
+         e AS (SELECT thr, nl, pl, nt - nl AS nr, pt - pl AS pr FROM c),
+         f AS (SELECT thr, nl, pl, nr, pr,
+                      least(pl, nl - pl) + least(pr, nr - pr) AS err FROM e)
+         SELECT thr, nl, pl, nr, pr, err,
+                CAST(CASE WHEN row_number() OVER (ORDER BY err, thr) = 1
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_best
+         FROM f""",
     // same integer ppm rates over the same 80/20 doc_id split; sum of
     // BIGINT is DECIMAL in DuckDB — cast the score back; same argmax
     // tie-break (score desc, class)

@@ -1780,7 +1780,45 @@ object Relational {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** q77: MARKET-BASKET ASSOCIATION RULES — support / confidence / lift
+    * for brand co-occurrence within an order, the mining primitive
+    * behind "frequently bought together". Scale shape: the basket →
+    * item-set reduction is ONE exchange on the high-cardinality order
+    * key (collect_set state bounded by |brands| = 25 per basket, never
+    * line counts); pair expansion happens basket-locally via a sorted
+    * array comprehension (≤ C(25,2) pairs per basket, map-only), then
+    * partial-combines into a brands²-sized aggregate. The three brand
+    * marginals attach as broadcasts (25 rows + two scalars). All rates
+    * are integer ppm (mirrored floor divisions), so lift > 1e6 is the
+    * exact "positively associated" test. */
+  def basketRules(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val baskets = items.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+    val nOrders = baskets.groupBy().agg(count(lit(1)).as("n_ord"))
+    val brandN = items.groupBy(col("p_brand")).agg(count(lit(1)).as("n_br"))
+    val pairs = baskets.filter(size(col("bs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+             transform(slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"""))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(brandN.select(col("p_brand").as("a"), col("n_br").as("n_a"))), "a")
+      .join(broadcast(brandN.select(col("p_brand").as("b"), col("n_br").as("n_b"))), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+              expr("(n_ab * 1000000) div n_ord").as("supp_ppm"),
+              expr("(n_ab * 1000000) div n_a").as("conf_ppm"),
+              expr("((n_ab * n_ord) div n_a * 1000000) div n_b").as("lift_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q77_basket"            -> (basketRules _),
     "q76_cohort"            -> (cohortRetention _),
     "q75_combine_first"     -> (combineFirst _),
     "q74_rolling_skew"      -> (rollingSkew _),
@@ -1860,6 +1898,25 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same sorted in-basket pair expansion, same mirrored ppm floor
+    // divisions; counts are exact integers throughout
+    "q77_basket" ->
+      """WITH it AS (SELECT DISTINCT l.l_orderkey, p.p_brand
+                     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         no AS (SELECT count(DISTINCT l_orderkey) AS n_ord FROM it),
+         bn AS (SELECT p_brand, count(*) AS n_br FROM it GROUP BY 1),
+         pr AS (SELECT a.p_brand AS a, b.p_brand AS b, count(*) AS n_ab
+                FROM it a JOIN it b
+                  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+                GROUP BY 1, 2)
+         SELECT pr.a, pr.b, pr.n_ab, na.n_br AS n_a, nb.n_br AS n_b,
+                (pr.n_ab * 1000000) // no.n_ord AS supp_ppm,
+                (pr.n_ab * 1000000) // na.n_br AS conf_ppm,
+                ((pr.n_ab * no.n_ord) // na.n_br * 1000000) // nb.n_br AS lift_ppm
+         FROM pr
+         JOIN bn na ON na.p_brand = pr.a
+         JOIN bn nb ON nb.p_brand = pr.b
+         CROSS JOIN no""",
     // same integer month index, first month via min, distinct-month
     // activity; all counts exact integers
     "q76_cohort" ->

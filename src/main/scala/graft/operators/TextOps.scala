@@ -1217,7 +1217,42 @@ object TextOps {
       flag(fWords && fMwl && fAlpha && fBullet && fStop).as("pass"))
   }
 
+  /** t51: BIGRAM-LM QUALITY SCORING — per-document mean inverse bigram
+    * probability from a self-trained corpus bigram model, the 2-gram
+    * upgrade of t32's unigram surprisal (KenLM-style filters score with
+    * exactly this shape). Rate of a bigram = c(w1)·10⁶ div c(w1,w2) —
+    * the integer reciprocal of the conditional MLE, ≥ 10⁶, exact — and
+    * a document's score is its tf-weighted mean rate (high = improbable
+    * word transitions = likely junk). Distributed shape: bigram
+    * expansion is map-only off the token arrays; model counts
+    * partial-combine into vocabulary²- and vocabulary-sized aggregates;
+    * scoring joins key on the bigram/context (both grow with the corpus
+    * — shuffled equi-joins, deliberately NOT broadcast); the final
+    * per-doc mean is one more partial-combined groupBy. Integer
+    * end-to-end. */
+  def bigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val docs = TextSim.spread(Tables.documents(s, d))
+      .select(col("doc_id"), TextSim.words(col("text")).as("ws"))
+    val bi = docs.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+                    element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .filter(col("p.w1") =!= "" && col("p.w2") =!= "")
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1  = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bi.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"), col("tf"), expr("(c1 * 1000000) div c12").as("r"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+           sum(col("tf") * col("r")).as("rate_mass"))
+      .select(col("doc_id"), col("n_bigrams"), col("rate_mass"),
+              expr("rate_mass div n_bigrams").as("mean_rate"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t51_bigram_lm"       -> (bigramSurprisal _),
     "t50_gopher_rules"    -> (gopherRules _),
     "t49_collocations"    -> (collocations _),
     "t48_bm25"            -> (bm25TopDocs _),
@@ -1263,6 +1298,32 @@ object TextOps {
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
   // replace all matches (Spark replaces all by default).
   val oracles: Map[String, String] = Map(
+    // same bigram expansion (t49's comprehension), same integer
+    // reciprocal-MLE rates and tf-weighted floor-division mean
+    "t51_bigram_lm" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+           FROM documents),
+         pl AS (SELECT doc_id,
+                       unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                               for i in generate_series(1, len(ws)-1)]) AS p
+                FROM d WHERE len(ws) >= 2),
+         bi AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pl
+                WHERE p.w1 <> '' AND p.w2 <> ''),
+         m2 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         m1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bi GROUP BY 1, 2, 3),
+         sc AS (SELECT tf.doc_id, tf.tf,
+                       (m1.c1 * 1000000) // m2.c12 AS r
+                FROM tf JOIN m2 ON tf.w1 = m2.w1 AND tf.w2 = m2.w2
+                        JOIN m1 ON tf.w1 = m1.w1),
+         agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                        CAST(sum(tf * r) AS BIGINT) AS rate_mass
+                 FROM sc GROUP BY 1)
+         SELECT doc_id, n_bigrams, rate_mass,
+                rate_mass // n_bigrams AS mean_rate
+         FROM agg""",
     // same integer cross-multiplied rules over the same token/line
     // arrays; lines split on chr(10), words on the shared normalizer
     "t50_gopher_rules" ->

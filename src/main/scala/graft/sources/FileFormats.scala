@@ -526,7 +526,23 @@ object FileFormats {
       .option("header", "true").csv(tmp))
   }
 
+  /** XML round-trip — Spark 4 ships the (formerly spark-xml) XML data
+    * source natively; same write-project-read-aggregate drive as
+    * csv/json/orc. Row-per-element layout (`rowTag`), explicit read
+    * schema so attribute inference never reorders columns. XML is a
+    * row-striped text format like csv here: each output part file is an
+    * independent document, so the read stays parallel. */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("xml")
+    centsOrders(s, d).write.mode("overwrite")
+      .option("rowTag", "order").format("xml").save(tmp)
+    profile(s.read.option("rowTag", "order")
+      .schema("o_orderkey LONG, o_custkey LONG, cents LONG")
+      .format("xml").load(tmp))
+  }
+
   val queries: Map[String, Q] = Map(
+    "src13_xml_roundtrip"   -> (xmlRoundtrip _),
     "src12_dynamic_overwrite" -> (dynamicOverwrite _),
     "src11_gzip_csv"        -> (gzipCsvRoundtrip _),
     "src10_permissive_json" -> (permissiveJson _),
@@ -579,6 +595,7 @@ object FileFormats {
                    FILTER (o_orderkey % 7 = 3) AS BIGINT) AS corrupt_sig
          FROM o""",
     "src01_csv_roundtrip"  -> oracle,
+    "src13_xml_roundtrip"  -> oracle,
     "src11_gzip_csv"       -> oracle,
     "src02_json_roundtrip" -> oracle,
     "src05_orc_roundtrip"  -> oracle,

@@ -277,4 +277,66 @@ class MlSpec extends SparkSpec {
       assert(gevr >= 0.5 && gevr <= 1.0, s"$k evr out of [0.5, 1]")
     }
   }
+
+  test("ml13 centroid classifier equals a local Rocchio recompute") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1).filter(_.nonEmpty).toSeq
+    val train = docs.filter(_._1 % 5 != 0)
+    val counts = train.flatMap { case (_, l, t) => toks(t).map(w => (l, w)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val classTot = counts.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val rates = counts.map { case ((c, w), n) => (c, w) -> n * 1000000L / classTot(c) }
+    val expect = docs.filter(_._1 % 5 == 0).flatMap { case (id, lang, t) =>
+      val tf = toks(t).groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+      // a (doc, class) row exists iff some token matches the class
+      // profile (inner-join semantics), even when the summed score is 0
+      val scores = classTot.keys.toSeq
+        .filter(c => tf.keys.exists(w => rates.contains((c, w))))
+        .map(c => c -> tf.map { case (w, n) => n * rates.getOrElse((c, w), 0L) }.sum)
+      if (scores.isEmpty) None
+      else {
+        val (c, sc) = scores.minBy { case (cl, s) => (-s, cl) }
+        Some((id, c, sc, if (c == lang) 1L else 0L))
+      }
+    }.sorted
+    val got = Predict.centroidClassify(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(got == expect.toSeq)
+    // exactly one prediction per eligible held-out doc, from the label set
+    // (the fixture's lang is synthetic noise w.r.t. text, so accuracy is
+    // chance — the contract here is the training/scoring mechanics)
+    assert(got.map(_._1).distinct.length == got.length)
+    val classes = classTot.keySet
+    got.foreach(g => assert(classes.contains(g._2)))
+  }
+
+  test("ml14 stump sweep equals a local histogram recompute; the flagged split is optimal") {
+    val rows = graft.core.Tables.lineitem(spark, sfDir).select(
+        col("l_quantity").cast("long"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hist = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (x, xs) => (x, xs.length.toLong, xs.map(_._2).sum) }
+    val (nt, pt) = (rows.length.toLong, rows.map(_._2).sum)
+    var (nl, pl) = (0L, 0L)
+    val sweep = hist.map { case (x, n, np) =>
+      nl += n; pl += np
+      val (nr, pr) = (nt - nl, pt - pl)
+      (x, nl, pl, nr, pr, math.min(pl, nl - pl) + math.min(pr, nr - pr))
+    }
+    val bestThr = sweep.minBy(s => (s._6, s._1))._1
+    val expect = sweep.map(s =>
+      (s._1, s._2, s._3, s._4, s._5, s._6, if (s._1 == bestThr) 1L else 0L)).sorted
+    val got = Predict.stumpTrain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6))).toSeq.sorted
+    assert(got == expect)
+    assert(got.map(_._7).sum == 1L, "exactly one flagged split")
+    // the stump can never be worse than predicting the majority class
+    val baseline = math.min(pt, nt - pt)
+    assert(got.filter(_._7 == 1L).head._6 <= baseline)
+  }
 }

@@ -1417,6 +1417,58 @@ class OperatorsSpec extends SparkSpec {
     assert(m0 == byCust.size.toLong)
   }
 
+  test("q77 basket rules equal a local pair recompute; lift brackets independence") {
+    import org.apache.spark.sql.functions._
+    val it = graft.core.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      .join(graft.core.Tables.part(spark, sfDir).select("p_partkey", "p_brand"),
+            col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "p_brand").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nOrd = it.map(_._1).distinct.length.toLong
+    val brandN = it.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val expect = it.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val bs = xs.map(_._2).distinct.sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.length) yield (bs(i), bs(j))
+    }.groupBy(identity).map { case ((a, b), ps) =>
+      val nAb = ps.length.toLong
+      val (na, nb) = (brandN(a), brandN(b))
+      (a, b, nAb, na, nb, nAb * 1000000L / nOrd, nAb * 1000000L / na,
+       nAb * nOrd / na * 1000000L / nb)
+    }.toSeq.sorted
+    val got = Relational.basketRules(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq.sorted
+    assert(got == expect)
+    // confidence never exceeds certainty; some pair must deviate from
+    // independence in either direction at fixture scale
+    got.foreach { g => assert(g._7 <= 1000000L) }
+    assert(got.exists(_._8 < 1000000L) || got.exists(_._8 > 1000000L))
+  }
+
+  test("t51 bigram LM score equals a local model recompute") {
+    val texts = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bigrams(t: String): Seq[(String, String)] = {
+      val ws = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
+      if (ws.length < 2) Seq.empty
+      else ws.sliding(2).map(p => (p(0), p(1))).toSeq
+        .filter(p => p._1.nonEmpty && p._2.nonEmpty)
+    }
+    val all = texts.flatMap { case (id, t) => bigrams(t).map(b => (id, b)) }
+    val c12 = all.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val c1 = all.groupBy(_._2._1).map { case (w, xs) => w -> xs.length.toLong }
+    val expect = all.groupBy(_._1).map { case (id, xs) =>
+      val mass = xs.map { case (_, b) => c1(b._1) * 1000000L / c12(b) }.sum
+      (id, xs.length.toLong, mass, mass / xs.length)
+    }.toSeq.sorted
+    val got = graft.operators.TextOps.bigramSurprisal(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(got == expect)
+    // every rate is >= 1e6, so the mean is too
+    got.foreach(g => assert(g._4 >= 1000000L))
+  }
+
   test("t50 gopher rules equal a local counter recompute") {
     val texts = graft.core.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()

@@ -38,6 +38,26 @@ class PermissiveJsonSpec extends SparkSpec {
     assert(staged.toSeq == want.toSeq)
   }
 
+  test("src13: XML round-trip is lossless and the part files are row-tagged XML") {
+    val row = FileFormats.xmlRoundtrip(spark, sfDir).collect().head
+    val orders = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(row.getLong(0) == orders.length)
+    assert(row.getLong(1) == orders.map(_._3).sum)
+    assert(row.getLong(2) == orders.map(_._1).sum)
+    assert(row.getLong(3) == orders.map(_._2).distinct.length)
+    // on-disk files must really be XML documents carrying the row tag
+    val files = java.nio.file.Files.list(
+        java.nio.file.Paths.get(FileFormats.scratch("xml")))
+      .toArray.map(_.toString).filter(_.endsWith(".xml"))
+    assert(files.nonEmpty, "no .xml part files written")
+    val body = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(files.head))
+    assert(body.contains("<order>") && body.contains("</order>"))
+  }
+
   test("src11: the gzip codec is really applied and the round-trip is lossless") {
     val row = FileFormats.gzipCsvRoundtrip(spark, sfDir).collect().head
     val orders = graft.core.Tables.orders(spark, sfDir)
