@@ -751,7 +751,27 @@ object ArrayQueries {
       .orderBy("bin")
   }
 
+  /** a53: per-row exact MEDIAN (`da.median(axis=1)`) — the row-wise
+    * order statistic dask computes by rechunking each row into one
+    * block. Same layout argument here: ONE exchange on the row key
+    * gathers each row's cells, per-key state is bounded by the matrix
+    * WIDTH (the fixed schema axis; rows are the axis that scales), so
+    * the sorted-gather never grows with N. Emitted as med2 = the exact
+    * integer sum of the two middle order statistics (= 2·median for
+    * even width, avoiding the .5 float; equals twice the middle for odd
+    * width) — engine-exact against the LCG closed form. */
+  def rowMedianEntry(s: SparkSession, d: String): DataFrame =
+    DMatrix.randInt(s, 96, 80, BS, 139L).toCoords
+      .groupBy(col("i"))
+      .agg(sort_array(collect_list(col("v"))).as("sv"),
+           count(lit(1)).as("n"))
+      .select(col("i"), col("n"),
+        expr("""cast(element_at(sv, cast((n + 1) div 2 as int))
+                   + element_at(sv, cast(n div 2 + 1 as int)) as bigint)""")
+          .as("med2"))
+
   val queries: Map[String, Q] = Map(
+    "a53_row_median"     -> (rowMedianEntry _),
     "a52_bincount"       -> (bincountEntry _),
     "a51_coarsen"        -> (coarsenEntry _),
     "a50_diff"           -> (diffEntry _),
@@ -818,6 +838,14 @@ object ArrayQueries {
       s"""WITH ${matSql("a", 64, 48, 127)}
           SELECT i // 2 AS i, j // 2 AS j, sum(v) AS v
           FROM a GROUP BY 1, 2""",
+    // same sorted-row order statistics off the LCG closed form
+    "a53_row_median" ->
+      s"""WITH ${matSql("a", 96, 80, 139)},
+          g AS (SELECT i, list_sort(list(v)) AS sv, count(*) AS n
+                FROM a GROUP BY 1)
+          SELECT i, n, CAST(sv[CAST((n + 1) // 2 AS INT)]
+                          + sv[CAST(n // 2 + 1 AS INT)] AS BIGINT) AS med2
+          FROM g""",
     // bin/weight LCG pair joined on the cell index; integer mass sums
     "a52_bincount" ->
       s"""WITH ${matSql("x", 96, 80, 131, 48)}, ${matSql("w", 96, 80, 137)}

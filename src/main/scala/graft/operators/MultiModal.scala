@@ -325,7 +325,33 @@ object MultiModal {
               (lit(63) - col("pk") % 64).as("peak_frame"),
               expr("pk div 64").as("peak_energy"))
 
+  /** mm09: VOICE-ACTIVITY SEGMENTS — the run-length "gaps and islands"
+    * pass a speech-data pipeline runs on frame energies before clipping
+    * audio to voiced spans: frames above the energy gate, grouped into
+    * maximal consecutive runs per asset (group id = frame_idx − per-asset
+    * rank, the standard islands trick), each segment reduced to
+    * (start, end, frames, energy mass). The keyed window and the island
+    * aggregate both operate on the tiny per-asset frame table (codec-
+    * bounded rows per key) — payload bytes never shuffle, exactly the
+    * mm07/mm08 discipline. The 87,000 gate sits at the energy median of
+    * the uniform byte stub, so both voiced and silent frames occur. */
+  def vadSegments(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("frame_idx"))
+    audioFrameEnergy(synthesizeAssets(s, 200))
+      .filter(col("energy") > 87000L)
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col("asset_id"), col("grp"))
+      .agg(min(col("frame_idx")).as("seg_start"),
+           max(col("frame_idx")).as("seg_end"),
+           count(lit(1)).as("n_frames"),
+           sum(col("energy")).as("sum_energy"))
+      .select(col("asset_id"), col("seg_start"), col("seg_end"),
+              col("n_frames"), col("sum_energy"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm09_vad_segments" -> (vadSegments _),
     "mm01_decode_meta"  -> (decodeQuery _),
     "mm02_frame_sample" -> (framesQuery _),
     "mm03_resize"       -> (resizeQuery _),
@@ -452,6 +478,22 @@ object MultiModal {
           SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
                  CAST(abs(checksum - prev) AS BIGINT) AS jump
           FROM l WHERE prev IS NOT NULL AND abs(checksum - prev) > 300""",
+    // same frame energies as mm07, same islands grouping (idx − rank)
+    "mm09_vad_segments" ->
+      s"""WITH au AS (SELECT r.range AS asset_id, 64 + CAST(r.range % 32 AS INT) AS len
+                      FROM range(200) r WHERE r.range % 3 = 1),
+          fr AS (SELECT asset_id, f.range AS frame_idx,
+                   CAST((SELECT sum(power(${byteSql.replace("B", "asset_id*64 + f.range*8 + t.range")} - 128, 2))
+                         FROM range(16) t) AS BIGINT) AS energy
+                 FROM au, range(11) f WHERE f.range <= (len - 16) // 8),
+          v AS (SELECT asset_id, frame_idx, energy,
+                       frame_idx - row_number() OVER (PARTITION BY asset_id
+                                                      ORDER BY frame_idx) AS grp
+                FROM fr WHERE energy > 87000)
+          SELECT asset_id, CAST(min(frame_idx) AS BIGINT) AS seg_start,
+                 CAST(max(frame_idx) AS BIGINT) AS seg_end,
+                 count(*) AS n_frames, CAST(sum(energy) AS BIGINT) AS sum_energy
+          FROM v GROUP BY asset_id, grp""",
     "mm07_audio_energy" ->
       s"""WITH au AS (SELECT r.range AS asset_id, 64 + CAST(r.range % 32 AS INT) AS len
                       FROM range(200) r WHERE r.range % 3 = 1),

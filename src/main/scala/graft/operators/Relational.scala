@@ -1817,7 +1817,29 @@ object Relational {
               expr("((n_ab * n_ord) div n_a * 1000000) div n_b").as("lift_ppm"))
   }
 
+  /** q78: CONSECUTIVE-DUPLICATE COMPRESSION — pandas
+    * `s[s.shift() != s]` / run-length state compression: per user,
+    * ordered by (ts, event_id), keep only the events where event_type
+    * CHANGES, and index the surviving run heads. The state-change
+    * stream is what a 100 TB event log compresses to before sessionized
+    * modeling. ONE exchange on the high-cardinality user key; the lag
+    * and the post-filter run index are two window passes over the SAME
+    * (key, order) — Catalyst plans one sort, and rows never widen
+    * beyond the four output columns. Deterministic: the (ts, event_id)
+    * order has the unique id as tie-break. */
+  def compressRuns(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              row_number().over(w).cast("long").as("run_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q78_compress_runs"     -> (compressRuns _),
     "q77_basket"            -> (basketRules _),
     "q76_cohort"            -> (cohortRetention _),
     "q75_combine_first"     -> (combineFirst _),
@@ -1898,6 +1920,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same (ts, event_id) order, lag change-detection, post-filter
+    // run index per user
+    "q78_compress_runs" ->
+      """WITH l AS (SELECT user_id, ts, event_id, event_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS prev
+                    FROM events),
+         k AS (SELECT user_id, ts, event_id, event_type FROM l
+               WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_id, event_type,
+                CAST(row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS BIGINT) AS run_idx
+         FROM k""",
     // same sorted in-basket pair expansion, same mirrored ppm floor
     // divisions; counts are exact integers throughout
     "q77_basket" ->

@@ -1251,7 +1251,40 @@ object TextOps {
               expr("rate_mass div n_bigrams").as("mean_rate"))
   }
 
+  /** t52: SKIP-GRAM CO-OCCURRENCE — the window-±2 unordered word
+    * co-occurrence table (the count matrix word2vec/GloVe train from),
+    * vs t49's ordered ADJACENT bigrams: pairs at distance 1 and 2 are
+    * emitted map-only from the token arrays (two slice-zips — no
+    * sequence() calls whose empty case would flip descending), the
+    * pair is normalized to (min, max) so "hash join" and "join hash"
+    * collapse, and counts partial-combine into a vocabulary²-bounded
+    * aggregate cut to the top 20 by TakeOrdered — never a global sort
+    * of the pair vocabulary. Min-support 5 keeps the tail off the
+    * wire, the t16/t49 discipline. */
+  def skipgramCooc(s: SparkSession, d: String): DataFrame = {
+    val docs = TextSim.spread(Tables.documents(s, d))
+      .select(TextSim.words(col("text")).as("ws"))
+    val counted = docs.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """concat(
+             zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+                      (a, b) -> struct(a AS x, b AS y)),
+             zip_with(slice(ws, 1, greatest(size(ws) - 2, 0)),
+                      slice(ws, 3, greatest(size(ws) - 2, 0)),
+                      (a, b) -> struct(a AS x, b AS y)))""")).as("p"))
+      .filter(col("p.x") =!= "" && col("p.y") =!= "")
+      .select(least(col("p.x"), col("p.y")).as("a"),
+              greatest(col("p.x"), col("p.y")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 5)
+    counted.orderBy(col("c").desc, col("a"), col("b")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("a"), col("b"))).cast("long"))
+      .select(col("rank"), col("a"), col("b"), col("c"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t52_skipgram"        -> (skipgramCooc _),
     "t51_bigram_lm"       -> (bigramSurprisal _),
     "t50_gopher_rules"    -> (gopherRules _),
     "t49_collocations"    -> (collocations _),
@@ -1298,6 +1331,24 @@ object TextOps {
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
   // replace all matches (Spark replaces all by default).
   val oracles: Map[String, String] = Map(
+    // same distance-1/2 pair comprehension, same (min, max) pair
+    // normalization, min-support 5, (c desc, a, b) top-20
+    "t52_skipgram" ->
+      """WITH d AS (
+           SELECT string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws
+           FROM documents),
+         pl AS (SELECT unnest(
+                  [{'x': ws[i], 'y': ws[i+1]} for i in generate_series(1, len(ws)-1)]
+                  || [{'x': ws[i], 'y': ws[i+2]} for i in generate_series(1, len(ws)-2)]) AS p
+                FROM d WHERE len(ws) >= 2),
+         pc AS (SELECT least(p.x, p.y) AS a, greatest(p.x, p.y) AS b,
+                       count(*) AS c
+                FROM pl WHERE p.x <> '' AND p.y <> ''
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+         r AS (SELECT a, b, c,
+                      CAST(row_number() OVER (ORDER BY c DESC, a, b) AS BIGINT) AS rank
+               FROM pc)
+         SELECT rank, a, b, c FROM r WHERE rank <= 20""",
     // same bigram expansion (t49's comprehension), same integer
     // reciprocal-MLE rates and tf-weighted floor-division mean
     "t51_bigram_lm" ->

@@ -396,6 +396,18 @@ class ArraySpec extends SparkSpec {
     assertThrows[org.apache.spark.SparkException](neg.bincount(ones).collect())
   }
 
+  test("row median entry equals a local per-row sort") {
+    val m = DMatrix.randInt(spark, 96, 80, 16, 139L)
+    val loc = m.toLocal
+    val expect = (0 until 96).map { i =>
+      val row = (0 until 80).map(j => loc(i, j)).sorted
+      (i.toLong, 80L, (row(39) + row(40)).toLong)
+    }.toSet
+    val got = graft.array.ArrayQueries.rowMedianEntry(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
   test("nanRowStats: skipna reductions match local, all-NaN rows report zero") {
     val m = DMatrix.randInt(spark, 37, 23, 8, 93L)
       .mapElements(v => if (v.toLong % 5 == 2) Double.NaN else v)

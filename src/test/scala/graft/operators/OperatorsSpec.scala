@@ -1469,6 +1469,43 @@ class OperatorsSpec extends SparkSpec {
     got.foreach(g => assert(g._4 >= 1000000L))
   }
 
+  test("q78 compress_runs equals a local shift-compare; runs really compress") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0),
+                 (r.getTimestamp(1).getTime, r.getTimestamp(1).getNanos),
+                 r.getLong(2), r.getString(3)))
+    val expect = rows.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2._1, e._2._2, e._3))
+      val kept = sorted.zip(None +: sorted.map(e => Some(e._4)))
+        .collect { case (e, prev) if !prev.contains(e._4) => e }
+      kept.zipWithIndex.map { case (e, i) => (e._1, e._3, e._4, i + 1L) }
+    }.toSet
+    val got = Relational.compressRuns(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == expect)
+    assert(got.size < rows.length, "nothing compressed — fixture degenerate")
+  }
+
+  test("t52 skipgram top-20 equals a local window-2 co-occurrence count") {
+    val texts = graft.core.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val pairs = texts.flatMap { t =>
+      val ws = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
+      val d1 = ws.zip(ws.drop(1)); val d2 = ws.zip(ws.drop(2))
+      (d1 ++ d2).filter(p => p._1.nonEmpty && p._2.nonEmpty)
+        .map(p => if (p._1 <= p._2) p else p.swap)
+    }
+    val top = pairs.groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.length.toLong) }
+      .filter(_._3 >= 5).toSeq
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(20)
+      .zipWithIndex.map { case ((a, b, c), i) => (i + 1L, a, b, c) }
+    val got = graft.operators.TextOps.skipgramCooc(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == top)
+  }
+
   test("t50 gopher rules equal a local counter recompute") {
     val texts = graft.core.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()

@@ -615,6 +615,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect, s"diff: ${(got diff expect).take(3)}")
   }
 
+  test("mm09 VAD segments equal a local run-length pass; both phases occur") {
+    import org.apache.spark.sql.functions._
+    val frames = MultiModal.audioFrameEnergy(MultiModal.synthesizeAssets(spark, 200))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = frames.groupBy(_._1).values.flatMap { g =>
+      val voiced = g.sortBy(_._2).filter(_._3 > 87000L)
+      // islands: split where frame indices stop being consecutive
+      voiced.foldLeft(List.empty[List[(Long, Long, Long)]]) {
+        case (acc @ (h :: t), f) if h.head._2 == f._2 - 1 => (f :: h) :: t
+        case (acc, f) => List(f) :: acc
+      }.map { seg =>
+        (seg.head._1, seg.map(_._2).min, seg.map(_._2).max,
+         seg.length.toLong, seg.map(_._3).sum)
+      }
+    }.toSet
+    assert(expect.nonEmpty, "threshold produced no voiced segments")
+    // the gate must split frames: some asset has a gap (multiple segments)
+    assert(expect.groupBy(_._1).exists(_._2.size > 1),
+      "every asset is one solid segment — gate degenerate")
+    val got = MultiModal.vadSegments(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSet
+    assert(got == expect, s"diff: ${(got diff expect).take(3)}")
+  }
+
   test("b03 bag frequencies: counts sum to the range size, ranks descend") {
     val got = graft.operators.Apply.bagFrequencies(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
