@@ -770,7 +770,26 @@ object ArrayQueries {
                    + element_at(sv, cast(n div 2 + 1 as int)) as bigint)""")
           .as("med2"))
 
+  /** a54: 2-D HISTOGRAM (`da.histogram2d(x, y)`) — the joint
+    * distribution grid behind feature-pair audits, composed from two
+    * existing primitives: [[DMatrix.zip]] fuses the co-chunked x/y
+    * cells into one encoded bin id (narrow, zero shuffle) and
+    * [[DMatrix.bincount]] reduces it (≤ 100 bin partials per map
+    * partition cross the wire — never cells). x bins on its high
+    * digit, y on its MIDDLE digits — two same-multiplier LCG streams
+    * are affinely related, so high-vs-high binning would collapse to a
+    * diagonal band; the digit split decorrelates them and the grid
+    * stays a fully-populated 10×10 at any N. */
+  def histogram2dEntry(s: SparkSession, d: String): DataFrame = {
+    val x = DMatrix.randInt(s, 96, 80, BS, 149L)
+    val y = DMatrix.randInt(s, 96, 80, BS, 151L)
+    x.zip(y)((a, b) => math.floor(a / 100.0) * 10 + math.floor(b % 100.0 / 10.0))
+      .bincount(DMatrix.ones(s, 96, 80, BS))
+      .select(expr("bin div 10").as("xb"), (col("bin") % 10).as("yb"), col("n"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a54_histogram2d"    -> (histogram2dEntry _),
     "a53_row_median"     -> (rowMedianEntry _),
     "a52_bincount"       -> (bincountEntry _),
     "a51_coarsen"        -> (coarsenEntry _),
@@ -838,6 +857,14 @@ object ArrayQueries {
       s"""WITH ${matSql("a", 64, 48, 127)}
           SELECT i // 2 AS i, j // 2 AS j, sum(v) AS v
           FROM a GROUP BY 1, 2""",
+    // x high digit × y middle digits off the two LCG closed forms
+    // joined on the cell index (see the Scala side on decorrelation)
+    "a54_histogram2d" ->
+      s"""WITH ${matSql("x", 96, 80, 149)}, ${matSql("y", 96, 80, 151)}
+          SELECT CAST(x.v AS BIGINT) // 100 AS xb,
+                 CAST(y.v AS BIGINT) % 100 // 10 AS yb, count(*) AS n
+          FROM x JOIN y ON x.i = y.i AND x.j = y.j
+          GROUP BY 1, 2""",
     // same sorted-row order statistics off the LCG closed form
     "a53_row_median" ->
       s"""WITH ${matSql("a", 96, 80, 139)},

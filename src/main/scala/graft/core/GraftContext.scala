@@ -240,7 +240,44 @@ object IterativeQueries {
     out
   }
 
+  /** i05: WEIGHTED SSSP (k-round Bellman–Ford) — the weighted upgrade
+    * of i04's BFS: edge weight = cheapest quantity on the cust↔supp
+    * lane, dist relaxes by min(dist, dist_prev + w) for 3 rounds (=
+    * cheapest ≤3-hop path, the bounded-round semantics a 100 TB graph
+    * pass actually ships). Same frontier discipline as i04: only
+    * (v, dist) pairs shuffle, the lineage is checkpoint-trimmed by
+    * [[iterate]], and the output buckets distances (quantity sums are
+    * domain-bounded ≤ 150) rather than dumping node vectors. */
+  def ssspBuckets(s: SparkSession, d: String): DataFrame = {
+    val ctx = new GraftContext(s)
+    val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+              .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+            col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+              (col("l_suppkey") + 10000000L).as("supp"),
+              col("l_quantity").cast("long").as("w0"))
+      .groupBy(col("cust"), col("supp")).agg(min(col("w0")).as("w"))
+    val edges = ctx.persist(
+      pairs.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst"), col("w"))))
+    val init = edges.select(col("src").as("v")).distinct()
+      .filter(col("v") >= 10000000L && (col("v") - 10000000L) % 10 === 0)
+      .select(col("v"), lit(0L).as("dist"))
+    val dists = ctx.iterate(init, steps = 3, checkpointEvery = 2) { (cur, _) =>
+      cur.unionByName(
+          edges.join(cur, edges("src") === cur("v"))
+            .select(edges("dst").as("v"), (col("dist") + col("w")).as("dist")))
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+    }
+    val out = dists.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes")).localCheckpoint(true)
+    ctx.stop()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "i05_sssp"           -> (ssspBuckets _),
     "i01_iterative_trim" -> (iterativeTrim _),
     "i02_pagerank"       -> (pagerank _),
     "i03_triangles"      -> (triangles _),
@@ -289,9 +326,33 @@ object IterativeQueries {
     base + steps + s"\n       SELECT v, r FROM r$iters"
   }
 
+  /** The i05 oracle: the same weighted min-relax rounds unrolled. */
+  private def ssspOracle(iters: Int): String = {
+    val base = """WITH e0 AS (
+         SELECT o_custkey AS cust, l_suppkey + 10000000 AS supp,
+                min(CAST(l_quantity AS BIGINT)) AS w
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY 1, 2),
+       e AS (SELECT cust AS src, supp AS dst, w FROM e0
+             UNION ALL SELECT supp AS src, cust AS dst, w FROM e0),
+       d0 AS (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS dist FROM e
+              WHERE src >= 10000000 AND (src - 10000000) % 10 = 0)"""
+    val steps = (1 to iters).map { i =>
+      s""",
+       d$i AS (SELECT v, min(dist) AS dist FROM (
+                 SELECT v, dist FROM d${i - 1}
+                 UNION ALL
+                 SELECT e.dst AS v, d${i - 1}.dist + e.w AS dist
+                 FROM e JOIN d${i - 1} ON d${i - 1}.v = e.src) u
+               GROUP BY 1)"""
+    }.mkString
+    base + steps + s"\n       SELECT dist, count(*) AS n_nodes FROM d$iters GROUP BY 1"
+  }
+
   val oracles: Map[String, String] = Map(
     "i02_pagerank" -> pagerankOracle(3),
     "i04_bfs_layers" -> bfsOracle(3),
+    "i05_sssp" -> ssspOracle(3),
     // same distinct co-purchase edges, same (deg, id) orientation, same
     // ordered-wedge probe — all integer counts
     "i03_triangles" ->

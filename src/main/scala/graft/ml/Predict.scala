@@ -529,7 +529,35 @@ object Predict {
         .otherwise(0L).as("is_best"))
   }
 
+  /** ml15: EXACT ROC-AUC via the rank-sum (Mann–Whitney U) identity —
+    * AUC = (wins + ties/2) / (n_pos·n_neg) over all pos/neg pairs,
+    * computed WITHOUT materializing pairs: scores quantize to a
+    * DOMAIN-bounded grid (price in tens of dollars — ≤ ~10⁴ bins at any
+    * row count, the histogram-AUC every large-scale eval uses), one
+    * partial-combined groupBy collapses N rows to the grid, and a
+    * cumulative window over the grid turns pair counting into
+    * Σ np(s)·(2·cum_nn(<s) + nn(s)) — integer-exact 2U. The only
+    * single-task step touches the bounded grid, never rows. Emitted as
+    * u2 (= 2U) and auc_ppm = u2·5·10⁵ div (n_pos·n_neg). */
+  def aucEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perS = Tables.lineitem(s, d)
+      .select(expr("cast(round(l_extendedprice * 100) as bigint) div 1000").as("score"),
+              when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("np"), (count(lit(1)) - sum(col("y"))).as("nn"))
+    val wBelow = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perS.select(col("np"), col("nn"),
+        coalesce(sum(col("nn")).over(wBelow), lit(0L)).as("cnn"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+           sum(col("np") * (lit(2L) * col("cnn") + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+              expr("(u2 * 500000) div (n_pos * n_neg)").as("auc_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml15_auc"           -> (aucEval _),
     "ml14_stump"         -> (stumpTrain _),
     "ml13_centroid_text" -> (centroidClassify _),
     "ml12_pca"           -> (pcaClosedForm _),
@@ -575,6 +603,26 @@ object Predict {
   }
 
   val oracles: Map[String, String] = Map(
+    // same tens-of-dollars score grid, same strictly-below cumulative
+    // and 2U pair identity — integers end to end
+    "ml15_auc" ->
+      """WITH g AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 1000 AS score,
+                           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                                AS BIGINT) AS np,
+                           CAST(count(*) - sum(CASE WHEN l_returnflag = 'R'
+                                               THEN 1 ELSE 0 END) AS BIGINT) AS nn
+                    FROM lineitem GROUP BY 1),
+         c AS (SELECT np, nn,
+                      CAST(coalesce(sum(nn) OVER (ORDER BY score
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS cnn
+               FROM g),
+         a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                      CAST(sum(nn) AS BIGINT) AS n_neg,
+                      CAST(sum(np * (2 * cnn + nn)) AS BIGINT) AS u2
+               FROM c)
+         SELECT n_pos, n_neg, u2, (u2 * 500000) // (n_pos * n_neg) AS auc_ppm
+         FROM a""",
     // same 50-value histogram, same cumulative sides and integer
     // misclassification; DuckDB's default RANGE frame equals the
     // explicit ROWS frame because x is distinct per row

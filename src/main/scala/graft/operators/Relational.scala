@@ -1838,7 +1838,32 @@ object Relational {
               row_number().over(w).cast("long").as("run_idx"))
   }
 
+  /** q79: DETERMINISTIC POISSON BOOTSTRAP — `df.sample(frac=1,
+    * replace=True)` at scale: true with-replacement resampling needs
+    * global draws, so distributed engines replicate each row
+    * r ~ Poisson(1) times instead (the standard "Poisson bootstrap",
+    * exact as N→∞). Here r comes from the md5-uniform's inverse CDF
+    * (cutoffs = the Poisson(1) CDF in ppm), so the resample is
+    * reproducible and oracle-checkable. Map-only replication via
+    * array_repeat + explode (never sequence(), whose empty case flips
+    * descending), then one partial-combined aggregate proves the
+    * resampled population. */
+  def bootstrapResample(s: SparkSession, d: String): DataFrame = {
+    val u = conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"),
+              when(u < 367879L, 0L).when(u < 735759L, 1L).when(u < 919699L, 2L)
+                .when(u < 981012L, 3L).otherwise(4L).as("r"))
+      .select(col("o_orderpriority"), col("cents"),
+              explode(expr("array_repeat(1, cast(r as int))")).as("one"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_resampled"), sum(col("cents")).as("sum_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q79_bootstrap"         -> (bootstrapResample _),
     "q78_compress_runs"     -> (compressRuns _),
     "q77_basket"            -> (basketRules _),
     "q76_cohort"            -> (cohortRetention _),
@@ -1920,6 +1945,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same md5-uniform, same Poisson(1) CDF cutoffs; the exploded
+    // resample collapses to the weighted sums algebraically
+    "q79_bootstrap" ->
+      """WITH o AS (SELECT o_orderpriority,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                             % 1000000 AS u
+                    FROM orders),
+         r AS (SELECT o_orderpriority, cents,
+                      CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                           WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                           ELSE 4 END AS r
+               FROM o)
+         SELECT o_orderpriority, CAST(sum(r) AS BIGINT) AS n_resampled,
+                CAST(sum(r * cents) AS BIGINT) AS sum_cents
+         FROM r GROUP BY 1""",
     // same (ts, event_id) order, lag change-detection, post-filter
     // run index per user
     "q78_compress_runs" ->

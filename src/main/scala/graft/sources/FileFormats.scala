@@ -541,7 +541,31 @@ object FileFormats {
       .format("xml").load(tmp))
   }
 
+  /** CSV quoting/escaping torture round-trip — every 7th document's
+    * spaces become embedded NEWLINES (the fixture text is single-line,
+    * so the hostile case is staged deterministically), the case that
+    * breaks naive line-split CSV pipelines. The writer quotes such
+    * fields; the read back uses `multiLine` (records may span physical
+    * lines, so splits are per-FILE — the known CSV trade-off; columnar
+    * formats exist for a reason). Losslessness is proven by an md5
+    * signature over the text bodies, recomputed by the oracle from the
+    * parquet source under the same staging rule. */
+  def csvMultiline(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("csvml")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              when(col("doc_id") % 7 === 0, translate(col("text"), " ", "\n"))
+                .otherwise(col("text")).as("text"))
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.option("header", "true").option("multiLine", "true")
+      .schema("doc_id LONG, text STRING").csv(tmp)
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"),
+           sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+               % 1000000007L).as("text_sig"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "src14_csv_multiline"   -> (csvMultiline _),
     "src13_xml_roundtrip"   -> (xmlRoundtrip _),
     "src12_dynamic_overwrite" -> (dynamicOverwrite _),
     "src11_gzip_csv"        -> (gzipCsvRoundtrip _),
@@ -596,6 +620,19 @@ object FileFormats {
          FROM o""",
     "src01_csv_roundtrip"  -> oracle,
     "src13_xml_roundtrip"  -> oracle,
+    // signature recomputed over the parquet source under the same
+    // newline staging — equality proves the quoted/multiline CSV path
+    // is lossless
+    "src14_csv_multiline" ->
+      """WITH t AS (SELECT doc_id,
+                           CASE WHEN doc_id % 7 = 0
+                                THEN replace(text, ' ', chr(10))
+                                ELSE text END AS text
+                    FROM documents)
+         SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007)
+                     AS BIGINT) AS text_sig
+         FROM t""",
     "src11_gzip_csv"       -> oracle,
     "src02_json_roundtrip" -> oracle,
     "src05_orc_roundtrip"  -> oracle,

@@ -396,6 +396,19 @@ class ArraySpec extends SparkSpec {
     assertThrows[org.apache.spark.SparkException](neg.bincount(ones).collect())
   }
 
+  test("histogram2d equals a local joint-bin count and covers the grid") {
+    val x = DMatrix.randInt(spark, 96, 80, 16, 149L).toLocal
+    val y = DMatrix.randInt(spark, 96, 80, 16, 151L).toLocal
+    val expect = (for (i <- 0 until 96; j <- 0 until 80)
+      yield ((x(i, j) / 100).toLong, (y(i, j) % 100 / 10).toLong))
+      .groupBy(identity).map { case (k, xs) => (k._1, k._2, xs.length.toLong) }.toSet
+    val got = graft.array.ArrayQueries.histogram2dEntry(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got.toSeq.map(_._3).sum == 96L * 80L)
+    assert(got.size == 100, "uniform LCG should populate all 100 cells")
+  }
+
   test("row median entry equals a local per-row sort") {
     val m = DMatrix.randInt(spark, 96, 80, 16, 139L)
     val loc = m.toLocal

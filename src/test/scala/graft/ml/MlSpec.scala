@@ -313,6 +313,26 @@ class MlSpec extends SparkSpec {
     got.foreach(g => assert(classes.contains(g._2)))
   }
 
+  test("ml15 AUC: grid identity equals brute-force pair counting") {
+    val rows = graft.core.Tables.lineitem(spark, sfDir).select(
+        expr("cast(round(l_extendedprice * 100) as bigint) div 1000"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute force 2U over all pos/neg pairs (fixture scale only)
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    var u2 = 0L
+    pos.foreach { p => neg.foreach { n =>
+      if (p > n) u2 += 2L else if (p == n) u2 += 1L } }
+    val row = Predict.aucEval(spark, sfDir).collect().head
+    assert(row.getLong(0) == pos.length.toLong)
+    assert(row.getLong(1) == neg.length.toLong)
+    assert(row.getLong(2) == u2, s"u2 ${row.getLong(2)} vs brute $u2")
+    assert(row.getLong(3) == u2 * 500000L / (pos.length.toLong * neg.length),
+      "ppm mismatch")
+    assert(row.getLong(3) >= 0L && row.getLong(3) <= 1000000L)
+  }
+
   test("ml14 stump sweep equals a local histogram recompute; the flagged split is optimal") {
     val rows = graft.core.Tables.lineitem(spark, sfDir).select(
         col("l_quantity").cast("long"),

@@ -1192,6 +1192,53 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expect, s"got $got want $expect")
   }
 
+  test("i05 weighted SSSP equals a local 3-round Bellman-Ford") {
+    val pairs = graft.core.Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .join(graft.core.Tables.lineitem(spark, sfDir)
+              .select("l_orderkey", "l_suppkey", "l_quantity"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_custkey", "l_suppkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1) + 10000000L, r.getDouble(2).toLong))
+    val ew = pairs.groupBy(p => (p._1, p._2)).map { case (k, xs) => k -> xs.map(_._3).min }
+    val adj = scala.collection.mutable.Map[Long, List[(Long, Long)]]().withDefaultValue(Nil)
+    ew.foreach { case ((c, s), w) => adj(c) ::= (s, w); adj(s) ::= (c, w) }
+    val sources = adj.keys.filter(v => v >= 10000000L && (v - 10000000L) % 10 == 0).toSet
+    var dist = sources.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (v, dv) => adj(v).map { case (u, w) => u -> (dv + w) } }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).map { case (v, ds) => v -> ds.map(_._2).min }
+    }
+    val expect = dist.values.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val got = graft.core.IterativeQueries.ssspBuckets(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"got $got want $expect")
+    // weights matter: some reached node must sit at a non-hop-count distance
+    assert(expect.keys.exists(d => d > 3L), "distances look unweighted")
+  }
+
+  test("q79 Poisson bootstrap equals a local CDF recompute and preserves scale") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+              round(col("o_totalprice") * 100).cast("long"),
+              (conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+                 .cast("long") % 1000000L).as("u"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    def rOf(u: Long) =
+      if (u < 367879L) 0L else if (u < 735759L) 1L
+      else if (u < 919699L) 2L else if (u < 981012L) 3L else 4L
+    val expect = rows.groupBy(_._1).map { case (p, xs) =>
+      (p, xs.map(x => rOf(x._3)).sum, xs.map(x => rOf(x._3) * x._2).sum)
+    }.toSet
+    val got = Relational.bootstrapResample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // Poisson(1) keeps the population size within a few percent
+    val (n0, n1) = (rows.length.toLong, got.toSeq.map(_._2).sum)
+    assert(math.abs(n1 - n0).toDouble / n0 < 0.1, s"resample $n1 vs source $n0")
+  }
+
   test("q66 interval coverage equals a per-user local sweep") {
     import org.apache.spark.sql.functions._
     val evs = graft.core.Tables.events(spark, sfDir)

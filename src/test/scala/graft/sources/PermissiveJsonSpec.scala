@@ -58,6 +58,28 @@ class PermissiveJsonSpec extends SparkSpec {
     assert(body.contains("<order>") && body.contains("</order>"))
   }
 
+  test("src14: multiline CSV survives quoted embedded newlines losslessly") {
+    val row = FileFormats.csvMultiline(spark, sfDir).collect().head
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+              (conv(substring(md5(when(col("doc_id") % 7 === 0,
+                                       translate(col("text"), " ", "\n"))
+                                    .otherwise(col("text"))), 1, 15), 16, 10)
+                 .cast("long") % 1000000007L).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(row.getLong(0) == docs.length)
+    assert(row.getLong(1) == docs.map(_._1).sum)
+    assert(row.getLong(2) == docs.map(_._2).sum)
+    // the staged records really span physical lines: some part file has
+    // more raw lines than records (quoted newlines inside fields)
+    val dir = java.nio.file.Paths.get(FileFormats.scratch("csvml"))
+    val rawLines = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      .filter(_.endsWith(".csv"))
+      .map(f => java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f)).size().toLong)
+      .sum
+    assert(rawLines > docs.length, "no record spans lines — multiline path unexercised")
+  }
+
   test("src11: the gzip codec is really applied and the round-trip is lossless") {
     val row = FileFormats.gzipCsvRoundtrip(spark, sfDir).collect().head
     val orders = graft.core.Tables.orders(spark, sfDir)
