@@ -316,7 +316,10 @@ class PlanAuditSpec extends SparkSpec {
                           "t42_temperature_mix",
                           // ml06: crossJoin(broadcast(<1-row totals>)) —
                           // attaching the total sufficient statistics
-                          "ml06_kfold_cv")
+                          "ml06_kfold_cv",
+                          // q77: t18's shape — crossJoin(broadcast(<1-row
+                          // basket total>)) feeding the support/lift ppm
+                          "q77_basket")
     // Flagship-scale linalg entries are excluded: building their final
     // DataFrame executes tens of seconds of eager RDD block algebra
     // (tsqr treeAggregate, 2-TFLOP GEMM) with no Catalyst joins anywhere,
