@@ -87,6 +87,38 @@ object PlanDump {
       "Collocation mining: bigram and unigram counts partial-combine before their token-keyed exchanges; the two unigram attachments are equi-joins on the (vocabulary-sized) token key, the 1-row token total crosses as a broadcast, and the top-20 plans as TakeOrderedAndProject — no global sort of the pair vocabulary.",
     "e15_sq8" ->
       "Scalar int8 quantization: after the d-row min/max training aggregate, the quantize-encode-reduce chain (transform + two aggregates over the code array) fuses into ONE map-only projection over the embeddings scan — the vectors cross zero exchanges.",
+    "q76_cohort" ->
+      "Cohort retention: ONE hashpartitioning(o_custkey) exchange feeds the (min month, collect_set months) aggregate — per-customer state is calendar-bounded (~84 months), never row counts; the exploded (cohort, offset) pairs partial-combine into the months^2 grid.",
+    "q77_basket" ->
+      "Market-basket rules: the basket item-set exchange keys on the high-cardinality order key, pair expansion is a basket-local array comprehension (<= C(25,2)/basket, map-only), brand marginals attach as BroadcastHashJoins plus the allowlisted 1-row total — the pair aggregate is brands^2-bounded.",
+    "q78_compress_runs" ->
+      "Run compression: ONE hashpartitioning(user_id) exchange + one sort serve BOTH window passes (the lag change-detect and the post-filter run index) — no second exchange, rows stay 4 columns wide.",
+    "q79_bootstrap" ->
+      "Poisson bootstrap: md5-uniform inverse-CDF replication via array_repeat+explode is map-only over the orders scan; the only exchange is the 5-row priority aggregate's partial-combined shuffle.",
+    "ml13_centroid_text" ->
+      "Centroid text classifier: train/test token aggregates partial-combine before their token-keyed exchanges; the class-total attaches as a |classes|-row broadcast while the tf->profile join deliberately shuffles on the vocabulary-sized token key; the per-doc argmax window partitions on doc_id (<= |classes| rows per key).",
+    "ml14_stump" ->
+      "Decision stump: the fact table collapses via partial-combined groupBy to the 50-value feature histogram BEFORE any window — the cumulative sweep, totals, and argmin windows all run on 50 rows in one task, the xgboost histogram layout.",
+    "ml15_auc" ->
+      "Rank-sum AUC: rows collapse to the domain-bounded (<= ~10^4) score grid via partial-combined groupBy; the strictly-below cumulative window and the final 2U reduction touch only the grid — pair counting without pairs.",
+    "t50_gopher_rules" ->
+      "Gopher quality rules: one corpus scan, ZERO exchanges — token/line arrays staged in their own projection (the t06/t35 re-inline discipline), every rule an integer cross-multiplication in the same WholeStageCodegen span.",
+    "t51_bigram_lm" ->
+      "Bigram-LM scoring: map-only bigram expansion; model counts partial-combine into vocab^2/vocab aggregates; scoring joins key on the bigram and context (corpus-growing keys - shuffled equi-joins, NOT broadcast); one last partial-combined per-doc mean.",
+    "t52_skipgram" ->
+      "Skip-gram co-occurrence: distance-1/2 pairs from two slice-zips (map-only), (min,max) normalization collapses orientation, min-support 5 cuts the tail pre-shuffle, and the top-20 plans as TakeOrderedAndProject - never a global sort.",
+    "a52_bincount" ->
+      "Weighted bincount: co-partitioned block join (narrow, zip's shape), per-partition open-address bin accumulation - the shuffle carries <= 48 (bin, count, mass) partials per map partition, never cells.",
+    "a53_row_median" ->
+      "Row median: ONE exchange on the row key gathers each row's cells; sorted-gather state is bounded by matrix WIDTH (the fixed schema axis) - the two middle order statistics come from element_at on the sorted array.",
+    "a54_histogram2d" ->
+      "2-D histogram: DMatrix.zip fuses x/y cells into an encoded bin id with zero shuffle; bincount reduces it with <= 100 partials per map partition - the joint grid is size-fixed at any N.",
+    "src13_xml_roundtrip" ->
+      "XML round-trip: row-tagged write then schema-pinned parallel read; the profile aggregate partial-combines - format-path parity with csv/json/orc.",
+    "src14_csv_multiline" ->
+      "Multiline CSV: deterministic newline staging (every 7th doc), quoted write, multiLine read (per-file splits - the known CSV trade-off), md5-signature aggregate proves losslessness.",
+    "mm09_vad_segments" ->
+      "VAD segments: frame energies are computed in the batched mapPartitions decode (payload bytes never shuffle); the islands window and segment aggregate exchange only (asset_id, frame_idx, energy) triples, codec-bounded per key.",
   )
   // i03/i04 return eagerly localCheckpoint'ed frames (their plans collapse
   // to an RDD scan here); their join/agg shapes are asserted by their own
