@@ -788,7 +788,24 @@ object ArrayQueries {
       .select(expr("bin div 10").as("xb"), (col("bin") % 10).as("yb"), col("n"))
   }
 
+  /** a55: per-row ARG-TOP-K (`da.argtopk(x, k=3, axis=1)`) — the top
+    * three values AND their column indices per row, the row-wise
+    * selection behind per-query shortlists. Same gather discipline as
+    * a53: ONE exchange on the row key, per-key state bounded by matrix
+    * WIDTH; the (v desc, j asc) tie-break is encoded by sorting
+    * (−v, j) structs ascending, then slice + posexplode emit the three
+    * ranked hits map-side. */
+  def argTopkEntry(s: SparkSession, d: String): DataFrame =
+    DMatrix.randInt(s, 96, 80, BS, 157L).toCoords
+      .groupBy(col("i"))
+      .agg(expr("slice(sort_array(collect_list(struct(-v AS nv, j))), 1, 3)")
+        .as("top"))
+      .select(col("i"), posexplode(col("top")))
+      .select(col("i"), (col("pos") + 1).cast("long").as("rank"),
+              col("col.j").as("j"), (-col("col.nv")).cast("long").as("v"))
+
   val queries: Map[String, Q] = Map(
+    "a55_argtopk"        -> (argTopkEntry _),
     "a54_histogram2d"    -> (histogram2dEntry _),
     "a53_row_median"     -> (rowMedianEntry _),
     "a52_bincount"       -> (bincountEntry _),
@@ -857,6 +874,15 @@ object ArrayQueries {
       s"""WITH ${matSql("a", 64, 48, 127)}
           SELECT i // 2 AS i, j // 2 AS j, sum(v) AS v
           FROM a GROUP BY 1, 2""",
+    // same (v desc, j asc) per-row top-3 off the LCG closed form
+    "a55_argtopk" ->
+      s"""WITH ${matSql("a", 96, 80, 157)},
+          r AS (SELECT i, j, v,
+                       CAST(row_number() OVER (PARTITION BY i
+                              ORDER BY v DESC, j) AS BIGINT) AS rank
+                FROM a)
+          SELECT i, rank, j, CAST(v AS BIGINT) AS v
+          FROM r WHERE rank <= 3""",
     // x high digit × y middle digits off the two LCG closed forms
     // joined on the cell index (see the Scala side on decorrelation)
     "a54_histogram2d" ->

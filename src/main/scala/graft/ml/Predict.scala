@@ -556,7 +556,39 @@ object Predict {
               expr("(u2 * 500000) div (n_pos * n_neg)").as("auc_ppm"))
   }
 
+  /** ml16: CHI-SQUARE CONTINGENCY — per-cell χ² contributions for the
+    * returnflag × quantity-quintile table, the feature-independence
+    * test behind categorical feature selection. ONE partial-combined
+    * groupBy collapses the fact table to the 15-cell grid; margins
+    * attach as tiny broadcasts. Exactness discipline: O, R, C, T and
+    * the signed residual Δ = O·T − R·C stay in int64 (|Δ| ≤ N² fits
+    * comfortably at fixture scales); only the final χ² cell value takes
+    * the mirrored IEEE tail — two exact long→double casts, one
+    * multiply, one divide, round(6) — so the hash matches bit-for-bit.
+    * Per-cell emission (not the summed statistic) keeps every float op
+    * a single mirrored expression, never an order-dependent
+    * aggregation. */
+  def chi2Contingency(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("f"),
+              expr("(cast(l_quantity as bigint) - 1) div 10").as("b"))
+      .groupBy(col("f"), col("b")).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("f")).agg(sum(col("o")).as("r_tot"))
+    val colT = cells.groupBy(col("b")).agg(sum(col("o")).as("c_tot"))
+    val tot = cells.groupBy().agg(sum(col("o")).as("t_tot"))
+    cells.join(broadcast(rowT), "f").join(broadcast(colT), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("f"), col("b"), col("o"), col("r_tot"), col("c_tot"), col("t_tot"),
+              (col("o") * col("t_tot") - col("r_tot") * col("c_tot")).as("delta"))
+      .select(col("f"), col("b"), col("o"), col("r_tot"), col("c_tot"),
+              col("t_tot"), col("delta"),
+              round((col("delta").cast("double") * col("delta").cast("double")) /
+                    (col("r_tot") * col("c_tot") * col("t_tot")).cast("double"), 6)
+                .as("chi2_cell"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml16_chi2"          -> (chi2Contingency _),
     "ml15_auc"           -> (aucEval _),
     "ml14_stump"         -> (stumpTrain _),
     "ml13_centroid_text" -> (centroidClassify _),
@@ -603,6 +635,24 @@ object Predict {
   }
 
   val oracles: Map[String, String] = Map(
+    // same 15-cell grid, same int64 margins/residual, same two-cast
+    // one-multiply one-divide round(6) double tail
+    "ml16_chi2" ->
+      """WITH c AS (SELECT l_returnflag AS f,
+                           (CAST(l_quantity AS BIGINT) - 1) // 10 AS b,
+                           count(*) AS o
+                    FROM lineitem GROUP BY 1, 2),
+         rt AS (SELECT f, CAST(sum(o) AS BIGINT) AS r_tot FROM c GROUP BY 1),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c_tot FROM c GROUP BY 1),
+         tt AS (SELECT CAST(sum(o) AS BIGINT) AS t_tot FROM c),
+         j AS (SELECT c.f, c.b, c.o, rt.r_tot, ct.c_tot, tt.t_tot,
+                      c.o * tt.t_tot - rt.r_tot * ct.c_tot AS delta
+               FROM c JOIN rt ON c.f = rt.f JOIN ct ON c.b = ct.b
+               CROSS JOIN tt)
+         SELECT f, b, o, r_tot, c_tot, t_tot, delta,
+                round((CAST(delta AS DOUBLE) * CAST(delta AS DOUBLE))
+                      / CAST(r_tot * c_tot * t_tot AS DOUBLE), 6) AS chi2_cell
+         FROM j""",
     // same tens-of-dollars score grid, same strictly-below cumulative
     // and 2U pair identity — integers end to end
     "ml15_auc" ->

@@ -1862,7 +1862,64 @@ object Relational {
       .agg(count(lit(1)).as("n_resampled"), sum(col("cents")).as("sum_cents"))
   }
 
+  /** q80: LORENZ / CONCENTRATION CURVE — "the top X% of customers carry
+    * Y% of revenue", the inequality table behind every whale-analysis
+    * dashboard. Per-customer spend (one exchange on the customer key)
+    * quantizes to a DOMAIN-bounded grid (whole dollars of lifetime
+    * spend — bounded by order behavior, not row count, the ml15
+    * discipline), and the ascending cumulative shares come from a
+    * window over the grid only. All shares exact integer ppm; masses
+    * carried in dollars so cum·10⁶ stays far inside int64. */
+  def lorenzCurve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables.orders(s, d)
+      .select(col("o_custkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(expr("sum(cents) div 100").as("dollars"))
+    val grid = perCust.groupBy(expr("dollars div 1000").as("bucket"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("dollars")).as("mass"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    grid.select(col("bucket"), col("n_cust"), col("mass"),
+        sum(col("n_cust")).over(wCum).as("cc"),
+        sum(col("mass")).over(wCum).as("cm"),
+        sum(col("n_cust")).over(wAll).as("tc"),
+        sum(col("mass")).over(wAll).as("tm"))
+      .select(col("bucket"), col("n_cust"), col("mass"),
+              expr("(cc * 1000000) div tc").as("cum_cust_ppm"),
+              expr("(cm * 1000000) div tm").as("cum_mass_ppm"))
+  }
+
+  /** q81: GROUPED WEIGHTED MEDIAN — the quantity-weighted median price
+    * per return flag, the robust location statistic `wmedian(x, w)`
+    * that plain percentile windows can't express. Prices quantize to
+    * whole dollars (domain-bounded grid, ≤ ~10⁵ values at any N — the
+    * ml15/q80 discipline), weights partial-combine per (flag, dollar)
+    * BEFORE the per-flag cumulative window, and the lower weighted
+    * median is the first grid value where 2·cumw ≥ totw — integer
+    * comparisons only. */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("f"),
+              expr("cast(round(l_extendedprice * 100) as bigint) div 100").as("dollars"),
+              col("l_quantity").cast("long").as("w0"))
+      .groupBy(col("f"), col("dollars")).agg(sum(col("w0")).as("w"))
+    val wCum = Window.partitionBy(col("f")).orderBy(col("dollars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("f"))
+    grid.select(col("f"), col("dollars"),
+        sum(col("w")).over(wCum).as("cumw"), sum(col("w")).over(wAll).as("totw"))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("f"))
+      .agg(min(col("dollars")).as("wmedian_dollars"), max(col("totw")).as("tot_w"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q81_weighted_median"   -> (weightedMedian _),
+    "q80_lorenz"            -> (lorenzCurve _),
     "q79_bootstrap"         -> (bootstrapResample _),
     "q78_compress_runs"     -> (compressRuns _),
     "q77_basket"            -> (basketRules _),
@@ -1945,6 +2002,46 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same dollar grid, same running/total window split, same ppm
+    // floor divisions
+    "q80_lorenz" ->
+      """WITH pc AS (SELECT o_custkey,
+                            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                 AS BIGINT) // 100 AS dollars
+                     FROM orders GROUP BY 1),
+         g AS (SELECT dollars // 1000 AS bucket, count(*) AS n_cust,
+                      CAST(sum(dollars) AS BIGINT) AS mass
+               FROM pc GROUP BY 1),
+         c AS (SELECT bucket, n_cust, mass,
+                      CAST(sum(n_cust) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS cc,
+                      CAST(sum(mass) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS cm,
+                      CAST(sum(n_cust) OVER () AS BIGINT) AS tc,
+                      CAST(sum(mass) OVER () AS BIGINT) AS tm
+               FROM g)
+         SELECT bucket, n_cust, mass,
+                (cc * 1000000) // tc AS cum_cust_ppm,
+                (cm * 1000000) // tm AS cum_mass_ppm
+         FROM c""",
+    // same (flag, dollar) weight grid, same 2·cumw >= totw lower
+    // weighted median — integers only
+    "q81_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag AS f,
+                           CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS dollars,
+                           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                    FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT f, dollars,
+                      CAST(sum(w) OVER (PARTITION BY f ORDER BY dollars
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS cumw,
+                      CAST(sum(w) OVER (PARTITION BY f) AS BIGINT) AS totw
+               FROM g)
+         SELECT f, CAST(min(dollars) AS BIGINT) AS wmedian_dollars,
+                CAST(max(totw) AS BIGINT) AS tot_w
+         FROM c WHERE cumw * 2 >= totw GROUP BY 1""",
     // same md5-uniform, same Poisson(1) CDF cutoffs; the exploded
     // resample collapses to the weighted sums algebraically
     "q79_bootstrap" ->

@@ -409,6 +409,18 @@ class ArraySpec extends SparkSpec {
     assert(got.size == 100, "uniform LCG should populate all 100 cells")
   }
 
+  test("argtopk per row equals a local (v desc, j) top-3") {
+    val loc = DMatrix.randInt(spark, 96, 80, 16, 157L).toLocal
+    val expect = (for (i <- 0 until 96) yield {
+      val top = (0 until 80).map(j => (loc(i, j).toLong, j.toLong))
+        .sortBy { case (v, j) => (-v, j) }.take(3)
+      top.zipWithIndex.map { case ((v, j), r) => (i.toLong, r + 1L, j, v) }
+    }).flatten.toSet
+    val got = graft.array.ArrayQueries.argTopkEntry(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
+
   test("row median entry equals a local per-row sort") {
     val m = DMatrix.randInt(spark, 96, 80, 16, 139L)
     val loc = m.toLocal

@@ -313,6 +313,29 @@ class MlSpec extends SparkSpec {
     got.foreach(g => assert(classes.contains(g._2)))
   }
 
+  test("ml16 chi-square cells match a local contingency recompute; margins add up") {
+    val rows = graft.core.Tables.lineitem(spark, sfDir).select(
+        col("l_returnflag"), expr("(cast(l_quantity as bigint) - 1) div 10"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val o = rows.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rT = rows.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val cT = rows.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+    val t = rows.length.toLong
+    val got = Predict.chi2Contingency(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+                ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+                  r.getLong(6), r.getDouble(7)))).toMap
+    assert(got.keySet == o.keySet)
+    got.foreach { case ((f, b), (oo, rr, cc, tt, delta, chi2)) =>
+      assert(oo == o((f, b)) && rr == rT(f) && cc == cT(b) && tt == t)
+      assert(delta == oo * tt - rr * cc)
+      val expect = (delta.toDouble * delta.toDouble) / (rr * cc * tt).toDouble
+      assert(math.abs(chi2 - expect) < 1e-6, s"($f,$b) chi2 $chi2 vs $expect")
+    }
+    // margins must reproduce the grand total
+    assert(rT.values.sum == t && cT.values.sum == t)
+  }
+
   test("ml15 AUC: grid identity equals brute-force pair counting") {
     val rows = graft.core.Tables.lineitem(spark, sfDir).select(
         expr("cast(round(l_extendedprice * 100) as bigint) div 1000"),

@@ -1239,6 +1239,51 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(n1 - n0).toDouble / n0 < 0.1, s"resample $n1 vs source $n0")
   }
 
+  test("q80 Lorenz curve equals a local cumulative recompute; shares end at 1e6") {
+    import org.apache.spark.sql.functions._
+    val spend = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).sum / 100 }.toSeq
+    val grid = spend.groupBy(_ / 1000).toSeq.sortBy(_._1)
+      .map { case (b, xs) => (b, xs.length.toLong, xs.sum) }
+    val (tc, tm) = (spend.length.toLong, spend.sum)
+    var (cc, cm) = (0L, 0L)
+    val expect = grid.map { case (b, n, m) =>
+      cc += n; cm += m
+      (b, n, m, cc * 1000000L / tc, cm * 1000000L / tm)
+    }
+    val got = Relational.lorenzCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == expect)
+    assert(got.last._4 == 1000000L && got.last._5 == 1000000L)
+    // concentration: customer share always runs ahead of mass share
+    got.init.foreach(g => assert(g._4 >= g._5, s"bucket ${g._1} not concentrated"))
+  }
+
+  test("q81 weighted median equals a local weighted scan per flag") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.lineitem(spark, sfDir).select(
+        col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint) div 100"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (f, xs) =>
+      val grid = xs.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (d, g) => (d, g.map(_._3).sum) }
+      val tot = grid.map(_._2).sum
+      var cum = 0L
+      val med = grid.collectFirst {
+        case (d, w) if { cum += w; cum * 2 >= tot } => d
+      }.get
+      (f, med, tot)
+    }.toSet
+    val got = Relational.weightedMedian(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
   test("q66 interval coverage equals a per-user local sweep") {
     import org.apache.spark.sql.functions._
     val evs = graft.core.Tables.events(spark, sfDir)

@@ -319,7 +319,10 @@ class PlanAuditSpec extends SparkSpec {
                           "ml06_kfold_cv",
                           // q77: t18's shape — crossJoin(broadcast(<1-row
                           // basket total>)) feeding the support/lift ppm
-                          "q77_basket")
+                          "q77_basket",
+                          // ml16: t18's shape — crossJoin(broadcast(<1-row
+                          // grand total>)) feeding the chi-square margins
+                          "ml16_chi2")
     // Flagship-scale linalg entries are excluded: building their final
     // DataFrame executes tens of seconds of eager RDD block algebra
     // (tsqr treeAggregate, 2-TFLOP GEMM) with no Catalyst joins anywhere,
