@@ -350,7 +350,29 @@ object MultiModal {
               col("n_frames"), col("sum_energy"))
   }
 
+  /** mm10: PATCH/TILE STATISTICS — the ViT-style patch-grid pass a
+    * vision pipeline runs before embedding: each image payload's first
+    * 64 bytes split into four 16-byte tiles (a real build swaps in
+    * pixel-block decode, same shape), per-tile sum/min/max emitted
+    * map-only from the batched decode — payload bytes never shuffle and
+    * the output is 4 small rows per asset. */
+  def tileStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    synthesizeAssets(s, 200)
+      .filter(col("kind") === "image")
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (0 until 4).iterator.map { t =>
+          val tile = (t * 16 until (t + 1) * 16).map(i => (bytes(i) & 0xff).toLong)
+          (id, t.toLong, tile.sum, tile.min, tile.max)
+        }
+      }
+      .toDF("asset_id", "tile_idx", "sum_b", "min_b", "max_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm10_tile_stats"   -> (tileStats _),
     "mm09_vad_segments" -> (vadSegments _),
     "mm01_decode_meta"  -> (decodeQuery _),
     "mm02_frame_sample" -> (framesQuery _),
@@ -478,6 +500,17 @@ object MultiModal {
           SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
                  CAST(abs(checksum - prev) AS BIGINT) AS jump
           FROM l WHERE prev IS NOT NULL AND abs(checksum - prev) > 300""",
+    // same 4×16-byte tile split off the byte closed form (images =
+    // kind 0 mod 3; every payload is >= 64 bytes by construction)
+    "mm10_tile_stats" ->
+      s"""WITH im AS (SELECT r.range AS asset_id FROM range(200) r
+                      WHERE r.range % 3 = 0),
+          cells AS (SELECT asset_id, t.range AS tile_idx,
+                           ${byteSql.replace("B", "asset_id*64 + t.range*16 + i.range")} AS b
+                    FROM im, range(4) t, range(16) i)
+          SELECT asset_id, tile_idx, CAST(sum(b) AS BIGINT) AS sum_b,
+                 CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
+          FROM cells GROUP BY 1, 2""",
     // same frame energies as mm07, same islands grouping (idx − rank)
     "mm09_vad_segments" ->
       s"""WITH au AS (SELECT r.range AS asset_id, 64 + CAST(r.range % 32 AS INT) AS len

@@ -583,7 +583,56 @@ object Similarity {
         size(col("codes")).cast("long").as("n_dims"))
   }
 
+  /** e16: MAXIMAL-MARGINAL-RELEVANCE re-ranking — the diversity-aware
+    * top-k every retrieval stack bolts onto ANN: after the cheap
+    * relevance shortlist (top-12 exact cosine to the query), k = 5
+    * results are selected greedily by
+    * score(d) = 0.7·rel(d) − 0.3·max_{s∈S} cos(d, s). Distributed
+    * shape: the shortlist cut is the e01 broadcast-query scan (the
+    * corpus-sized stage); each greedy step is then one distributed
+    * argmax over the shortlist with the ≤ k selected vectors attached
+    * as LITERALS — at warehouse scale the shortlist is thousands of
+    * rows and each step stays one tiny map+TakeOrdered job; only
+    * k·(id, 64-long vector) crosses the driver, the bounded-collect
+    * discipline. All floats are mirrored single IEEE expressions
+    * (greatest is exact), so the greedy trace hash-matches the
+    * unrolled-SQL oracle step for step. */
+  def mmrDiversify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withQ = TextSim.spread(Tables.embeddings(s, d))
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("n2", dotInt(col("qv"), col("qv")))
+    def cosTo(vec: Array[Long], n2v: Long) =
+      dotInt(lit(vec), col("qv")).cast("double") /
+        (sqrt(lit(n2v).cast("double")) * sqrt(col("n2").cast("double")))
+    val q0 = withQ.filter(col("vec_id") === 0L).select("qv", "n2").collect().head
+    val (qv, qn) = (q0.getSeq[Long](0).toArray, q0.getLong(1))
+    val cand = withQ.filter(col("vec_id") =!= 0L)
+      .withColumn("rel", cosTo(qv, qn))
+      .orderBy(col("rel").desc, col("vec_id")).limit(12)
+      .select(col("vec_id"), col("qv"), col("n2"), col("rel"))
+      .localCheckpoint(true)
+    var selected = List.empty[(Long, Array[Long], Long)]
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    for (step <- 1 to 5) {
+      val scored =
+        if (selected.isEmpty) cand.withColumn("score", col("rel"))
+        else {
+          val maxSim = selected
+            .map { case (_, sv, sn) => cosTo(sv, sn) }.reduce(greatest(_, _))
+          cand.filter(!col("vec_id").isin(selected.map(_._1): _*))
+            .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * maxSim)
+        }
+      val pick = scored.orderBy(col("score").desc, col("vec_id")).limit(1)
+        .collect().head
+      selected ::= ((pick.getLong(0), pick.getSeq[Long](1).toArray, pick.getLong(2)))
+      out += ((step.toLong, pick.getLong(0)))
+    }
+    out.toSeq.toDF("rank", "n_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e16_mmr"         -> (mmrDiversify _),
     "e15_sq8"         -> (sq8Quantize _),
     "e14_confusion"   -> (confusionMetrics _),
     "e13_knn_classify" -> (knnClassifyQuery _),
@@ -643,7 +692,48 @@ object Similarity {
                            THEN 1 ELSE 0 END AS BIGINT) AS correct
           FROM best JOIN embeddings qe ON qe.vec_id = best.q_id)"""
 
+  /** The e16 oracle: the same greedy MMR trace unrolled — generated so
+    * the step count and score expression cannot drift between the Spark
+    * loop and the SQL (the i02/i04/i05 discipline). */
+  private def mmrOracle: String = {
+    def cos(sel: String) =
+      s"""CAST(list_dot_product($sel.qv, c.qv) AS DOUBLE)
+             / (sqrt(CAST($sel.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))"""
+    val relSql =
+      """CAST(list_dot_product(qq.qv, cn.qv) AS DOUBLE)
+           / (sqrt(CAST(qq.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))"""
+    val steps = (2 to 5).map { t =>
+      val prev = (1 until t).map(k => s"s$k")
+      val maxSim = if (prev.size == 1) cos(prev.head)
+                   else s"greatest(${prev.map(cos).mkString(", ")})"
+      val notPicked = prev.map(p => s"c.id <> $p.id").mkString(" AND ")
+      s""",
+          s$t AS (SELECT c.id, c.qv, c.n2, c.rel
+                  FROM cand c, ${prev.mkString(", ")}
+                  WHERE $notPicked
+                  ORDER BY 0.7 * c.rel - 0.3 * ($maxSim) DESC, c.id
+                  LIMIT 1)"""
+    }.mkString
+    s"""WITH $quantSql,
+        qq AS (SELECT qv, list_dot_product(qv, qv) AS n2 FROM q WHERE vec_id = 0),
+        cn AS (SELECT vec_id AS id, qv, list_dot_product(qv, qv) AS n2
+               FROM q WHERE vec_id <> 0),
+        cand AS (SELECT id, qv, n2, rel FROM (
+                   SELECT cn.id, cn.qv, cn.n2, $relSql AS rel,
+                          row_number() OVER (ORDER BY $relSql DESC, cn.id) AS rk
+                   FROM cn, qq) t
+                 WHERE rk <= 12),
+        s1 AS (SELECT id, qv, n2, rel FROM cand ORDER BY rel DESC, id LIMIT 1)$steps
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS rank, s1.id AS n_id FROM s1
+          UNION ALL SELECT 2, s2.id FROM s2
+          UNION ALL SELECT 3, s3.id FROM s3
+          UNION ALL SELECT 4, s4.id FROM s4
+          UNION ALL SELECT 5, s5.id FROM s5) u"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "e16_mmr" -> mmrOracle,
     // same permille grid, per-dim min/max, exact floor-division codes
     "e15_sq8" ->
       s"""WITH $quantSql,

@@ -615,6 +615,54 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect, s"diff: ${(got diff expect).take(3)}")
   }
 
+  test("e16 MMR trace equals a local greedy recompute over the shortlist") {
+    import org.apache.spark.sql.functions._
+    val vecs = TextSim.spread(graft.core.Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Long], b: Array[Long]) =
+      dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    val q = vecs(0L)
+    val cand = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, cos(q, v)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(12)
+    var selected = List.empty[(Long, Array[Long])]
+    val trace = (1 to 5).map { step =>
+      val pick = cand.filter(c => !selected.exists(_._1 == c._1))
+        .map { case (id, v, rel) =>
+          val score = if (selected.isEmpty) rel
+            else 0.7 * rel - 0.3 * selected.map(s => cos(s._2, v)).max
+          (id, v, score)
+        }.minBy { case (id, _, score) => (-score, id) }
+      selected ::= ((pick._1, pick._2))
+      (step.toLong, pick._1)
+    }
+    val got = Similarity.mmrDiversify(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(got == trace)
+    assert(got.map(_._2).distinct.length == 5)
+  }
+
+  test("mm10 tile stats equal a local byte recompute, 4 tiles per image") {
+    import org.apache.spark.sql.functions._
+    val blobs = MultiModal.synthesizeAssets(spark, 200)
+      .filter(col("kind") === "image").select("asset_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val expect = blobs.flatMap { case (id, bytes) =>
+      (0 until 4).map { t =>
+        val tile = (t * 16 until (t + 1) * 16).map(i => (bytes(i) & 0xff).toLong)
+        (id, t.toLong, tile.sum, tile.min, tile.max)
+      }
+    }.toSet
+    val got = MultiModal.tileStats(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSet
+    assert(got == expect)
+    assert(got.size == blobs.length * 4)
+  }
+
   test("mm09 VAD segments equal a local run-length pass; both phases occur") {
     import org.apache.spark.sql.functions._
     val frames = MultiModal.audioFrameEnergy(MultiModal.synthesizeAssets(spark, 200))
