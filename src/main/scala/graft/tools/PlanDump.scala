@@ -119,10 +119,22 @@ object PlanDump {
       "Multiline CSV: deterministic newline staging (every 7th doc), quoted write, multiLine read (per-file splits - the known CSV trade-off), md5-signature aggregate proves losslessness.",
     "mm09_vad_segments" ->
       "VAD segments: frame energies are computed in the batched mapPartitions decode (payload bytes never shuffle); the islands window and segment aggregate exchange only (asset_id, frame_idx, energy) triples, codec-bounded per key.",
+    "ml16_chi2" ->
+      "Chi-square contingency: the fact table collapses to the 15-cell grid via ONE partial-combined groupBy; margins attach as tiny broadcasts (plus the allowlisted 1-row grand total); residuals stay int64 and only the per-cell chi2 takes the mirrored double tail.",
+    "q80_lorenz" ->
+      "Lorenz curve: per-customer spend is one exchange on the customer key, then the bucket grid is DOMAIN-bounded (whole-dollar lifetime spend) - the cumulative-share windows touch the grid only, the ml15 discipline.",
+    "q81_weighted_median" ->
+      "Weighted median: weights partial-combine per (flag, dollar) BEFORE the per-flag cumulative window - the window walks the domain-bounded price grid, never rows; the median pick is integer comparisons.",
+    "a55_argtopk" ->
+      "Per-row argtopk: ONE exchange on the row key; the (-v, j) struct sort + slice(3) happen inside the row-bounded gather, and posexplode emits exactly 3 ranked hits per row.",
+    "e16_mmr" ->
+      "MMR re-ranking: the shortlist cut is the e01 broadcast-query corpus scan; each greedy step is one tiny map+TakeOrdered job with the <= k selected vectors attached as literals - only k (id, vector) pairs ever cross the driver.",
+    "mm10_tile_stats" ->
+      "Tile statistics: per-tile sum/min/max computed inside the batched flatMap decode - map-only, payload bytes never shuffle, 4 small rows per asset out.",
   )
-  // i03/i04 return eagerly localCheckpoint'ed frames (their plans collapse
-  // to an RDD scan here); their join/agg shapes are asserted by their own
-  // specs and documented in SURVEY §8 instead.
+  // i03/i04/i05 return eagerly localCheckpoint'ed frames (their plans
+  // collapse to an RDD scan here); their join/agg shapes are asserted by
+  // their own specs and documented in SURVEY §8 instead.
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local()
