@@ -587,7 +587,72 @@ object Predict {
                 .as("chi2_cell"))
   }
 
+  /** ml17: POPULATION STABILITY INDEX — the drift monitor every
+    * deployed model ships with: PSI = Σ (p_b − q_b)·ln(p_b/q_b) between
+    * the early (≤1995) and late (>1995) order-price distributions, per
+    * order priority. Distribution state is DOMAIN-bounded ($1000 price
+    * buckets); shares are single mirrored IEEE divisions and each
+    * term floors to integer nanos BEFORE the sum (the t46 discipline —
+    * the reduction is then order-independent and engine-exact).
+    * One-sided buckets (mass in only one period) are counted, not
+    * ln(0)'d — the practitioner epsilon question surfaces as an
+    * explicit column instead of a fudge. */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_orderpriority").as("prio"),
+      expr("cast(round(o_totalprice * 100) as bigint) div 100000").as("bucket"),
+      when(year(col("o_orderdate").cast("date")) <= 1995, "a").otherwise("b").as("period"))
+    val cnt = base.groupBy(col("prio"), col("bucket"))
+      .agg(sum(when(col("period") === "a", 1L).otherwise(0L)).as("ca"),
+           sum(when(col("period") === "b", 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.groupBy(col("prio"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val p = col("ca").cast("double") / col("ta").cast("double")
+    val q = col("cb").cast("double") / col("tb").cast("double")
+    cnt.join(broadcast(tot), "prio")
+      .select(col("prio"), col("ca"), col("cb"),
+        when(col("ca") > 0 && col("cb") > 0,
+             floor((p - q) * log(p / q) * lit(1.0e9)).cast("long")).as("nano"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_buckets"),
+           sum(when(col("nano").isNull, 1L).otherwise(0L)).as("n_onesided"),
+           sum(col("nano")).as("psi_nano"))
+      .select(col("prio"), col("n_buckets"), col("n_onesided"), col("psi_nano"),
+              round(col("psi_nano").cast("double") / lit(1.0e9), 6).as("psi"))
+  }
+
+  /** ml18: TWO-SAMPLE KOLMOGOROV–SMIRNOV — D = max_s |F_a(s) − F_b(s)|
+    * between the same two price populations, computed EXACTLY in
+    * integers: on the domain-bounded dollar grid, |cum_a·tot_b −
+    * cum_b·tot_a| is the cross-multiplied CDF gap (no float CDFs), its
+    * max is one more grid aggregate, and D lands as exact ppm. The
+    * whole statistic = one partial-combined histogram + one bounded
+    * cumulative window + one max — the distributed KS every feature-
+    * drift suite wants and scipy can't scale. */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = Tables.orders(s, d).select(
+        expr("cast(round(o_totalprice * 100) as bigint) div 100000").as("bucket"),
+        when(year(col("o_orderdate").cast("date")) <= 1995, 1L).otherwise(0L).as("isa"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("isa")).as("ca"), sum(lit(1L) - col("isa")).as("cb"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    grid.select(col("bucket"),
+        sum(col("ca")).over(wCum).as("cuma"), sum(col("cb")).over(wCum).as("cumb"),
+        sum(col("ca")).over(wAll).as("ta"), sum(col("cb")).over(wAll).as("tb"))
+      .select(abs(col("cuma") * col("tb") - col("cumb") * col("ta")).as("gap"),
+              col("ta"), col("tb"))
+      .groupBy().agg(max(col("gap")).as("d_num"),
+                     max(col("ta")).as("n_a"), max(col("tb")).as("n_b"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+              expr("(d_num * 1000000) div (n_a * n_b)").as("d_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml18_ks"            -> (ksTest _),
+    "ml17_psi"           -> (psiDrift _),
     "ml16_chi2"          -> (chi2Contingency _),
     "ml15_auc"           -> (aucEval _),
     "ml14_stump"         -> (stumpTrain _),
@@ -635,6 +700,59 @@ object Predict {
   }
 
   val oracles: Map[String, String] = Map(
+    // same $1000 buckets and period split, same per-term floor-nano
+    // ln discipline (t46), one-sided buckets counted not ln(0)'d
+    "ml17_psi" ->
+      """WITH b AS (SELECT o_orderpriority AS prio,
+                           CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS bucket,
+                           CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1995
+                                THEN 'a' ELSE 'b' END AS period
+                    FROM orders),
+         c AS (SELECT prio, bucket,
+                      CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                      CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+               FROM b GROUP BY 1, 2),
+         t AS (SELECT prio, CAST(sum(ca) AS BIGINT) AS ta,
+                      CAST(sum(cb) AS BIGINT) AS tb FROM c GROUP BY 1),
+         n AS (SELECT c.prio, c.ca, c.cb,
+                      CASE WHEN c.ca > 0 AND c.cb > 0 THEN
+                        CAST(floor((CAST(c.ca AS DOUBLE) / CAST(t.ta AS DOUBLE)
+                                  - CAST(c.cb AS DOUBLE) / CAST(t.tb AS DOUBLE))
+                                 * ln((CAST(c.ca AS DOUBLE) / CAST(t.ta AS DOUBLE))
+                                    / (CAST(c.cb AS DOUBLE) / CAST(t.tb AS DOUBLE)))
+                                 * 1.0e9) AS BIGINT)
+                      END AS nano
+               FROM c JOIN t ON c.prio = t.prio)
+         SELECT prio, count(*) AS n_buckets,
+                CAST(sum(CASE WHEN nano IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_onesided,
+                CAST(sum(nano) AS BIGINT) AS psi_nano,
+                round(CAST(sum(nano) AS BIGINT) / 1.0e9, 6) AS psi
+         FROM n GROUP BY 1""",
+    // same dollar grid, same cross-multiplied integer CDF gap
+    "ml18_ks" ->
+      """WITH g AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS bucket,
+                           CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1995
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                           CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1995
+                                         THEN 0 ELSE 1 END) AS BIGINT) AS cb
+                    FROM orders GROUP BY 1),
+         c AS (SELECT bucket,
+                      CAST(sum(ca) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS cuma,
+                      CAST(sum(cb) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS cumb,
+                      CAST(sum(ca) OVER () AS BIGINT) AS ta,
+                      CAST(sum(cb) OVER () AS BIGINT) AS tb
+               FROM g),
+         a AS (SELECT CAST(max(abs(cuma * tb - cumb * ta)) AS BIGINT) AS d_num,
+                      CAST(max(ta) AS BIGINT) AS n_a,
+                      CAST(max(tb) AS BIGINT) AS n_b
+               FROM c)
+         SELECT n_a, n_b, d_num, (d_num * 1000000) // (n_a * n_b) AS d_ppm
+         FROM a""",
     // same 15-cell grid, same int64 margins/residual, same two-cast
     // one-multiply one-divide round(6) double tail
     "ml16_chi2" ->

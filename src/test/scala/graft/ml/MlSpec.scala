@@ -313,6 +313,53 @@ class MlSpec extends SparkSpec {
     got.foreach(g => assert(classes.contains(g._2)))
   }
 
+  test("ml17 PSI equals a local floor-nano recompute and is non-negative") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.orders(spark, sfDir).select(
+        col("o_orderpriority"),
+        expr("cast(round(o_totalprice * 100) as bigint) div 100000"),
+        when(year(col("o_orderdate").cast("date")) <= 1995, "a").otherwise("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expect = rows.groupBy(_._1).map { case (prio, xs) =>
+      val byB = xs.groupBy(_._2).map { case (b, g) =>
+        b -> ((g.count(_._3 == "a").toLong, g.count(_._3 == "b").toLong))
+      }
+      val (ta, tb) = (byB.values.map(_._1).sum, byB.values.map(_._2).sum)
+      val nanos = byB.values.map { case (ca, cb) =>
+        if (ca > 0 && cb > 0) {
+          val p = ca.toDouble / ta.toDouble; val q = cb.toDouble / tb.toDouble
+          Some(math.floor((p - q) * math.log(p / q) * 1.0e9).toLong)
+        } else None
+      }
+      (prio, byB.size.toLong, nanos.count(_.isEmpty).toLong,
+       nanos.flatten.sum)
+    }.toSet
+    val got = Predict.psiDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    got.foreach(g => assert(g._4 >= 0L, s"${g._1} psi negative"))
+  }
+
+  test("ml18 KS statistic equals a local exact CDF-gap maximum") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.orders(spark, sfDir).select(
+        expr("cast(round(o_totalprice * 100) as bigint) div 100000"),
+        when(year(col("o_orderdate").cast("date")) <= 1995, 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val grid = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, xs) => (b, xs.map(_._2).sum, xs.count(_._2 == 0L).toLong) }
+    val (ta, tb) = (grid.map(_._2).sum, grid.map(_._3).sum)
+    var (cuma, cumb) = (0L, 0L)
+    val dNum = grid.map { case (_, ca, cb) =>
+      cuma += ca; cumb += cb; math.abs(cuma * tb - cumb * ta)
+    }.max
+    val row = Predict.ksTest(spark, sfDir).collect().head
+    assert(row.getLong(0) == ta && row.getLong(1) == tb)
+    assert(row.getLong(2) == dNum)
+    assert(row.getLong(3) == dNum * 1000000L / (ta * tb))
+    assert(row.getLong(3) <= 1000000L)
+  }
+
   test("ml16 chi-square cells match a local contingency recompute; margins add up") {
     val rows = graft.core.Tables.lineitem(spark, sfDir).select(
         col("l_returnflag"), expr("(cast(l_quantity as bigint) - 1) div 10"))
