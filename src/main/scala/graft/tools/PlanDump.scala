@@ -131,6 +131,10 @@ object PlanDump {
       "MMR re-ranking: the shortlist cut is the e01 broadcast-query corpus scan; each greedy step is one tiny map+TakeOrdered job with the <= k selected vectors attached as literals - only k (id, vector) pairs ever cross the driver.",
     "mm10_tile_stats" ->
       "Tile statistics: per-tile sum/min/max computed inside the batched flatMap decode - map-only, payload bytes never shuffle, 4 small rows per asset out.",
+    "ml17_psi" ->
+      "PSI drift: distribution state is the domain-bounded $1000 bucket grid (one partial-combined groupBy over orders); per-priority totals attach as a broadcast; each ln term floors to integer nanos BEFORE the order-independent sum - the t46 discipline.",
+    "ml18_ks" ->
+      "KS statistic: one partial-combined histogram to the bounded dollar grid, one cumulative window over the grid, one max of the cross-multiplied integer CDF gap - the whole two-sample test without a float CDF anywhere.",
   )
   // i03/i04/i05 return eagerly localCheckpoint'ed frames (their plans
   // collapse to an RDD scan here); their join/agg shapes are asserted by
