@@ -1917,7 +1917,31 @@ object Relational {
       .agg(min(col("dollars")).as("wmedian_dollars"), max(col("totw")).as("tot_w"))
   }
 
+  /** q82: RELATIVE TOP-K (top 20% per key) — pandas
+    * `g.apply(lambda x: x.nlargest(len(x)//5))`: the per-customer
+    * biggest-orders cut where the budget is a FRACTION of the group,
+    * not a constant (q14's fixed top-k can't express it). One exchange
+    * on the high-cardinality customer key; rank and group size come
+    * from the same sorted pass (row_number + whole-partition count
+    * share one sort), and the keep test 5·rank ≤ cnt is an integer
+    * cross-multiplication — no float quantile. */
+  def topFracPerKey(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+              row_number().over(wRank).cast("long").as("rk"),
+              count(lit(1)).over(wAll).as("cnt"))
+      .filter(col("rk") * 5 <= col("cnt"))
+      .select(col("o_custkey"), col("o_orderkey"), col("cents"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q82_top_frac"          -> (topFracPerKey _),
     "q81_weighted_median"   -> (weightedMedian _),
     "q80_lorenz"            -> (lorenzCurve _),
     "q79_bootstrap"         -> (bootstrapResample _),
@@ -2002,6 +2026,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same (cents desc, key) rank, same integer 5·rank <= cnt cut
+    "q82_top_frac" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                           CAST(row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                                           o_orderkey) AS BIGINT) AS rk,
+                           count(*) OVER (PARTITION BY o_custkey) AS cnt
+                    FROM orders)
+         SELECT o_custkey, o_orderkey, cents, rk
+         FROM r WHERE rk * 5 <= cnt""",
     // same dollar grid, same running/total window split, same ppm
     // floor divisions
     "q80_lorenz" ->

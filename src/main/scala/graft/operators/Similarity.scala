@@ -631,7 +631,39 @@ object Similarity {
     out.toSeq.toDF("rank", "n_id")
   }
 
+  /** e17: EMBEDDING-SPACE DRIFT — cosine between the MEAN vectors of
+    * two corpus slices (even/odd ids standing in for old/new snapshots),
+    * the cheap embedding-distribution monitor run before re-training an
+    * index. Cosine is scale-invariant, so the mean never needs the
+    * division: per-dimension integer SUMS of the quantized vectors are
+    * enough, and those come out of ONE partial-combined aggregate over
+    * a 2×64-key grid — whole-corpus drift for the cost of a scan, the
+    * ml17/ml18 shape lifted to vector space. One mirrored double tail
+    * (two sqrts, one divide, round 6). */
+  def embedDrift(s: SparkSession, d: String): DataFrame = {
+    val dims = TextSim.spread(Tables.embeddings(s, d))
+      .select((col("vec_id") % 2).as("g"),
+              posexplode(quantize(col("embedding"))))
+      .groupBy(col("g"), col("pos"))
+      .agg(sum(col("col")).as("sv"), count(lit(1)).as("n"))
+    val a = dims.filter(col("g") === 0)
+      .select(col("pos"), col("sv").as("sa"), col("n").as("na"))
+    val b = dims.filter(col("g") === 1)
+      .select(col("pos"), col("sv").as("sb"), col("n").as("nb"))
+    a.join(b, "pos")
+      .groupBy()
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+           sum(col("sa") * col("sb")).as("dot"),
+           sum(col("sa") * col("sa")).as("na2"),
+           sum(col("sb") * col("sb")).as("nb2"))
+      .select(col("n_a"), col("n_b"), col("dot"), col("na2"), col("nb2"),
+              round(col("dot").cast("double") /
+                    (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 6)
+                .as("cos_mean"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e17_embed_drift" -> (embedDrift _),
     "e16_mmr"         -> (mmrDiversify _),
     "e15_sq8"         -> (sq8Quantize _),
     "e14_confusion"   -> (confusionMetrics _),
@@ -733,6 +765,24 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // same even/odd split, same per-dimension integer sums, same
+    // two-sqrt one-divide round(6) tail
+    "e17_embed_drift" ->
+      s"""WITH $quantSql,
+          dm AS (SELECT vec_id % 2 AS g, s.i AS pos, qv[s.i] AS v
+                 FROM q, generate_series(1, 64) AS s(i)),
+          ag AS (SELECT g, pos, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n
+                 FROM dm GROUP BY 1, 2),
+          j AS (SELECT a.sv AS sa, b.sv AS sb, a.n AS na, b.n AS nb
+                FROM ag a JOIN ag b ON a.pos = b.pos AND a.g = 0 AND b.g = 1)
+          SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+                 CAST(sum(sa * sb) AS BIGINT) AS dot,
+                 CAST(sum(sa * sa) AS BIGINT) AS na2,
+                 CAST(sum(sb * sb) AS BIGINT) AS nb2,
+                 round(CAST(sum(sa * sb) AS BIGINT)
+                       / (sqrt(CAST(sum(sa * sa) AS BIGINT))
+                          * sqrt(CAST(sum(sb * sb) AS BIGINT))), 6) AS cos_mean
+          FROM j""",
     "e16_mmr" -> mmrOracle,
     // same permille grid, per-dim min/max, exact floor-division codes
     "e15_sq8" ->

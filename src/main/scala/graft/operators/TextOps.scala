@@ -1283,7 +1283,35 @@ object TextOps {
       .select(col("rank"), col("a"), col("b"), col("c"))
   }
 
+  /** t53: PER-DOCUMENT TOKEN ENTROPY — Shannon entropy of each
+    * document's own token distribution, the lexical-diversity feature
+    * quality classifiers lean on (low entropy = repetitive/template
+    * text; complements t32's corpus-model surprisal and t22's n-gram
+    * repetition). Each −(tf/n)·ln(tf/n) term floors to integer nanos
+    * BEFORE the per-doc sum (the t46/ml17 discipline — order-independent
+    * and engine-exact); tf and the totals stay int64. Shapes: one
+    * (doc, token) partial-combined aggregate, one doc-keyed join of the
+    * doc totals, one more partial-combined per-doc sum. */
+  def docEntropy(s: SparkSession, d: String): DataFrame = {
+    val tf = TextSim.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(TextSim.words(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val totals = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n"), count(lit(1)).as("n_types"))
+    val p = col("tf").cast("double") / col("n").cast("double")
+    tf.join(totals, "doc_id")
+      .select(col("doc_id"), col("n"), col("n_types"),
+              floor(-p * log(p) * lit(1.0e9)).cast("long").as("nano"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), max(col("n_types")).as("n_types"),
+           sum(col("nano")).as("ent_nano"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("ent_nano"),
+              round(col("ent_nano").cast("double") / lit(1.0e9), 6).as("entropy_nats"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t53_doc_entropy"     -> (docEntropy _),
     "t52_skipgram"        -> (skipgramCooc _),
     "t51_bigram_lm"       -> (bigramSurprisal _),
     "t50_gopher_rules"    -> (gopherRules _),
@@ -1331,6 +1359,27 @@ object TextOps {
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
   // replace all matches (Spark replaces all by default).
   val oracles: Map[String, String] = Map(
+    // same per-term floor-nano entropy over the same (doc, token)
+    // frequency table
+    "t53_doc_entropy" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM d
+                WHERE tok <> '' GROUP BY 1, 2),
+         t AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n,
+                      count(*) AS n_types FROM tf GROUP BY 1),
+         n AS (SELECT tf.doc_id, t.n, t.n_types,
+                      CAST(floor(-(CAST(tf.tf AS DOUBLE) / CAST(t.n AS DOUBLE))
+                                 * ln(CAST(tf.tf AS DOUBLE) / CAST(t.n AS DOUBLE))
+                                 * 1.0e9) AS BIGINT) AS nano
+               FROM tf JOIN t ON tf.doc_id = t.doc_id)
+         SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+                CAST(max(n_types) AS BIGINT) AS n_types,
+                CAST(sum(nano) AS BIGINT) AS ent_nano,
+                round(CAST(sum(nano) AS BIGINT) / 1.0e9, 6) AS entropy_nats
+         FROM n GROUP BY 1""",
     // same distance-1/2 pair comprehension, same (min, max) pair
     // normalization, min-support 5, (c desc, a, b) top-20
     "t52_skipgram" ->

@@ -1598,6 +1598,54 @@ class OperatorsSpec extends SparkSpec {
     assert(got == top)
   }
 
+  test("t53 doc entropy equals a local floor-nano recompute; uniform doc maxes out") {
+    val texts = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = texts.flatMap { case (id, t) =>
+      val ws = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1).filter(_.nonEmpty)
+      if (ws.isEmpty) None
+      else {
+        val tf = ws.groupBy(identity).map { case (_, g) => g.length.toLong }
+        val n = ws.length.toLong
+        val nanos = tf.map { f =>
+          val p = f.toDouble / n.toDouble
+          math.floor(-p * math.log(p) * 1.0e9).toLong
+        }
+        Some((id, n, tf.size.toLong, nanos.sum))
+      }
+    }.toSet
+    val got = graft.operators.TextOps.docEntropy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    // entropy is bounded by ln(n_types) (+1 nano for the per-term floor)
+    got.foreach { case (id, _, types, nano) =>
+      assert(nano <= math.ceil(math.log(types.toDouble) * 1.0e9).toLong + types,
+        s"doc $id entropy above ln(types)")
+      assert(nano >= 0L)
+    }
+  }
+
+  test("q82 top-frac keeps exactly floor(n/5) biggest orders per customer") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (-e._3, e._2))
+      sorted.take(g.length / 5).zipWithIndex
+        .map { case (e, i) => (e._1, e._2, e._3, i + 1L) }
+    }.toSet
+    val got = Relational.topFracPerKey(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    // small groups (n < 5) contribute nothing — check the rule bites
+    val small = rows.groupBy(_._1).values.filter(_.size < 5)
+    assert(small.isEmpty ||
+      small.flatten.forall(e => !got.exists(g => g._2 == e._2)))
+  }
+
   test("t50 gopher rules equal a local counter recompute") {
     val texts = graft.core.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()

@@ -645,6 +645,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).distinct.length == 5)
   }
 
+  test("e17 embed drift equals a local mean-vector cosine; cos in [-1, 1]") {
+    import org.apache.spark.sql.functions._
+    val vecs = TextSim.spread(graft.core.Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val a = vecs.filter(_._1 % 2 == 0).map(_._2)
+    val b = vecs.filter(_._1 % 2 == 1).map(_._2)
+    def dimSums(vs: Array[Array[Long]]) =
+      (0 until 64).map(i => vs.map(_(i)).sum).toArray
+    val (sa, sb) = (dimSums(a), dimSums(b))
+    def dot(x: Array[Long], y: Array[Long]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    val row = Similarity.embedDrift(spark, sfDir).collect().head
+    assert(row.getLong(0) == a.length && row.getLong(1) == b.length)
+    assert(row.getLong(2) == dot(sa, sb))
+    assert(row.getLong(3) == dot(sa, sa) && row.getLong(4) == dot(sb, sb))
+    val cos = row.getDouble(5)
+    val expect = dot(sa, sb).toDouble /
+      (math.sqrt(dot(sa, sa).toDouble) * math.sqrt(dot(sb, sb).toDouble))
+    assert(math.abs(cos - expect) < 1e-6)
+    assert(cos >= -1.0 && cos <= 1.0)
+  }
+
   test("mm10 tile stats equal a local byte recompute, 4 tiles per image") {
     import org.apache.spark.sql.functions._
     val blobs = MultiModal.synthesizeAssets(spark, 200)
