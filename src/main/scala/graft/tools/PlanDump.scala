@@ -135,6 +135,12 @@ object PlanDump {
       "PSI drift: distribution state is the domain-bounded $1000 bucket grid (one partial-combined groupBy over orders); per-priority totals attach as a broadcast; each ln term floors to integer nanos BEFORE the order-independent sum - the t46 discipline.",
     "ml18_ks" ->
       "KS statistic: one partial-combined histogram to the bounded dollar grid, one cumulative window over the grid, one max of the cross-multiplied integer CDF gap - the whole two-sample test without a float CDF anywhere.",
+    "t53_doc_entropy" ->
+      "Doc entropy: (doc, token) frequencies partial-combine, doc totals join back on the doc key, each ln term floors to nanos before the order-independent per-doc sum - three partial-combined stages, no corpus-wide state.",
+    "e17_embed_drift" ->
+      "Embedding drift: posexplode + ONE partial-combined aggregate onto the 2x64 (slice, dim) grid - per-dimension integer sums are sufficient statistics because cosine is scale-invariant; the join and final reduction touch 64 rows.",
+    "q82_top_frac" ->
+      "Relative top-k: one exchange on the high-cardinality customer key; row_number and the whole-partition count share one sort, and the 5*rank <= cnt keep test is an integer cross-multiplication.",
   )
   // i03/i04/i05 return eagerly localCheckpoint'ed frames (their plans
   // collapse to an RDD scan here); their join/agg shapes are asserted by
