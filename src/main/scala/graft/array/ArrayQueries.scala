@@ -804,7 +804,14 @@ object ArrayQueries {
       .select(col("i"), (col("pos") + 1).cast("long").as("rank"),
               col("col.j").as("j"), (-col("col.nv")).cast("long").as("v"))
 
+  /** a56: concatenate along axis 1 (`da.concatenate([a, e], axis=1)`) —
+    * the [[vstackConcat]] mirror: a pure narrow block-column re-index,
+    * no data movement at any N. */
+  def hstackConcat(s: SparkSession, d: String): DataFrame =
+    matA(s).hstack(matE(s)).toCoords
+
   val queries: Map[String, Q] = Map(
+    "a56_hstack"         -> (hstackConcat _),
     "a55_argtopk"        -> (argTopkEntry _),
     "a54_histogram2d"    -> (histogram2dEntry _),
     "a53_row_median"     -> (rowMedianEntry _),
@@ -874,6 +881,11 @@ object ArrayQueries {
       s"""WITH ${matSql("a", 64, 48, 127)}
           SELECT i // 2 AS i, j // 2 AS j, sum(v) AS v
           FROM a GROUP BY 1, 2""",
+    // the a26 mirror: right grid's columns shift by the left width
+    "a56_hstack" ->
+      s"""WITH ${matSql("a", 64, 48, 7)}, ${matSql("e", 64, 48, 19)}
+          SELECT i, j, v FROM a
+          UNION ALL SELECT i, j + 48 AS j, v FROM e""",
     // same (v desc, j asc) per-row top-3 off the LCG closed form
     "a55_argtopk" ->
       s"""WITH ${matSql("a", 96, 80, 157)},

@@ -1069,6 +1069,21 @@ class DMatrix(
     new DMatrix(blocks.union(shifted), nRows + other.nRows, nCols, blockSize)
   }
 
+  /** Concatenate along axis 1 (`da.concatenate([a, b], axis=1)`) — the
+    * [[vstack]] mirror: the right grid's block-COLUMN indices shift by
+    * the left grid's width, a pure narrow re-index with zero data
+    * movement. */
+  def hstack(other: DMatrix): DMatrix = {
+    require(nRows == other.nRows && blockSize == other.blockSize,
+      "hstack needs matching heights and chunks")
+    require(nCols % blockSize == 0,
+      s"left matrix cols $nCols not aligned to chunk $blockSize: rechunk first")
+    import blocks.sparkSession.implicits._
+    val shift = nbCols
+    val shifted = other.blocks.map(b => b.copy(bj = b.bj + shift))
+    new DMatrix(blocks.union(shifted), nRows, nCols + other.nCols, blockSize)
+  }
+
   /** Full reductions (dask `x.sum()`, `x.mean()`, `x.std()`):
     * single treeAggregate pass over blocks. */
   def stats: (Long, Double, Double, Double, Double) = {

@@ -1940,7 +1940,36 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("cents"), col("rk"))
   }
 
+  /** q83: DATA-QUALITY EXPECTATIONS — the constraint-audit pass (Delta
+    * constraints / Great Expectations) every ingest gate runs: range
+    * rules, null rules, and referential integrity evaluated in ONE scan
+    * + ONE key join. The FK check rides the same left join as the
+    * conditional aggregates (an anti-join would be a second pass), all
+    * rules are map-side conditional sums (integer-cents compare for the
+    * discount rule — no float literal ambiguity), and the 1-row result
+    * unpivots via stack into the (rule, violations, checked) report. */
+  def expectations(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+              col("l_returnflag"))
+      .join(Tables.orders(s, d).select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("v_qty"),
+           sum(when(round(col("l_discount") * 100).cast("long") > 8L, 1L)
+                 .otherwise(0L)).as("v_disc"),
+           sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("v_null"),
+           sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_orphan"))
+      .selectExpr("n", """stack(4,
+          'quantity_le_45', v_qty,
+          'discount_le_8pct', v_disc,
+          'returnflag_not_null', v_null,
+          'order_fk_exists', v_orphan) AS (rule, n_violations)""")
+      .select(col("rule"), col("n_violations"), col("n").as("n_checked"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q83_expectations"      -> (expectations _),
     "q82_top_frac"          -> (topFracPerKey _),
     "q81_weighted_median"   -> (weightedMedian _),
     "q80_lorenz"            -> (lorenzCurve _),
@@ -2026,6 +2055,27 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same one-scan conditional sums over the same left join; the FK
+    // rule counts unmatched lineitems
+    "q83_expectations" ->
+      """WITH j AS (SELECT l.l_quantity, l.l_discount, l.l_returnflag,
+                           o.o_orderkey AS ok
+                    FROM lineitem l
+                    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         a AS (SELECT count(*) AS n,
+                      CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS v_qty,
+                      CAST(sum(CASE WHEN CAST(round(l_discount * 100) AS BIGINT) > 8
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+                      CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS v_null,
+                      CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS v_orphan
+               FROM j)
+         SELECT 'quantity_le_45' AS rule, v_qty AS n_violations, n AS n_checked FROM a
+         UNION ALL SELECT 'discount_le_8pct', v_disc, n FROM a
+         UNION ALL SELECT 'returnflag_not_null', v_null, n FROM a
+         UNION ALL SELECT 'order_fk_exists', v_orphan, n FROM a""",
     // same (cents desc, key) rank, same integer 5·rank <= cnt cut
     "q82_top_frac" ->
       """WITH r AS (SELECT o_custkey, o_orderkey,

@@ -409,6 +409,24 @@ class ArraySpec extends SparkSpec {
     assert(got.size == 100, "uniform LCG should populate all 100 cells")
   }
 
+  test("hstack mirrors vstack: widths add, cells land shifted, misalignment rejected") {
+    val a = DMatrix.randInt(spark, 64, 48, 16, 7L)
+    val e = DMatrix.randInt(spark, 64, 48, 16, 19L)
+    val h = a.hstack(e)
+    assert(h.nRows == 64 && h.nCols == 96)
+    val (la, le) = (a.toLocal, e.toLocal)
+    val got = h.toLocal
+    for (i <- 0 until 64; j <- 0 until 48) {
+      assert(got(i, j) == la(i, j))
+      assert(got(i, j + 48) == le(i, j))
+    }
+    // height mismatch and unaligned left width are rejected
+    assertThrows[IllegalArgumentException](
+      a.hstack(DMatrix.randInt(spark, 32, 48, 16, 3L)))
+    assertThrows[IllegalArgumentException](
+      DMatrix.randInt(spark, 64, 40, 16, 5L).hstack(e))
+  }
+
   test("argtopk per row equals a local (v desc, j) top-3") {
     val loc = DMatrix.randInt(spark, 96, 80, 16, 157L).toLocal
     val expect = (for (i <- 0 until 96) yield {

@@ -1646,6 +1646,28 @@ class OperatorsSpec extends SparkSpec {
       small.flatten.forall(e => !got.exists(g => g._2 == e._2)))
   }
 
+  test("q83 expectations equal local rule counts; firing and clean rules both occur") {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.lineitem(spark, sfDir).select(
+        col("l_orderkey"), col("l_quantity"),
+        round(col("l_discount") * 100).cast("long"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+                           Option(r.getString(3))))
+    val orderKeys = graft.core.Tables.orders(spark, sfDir)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val n = li.length.toLong
+    val expect = Set(
+      ("quantity_le_45", li.count(_._2 > 45).toLong, n),
+      ("discount_le_8pct", li.count(_._3 > 8L).toLong, n),
+      ("returnflag_not_null", li.count(_._4.isEmpty).toLong, n),
+      ("order_fk_exists", li.count(e => !orderKeys.contains(e._1)).toLong, n))
+    val got = Relational.expectations(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got.exists(_._2 > 0L), "no rule fires — profile side untested")
+    assert(got.exists(_._2 == 0L), "no rule is clean — pass side untested")
+  }
+
   test("t50 gopher rules equal a local counter recompute") {
     val texts = graft.core.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
