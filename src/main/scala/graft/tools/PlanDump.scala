@@ -141,6 +141,8 @@ object PlanDump {
       "Embedding drift: posexplode + ONE partial-combined aggregate onto the 2x64 (slice, dim) grid - per-dimension integer sums are sufficient statistics because cosine is scale-invariant; the join and final reduction touch 64 rows.",
     "q82_top_frac" ->
       "Relative top-k: one exchange on the high-cardinality customer key; row_number and the whole-partition count share one sort, and the 5*rank <= cnt keep test is an integer cross-multiplication.",
+    "q83_expectations" ->
+      "Expectations audit: range/null/FK rules are conditional sums riding ONE scan + ONE left join (the FK check shares the join instead of a second anti-join pass); the 1-row result unpivots via stack - audit cost = one pass however many rules.",
   )
   // i03/i04/i05 return eagerly localCheckpoint'ed frames (their plans
   // collapse to an RDD scan here); their join/agg shapes are asserted by
