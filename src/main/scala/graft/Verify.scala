@@ -13,7 +13,9 @@ object Verify {
                               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                               sfDir: String, outDir: String): Boolean =
     try {
-      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      val df = fn(spark, sfDir)
+      assertScalarSchema(name, df)
+      df.coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       true
     } catch { case e: Throwable =>
@@ -23,6 +25,27 @@ object Verify {
         s"${e.getClass.getName}: ${e.getMessage}\n")
       false
     }
+
+  /** Gate outputs must be driver-hashable: the compare harness sorts and
+    * hashes cell values in pandas, and an ARRAY/MAP/STRUCT cell crashes
+    * its column sort (`unhashable type: 'numpy.ndarray'` — q59's
+    * round-10 `err`, which left that entry unverified for a full round).
+    * Reject nested top-level types here so a non-scalar entry fails its
+    * own gate row with a clear message instead of poisoning the compare. */
+  private[graft] def assertScalarSchema(name: String,
+                                        df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+                f.dataType.isInstanceOf[MapType] ||
+                f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"entry $name emits non-scalar top-level columns (${bad.mkString(", ")}): " +
+      "the driver's pandas compare cannot sort/hash nested cells — " +
+      "canonicalize to a scalar first, e.g. array_join(sort_array(...), '|')")
+  }
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

@@ -1310,11 +1310,14 @@ object Relational {
     * the arrays are hash-comparable. The inherent caveat is the same as
     * pandas': per-group state is the group's rows — fine for bounded
     * groups (a user's event types), the wrong tool for unbounded ones
-    * (that's what the aggregate entries are for). */
+    * (that's what the aggregate entries are for). The list is emitted
+    * as a '|'-joined scalar: the gate's compare harness hashes scalar
+    * cells, and the join is lossless here (event_type has no '|'), so
+    * the canonical string IS the canonical array. */
   def groupList(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(col("event_type"))).as("types"),
+      .agg(array_join(sort_array(collect_list(col("event_type"))), "|").as("types"),
            count(lit(1)).as("n"))
 
   /** q60: the NOT IN / NOT EXISTS NULL-semantics corner — the classic
@@ -2654,9 +2657,13 @@ object Relational {
            FROM c)
          SELECT user_id, event_type AS mode_type, cnt AS mode_n
          FROM r WHERE rn = 1""",
-    // list agg with a deterministic sort; arrays compare through duckdb
+    // list agg with a deterministic sort, emitted as a '|'-joined
+    // scalar so the compare harness can hash it (arrays are unhashable
+    // in the driver's pandas sort)
     "q59_group_list" ->
-      """SELECT user_id, list_sort(list(event_type)) AS types, count(*) AS n
+      """SELECT user_id,
+                array_to_string(list_sort(list(event_type)), '|') AS types,
+                count(*) AS n
          FROM events GROUP BY 1""",
     // ONE SQL text, two engines (q51 discipline): both must implement
     // the standard three-valued NOT IN semantics

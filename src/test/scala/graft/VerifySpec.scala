@@ -30,4 +30,19 @@ class VerifySpec extends SparkSpec {
     assert(wroteParquet, "successful entry must write its parquet result")
     assert(!Files.exists(Paths.get(s"$out/x98_ok._error")))
   }
+
+  test("an entry emitting a non-scalar column fails its gate row with a clear message") {
+    // q59's round-10 failure class: an ARRAY cell crashes the driver's
+    // pandas compare AFTER the gate wrote green-looking parquet. The
+    // schema lint must turn that into the entry's own loud _error row.
+    val out = Files.createTempDirectory("graft_verify_spec_arr").toString
+    val arrayOut = (s: org.apache.spark.sql.SparkSession, _: String) => {
+      import s.implicits._
+      Seq((1L, Seq("a", "b"))).toDF("id", "types")
+    }
+    assert(!Verify.runEntry(spark, "x97_array", arrayOut, sfDir, out))
+    val msg = Files.readString(Paths.get(s"$out/x97_array._error"))
+    assert(msg.contains("non-scalar") && msg.contains("types"),
+      s"marker must name the offending column and the lint, got: $msg")
+  }
 }

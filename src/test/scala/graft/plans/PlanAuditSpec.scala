@@ -337,7 +337,15 @@ class PlanAuditSpec extends SparkSpec {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skipped.contains(name) }
       .flatMap { case (name, fn) =>
-        val plan = planString(fn(spark, sfDir))
+        val df = fn(spark, sfDir)
+        // schema lint (q59's round-10 err class): every gate output must
+        // be driver-hashable — nested top-level types crash the compare
+        val nested = df.schema.fields.filter(f =>
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+          .map(f => s"non-scalar output column ${f.name}: ${f.dataType.simpleString}")
+        val plan = planString(df)
         // A frame whose UPPER bound is unboundedFollowing but whose lower
         // bound is not unboundedPreceding runs Spark's
         // UnboundedFollowingWindowFunctionFrame — the aggregate rebuilds
@@ -350,7 +358,8 @@ class PlanAuditSpec extends SparkSpec {
         val bad = Seq("CartesianProduct").filter(plan.contains) ++
           (if (bnljAllowed.contains(name)) Nil
            else Seq("BroadcastNestedLoopJoin").filter(plan.contains)) ++
-          (if (quadFrame) Seq("UnboundedFollowing window frame") else Nil)
+          (if (quadFrame) Seq("UnboundedFollowing window frame") else Nil) ++
+          nested
         if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
       }
     assert(offenders.isEmpty,
