@@ -92,6 +92,11 @@ object Bench {
     // that the second rep sheds (measured — BENCH_NOTES round 9).
     val heavyReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_REPS", "2").toInt.max(1)
     val spark = graft.core.GraftSession.local()
+    // §2A A19: per-entry stage/shuffle/GC/spill breakdowns, written next
+    // to the wall-times so a slow number can be attributed (host noise vs
+    // real shuffle/spill growth) instead of argued about.
+    val metrics = new graft.core.EntryMetrics()
+    spark.sparkContext.addSparkListener(metrics)
     // optional args: entry names — restricts the run for local iteration
     // (the driver always invokes with no args = full suite).
     val qs0 = SparkEntry.queries
@@ -111,14 +116,17 @@ object Bench {
       // late in the run pay accumulated cleanup debt (measured ~10×
       // inflation on the final queries vs their isolated cost).
       System.gc()
+      val w0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       try {
         runNoop(spark, fn, sfDir)
         val dt = (System.nanoTime() - t0) / 1e9
+        metrics.window(name, w0, System.currentTimeMillis())
         System.err.println(f"[bench]   $name rep: $dt%.3f s")
         Some(dt)
       }
       catch { case e: Throwable =>
+        metrics.window(name, w0, System.currentTimeMillis())
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         None
       }
@@ -195,6 +203,17 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"spread":$sJson,"reps":$reps,"heavy_reps":$heavyReps,"samples":$samples,"code":${jstr(code)},"errors":$eJson,"sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(outPath, line)
+    // A19 breakdown file: raw per-entry sums over this pass's reps (no
+    // best-of merge — a breakdown only explains the pass it measured).
+    try {
+      metrics.drain(spark)
+      val mPath = if (args.isEmpty) "bench_metrics.json" else "bench_metrics_partial.json"
+      Files.writeString(Paths.get(mPath),
+        metrics.toJson(Map("code" -> code, "sf" -> sfDir,
+                           "reps" -> reps.toString, "heavy_reps" -> heavyReps.toString)))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] metrics dump failed (bench_out.json unaffected): $e")
+    }
     spark.stop()
   }
 }

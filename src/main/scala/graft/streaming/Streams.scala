@@ -532,10 +532,21 @@ object Streams {
     val run = sinkSeq.incrementAndGet()
     val srcDir = graft.sources.FileFormats.scratch(s"st08_src_$run")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-    def stage(df: DataFrame, idx: Int): Unit = {
-      val tmp = graft.sources.FileFormats.scratch(s"st08_stage_$run")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
+    // overlapping slices — %3==0 rows appear in EVERY batch — staged in
+    // ONE routed job: each row explodes to the batch indices that must
+    // carry it and the write partitions by batch, instead of three
+    // separate jobs each re-scanning events (was batch0 = %3<=1,
+    // batch1 = %3!=1, batch2 = %3!=2; the routing below is that same
+    // membership table by residue). partitionBy drops the routing
+    // column from the data files, so the staged schema is unchanged.
+    val routed = purch.withColumn("b", explode(
+      when(col("event_id") % 3 === 0, array(lit(0), lit(1), lit(2)))
+        .when(col("event_id") % 3 === 1, array(lit(0), lit(2)))
+        .otherwise(array(lit(1)))))
+    val stageTmp = graft.sources.FileFormats.scratch(s"st08_stage_$run")
+    routed.coalesce(1).write.partitionBy("b").mode("overwrite").parquet(stageTmp)
+    (0 to 2).foreach { idx =>
+      val part = new java.io.File(s"$stageTmp/b=$idx").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       val target = java.nio.file.Paths.get(srcDir, f"f$idx%02d.parquet")
       java.nio.file.Files.move(part.toPath, target,
@@ -543,10 +554,6 @@ object Streams {
       java.nio.file.Files.setLastModifiedTime(target,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + idx * 60000L))
     }
-    // overlapping slices: %3==0 rows appear in EVERY batch
-    stage(purch.filter(col("event_id") % 3 <= 1), 0)
-    stage(purch.filter(col("event_id") % 3 =!= 1), 1)
-    stage(purch.filter(col("event_id") % 3 =!= 2), 2)
     val tgt = graft.sources.FileFormats.scratch(s"st08_tgt_$run")
     val src = s.readStream.schema("event_id LONG, user_id LONG, cents LONG")
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
