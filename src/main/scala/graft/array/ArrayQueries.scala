@@ -27,6 +27,58 @@ object ArrayQueries {
   private def matE(s: SparkSession) = DMatrix.randInt(s, 64, 48, BS, 19L)
   private def matS(s: SparkSession) = DMatrix.randInt(s, 32, 32, BS, 13L)
 
+  /** Deterministic COO generator for the sparse entries: cell (i,j) of
+    * an m×n grid is PRESENT iff its LCG hash is ≡0 mod 5 (≈20 %
+    * density), with an integer value in [1,100] from the same hash —
+    * map-only over one range (no cross join), and closed-form in SQL
+    * for the oracles. */
+  private def cooGen(s: SparkSession, m: Int, n: Int, seed: Long): DataFrame =
+    s.range(m.toLong * n)
+      .select(expr(s"id DIV $n").as("i"), (col("id") % n).as("j"),
+              ((col("id") * 1103515245L + seed) % 2147483647L).as("h"))
+      .filter(col("h") % 5 === 0)
+      .select(col("i"), col("j"), (col("h") % 100 + 1).cast("double").as("v"))
+
+  /** a58: sparse elementwise algebra — union-support add, intersection
+    * Hadamard multiply, and duplicate-summing COO build (scipy
+    * coo_matrix semantics), each over ≈20 %-dense 40×32 operands.
+    * Nothing densifies: add is union+hash-agg, mul is an equi-join of
+    * supports, build is one aggregation over the doubled cell list. */
+  def sparseEwise(s: SparkSession, d: String): DataFrame = {
+    val a = cooGen(s, 40, 32, 201L)
+    val b = cooGen(s, 40, 32, 203L)
+    Sparse.add(a, b).select(lit("add").as("op"), col("i"), col("j"), col("v"))
+      .unionByName(Sparse.multiply(a, b)
+        .select(lit("mul").as("op"), col("i"), col("j"), col("v")))
+      .unionByName(Sparse.fromCoo(a.unionByName(a))
+        .select(lit("build").as("op"), col("i"), col("j"), col("v")))
+  }
+
+  /** a59: sparse axis reductions — row sums, column sums, per-row nnz
+    * and the global sum, each one hash aggregation over the support
+    * (partial agg below the exchange; absent cells never exist). */
+  def sparseReduce(s: SparkSession, d: String): DataFrame = {
+    val a = cooGen(s, 40, 32, 201L)
+    Sparse.rowSums(a).select(lit("rowsum").as("op"), col("i").as("k"), col("v"))
+      .unionByName(Sparse.colSums(a).select(lit("colsum").as("op"), col("j").as("k"), col("v")))
+      .unionByName(Sparse.rowNnz(a).select(lit("rownnz").as("op"), col("i").as("k"), col("v")))
+      .unionByName(a.agg(sum(col("v")).as("v"))
+        .select(lit("total").as("op"), lit(-1L).as("k"), col("v")))
+  }
+
+  /** a60: sparse × dense GEMM — COO A(40×32, ≈20 % dense) times a
+    * blocked dense B(32×24, values in [1,999] so no cell cancels) via
+    * [[Sparse.spdm]]'s stripe-cogroup kernel. The nonzero filter on the
+    * dense output makes Spark's support exactly the oracle's join
+    * support: with positive operands, out(i,j) > 0 ⇔ row i has ≥1
+    * sparse cell ⇔ the oracle join produces (i,j). */
+  def sparseDenseGemm(s: SparkSession, d: String): DataFrame = {
+    val a = cooGen(s, 40, 32, 201L)
+    val dense = DMatrix.tabulate(s, 32, 24, 8)((i, j) =>
+      (DMatrix.lcg(i, j, 24, 205L) % 999L + 1L).toDouble)
+    Sparse.spdm(a, dense, 40).toCoords.filter(col("v") =!= 0.0)
+  }
+
   /** Blocked GEMM: C = A(64×48) · B(48×32). */
   def matmul(s: SparkSession, d: String): DataFrame =
     matA(s).multiply(matB(s)).toCoords
@@ -618,6 +670,25 @@ object ArrayQueries {
   def sliceEntry(s: SparkSession, d: String): DataFrame =
     matA(s).slice(10, 43, 5, 29).toCoords
 
+  /** a57: strided + boolean-mask indexing (dask basic indexing
+    * `x[3:64:2, 1:48:3]` and fancy indexing `x[x[:,0] % 3 == 0]`).
+    * The stride starts and steps off the block grid so strided gather
+    * (not whole-block passthrough) is exercised; the mask is COMPUTED
+    * from the matrix itself (first-column divisibility), selected rows
+    * compact upward in source order via the per-block-row prefix scan.
+    * Oracles: the stride is the LCG at `(3+2i, 1+3j)`; the mask rows
+    * are the LCG at the surviving source rows, renumbered by
+    * row_number over the same predicate. */
+  def stridedMaskEntry(s: SparkSession, d: String): DataFrame = {
+    val a = matA(s)
+    val st = a.sliceStep(3, 64, 2, 1, 48, 3).toCoords
+      .select(lit("stride").as("op"), col("i"), col("j"), col("v"))
+    val mask = a.slice(0, 64, 0, 1).mapElements(v => if (v % 3.0 == 0.0) 1.0 else 0.0)
+    val mk = a.selectRows(mask).toCoords
+      .select(lit("mask").as("op"), col("i"), col("j"), col("v"))
+    st.unionByName(mk)
+  }
+
   /** Flagship-scale entry names: Bench runs these once per pass (not
     * REPS×), and PlanAuditSpec's join sweep skips them — their compute is
     * RDD block algebra (no Catalyst joins anywhere) and the returned
@@ -634,6 +705,14 @@ object ArrayQueries {
     s"""$alias AS (SELECT ri.range AS i, rj.range AS j,
         ${lcgSql("ri.range", "rj.range", n, seed, mod)} AS v
         FROM range($m) ri, range($n) rj)"""
+
+  /** The cooGen generator as a DuckDB CTE: one range scan, hash-gated
+    * presence, hash-derived value — mirrors cooGen token for token. */
+  private def cooSql(alias: String, m: Int, n: Int, seed: Int) =
+    s"""$alias AS (SELECT range//$n AS i, range%$n AS j,
+        CAST((range*1103515245+$seed)%2147483647%100+1 AS DOUBLE) AS v
+        FROM range(${m.toLong * n})
+        WHERE (range*1103515245+$seed)%2147483647%5 = 0)"""
 
   /** a40: Kronecker product C = A(24×16, chunks 8) ⊗ B(8×8) — the
     * dask `da.kron` pattern-expansion shape. B is broadcast once and
@@ -864,6 +943,10 @@ object ArrayQueries {
     "a34_rechunk"        -> (rechunkEntry _),
     "a35_cov"            -> (covEntry _),
     "a36_slice"          -> (sliceEntry _),
+    "a57_strided_mask"   -> (stridedMaskEntry _),
+    "a58_sparse_ewise"   -> (sparseEwise _),
+    "a59_sparse_reduce"  -> (sparseReduce _),
+    "a60_spdm"           -> (sparseDenseGemm _),
     "a37_corrcoef"       -> (corrcoefEntry _),
     "a38_roll_flip"      -> (rollFlipEntry _),
     "a39_gemm_rechunk"   -> (gemmRechunkEntry _),
@@ -1221,6 +1304,53 @@ object ArrayQueries {
       s"""WITH ${matSql("a", 96, 64, 41)}, ${matSql("b", 64, 80, 43)}
           SELECT a.i AS i, b.j AS j, sum(a.v * b.v) AS v
           FROM a JOIN b ON a.j = b.i GROUP BY 1, 2""",
+    // the same hash-gated COO generators in closed form (present iff
+    // hash%5=0, value hash%100+1); add = union-support sum, mul =
+    // intersection product, build = the doubled input summed
+    "a58_sparse_ewise" ->
+      s"""WITH ${cooSql("ca", 40, 32, 201)}, ${cooSql("cb", 40, 32, 203)}
+          SELECT 'add' AS op, i, j, CAST(sum(v) AS DOUBLE) AS v
+          FROM (SELECT * FROM ca UNION ALL SELECT * FROM cb) GROUP BY 2, 3
+          UNION ALL
+          SELECT 'mul', ca.i, ca.j, ca.v * cb.v
+          FROM ca JOIN cb ON ca.i = cb.i AND ca.j = cb.j
+          UNION ALL
+          SELECT 'build', i, j, 2 * v FROM ca""",
+    "a59_sparse_reduce" ->
+      s"""WITH ${cooSql("ca", 40, 32, 201)}
+          SELECT 'rowsum' AS op, i AS k, CAST(sum(v) AS DOUBLE) AS v FROM ca GROUP BY 2
+          UNION ALL
+          SELECT 'colsum', j, CAST(sum(v) AS DOUBLE) FROM ca GROUP BY 2
+          UNION ALL
+          SELECT 'rownnz', i, CAST(count(*) AS DOUBLE) FROM ca GROUP BY 2
+          UNION ALL
+          SELECT 'total', -1, CAST(sum(v) AS DOUBLE) FROM ca""",
+    // triple-sum over the sparse support joined to the dense closed
+    // form; dense values are %999+1 (never zero), so the join support
+    // equals the Spark side's nonzero filter
+    "a60_spdm" ->
+      s"""WITH ${cooSql("ca", 40, 32, 201)},
+          d AS (SELECT ri.range AS i, rj.range AS j,
+                       CAST(((ri.range*24+rj.range)*1103515245+205)%2147483647%999+1 AS DOUBLE) AS v
+                FROM range(32) ri, range(24) rj)
+          SELECT ca.i AS i, d.j AS j, CAST(sum(ca.v * d.v) AS DOUBLE) AS v
+          FROM ca JOIN d ON d.i = ca.j
+          GROUP BY 1, 2""",
+    // stride: the LCG at (3+2i, 1+3j); mask: surviving source rows
+    // (first-column LCG divisible by 3) renumbered by row_number over
+    // the same predicate — both in closed form
+    "a57_strided_mask" ->
+      s"""SELECT 'stride' AS op, ri.range AS i, rj.range AS j,
+                 ${lcgSql("(3+2*ri.range)", "(1+3*rj.range)", 48, 7, 1000)} AS v
+          FROM range(31) ri, range(16) rj
+          UNION ALL
+          SELECT 'mask', s.oi, rj.range,
+                 ${lcgSql("s.si", "rj.range", 48, 7, 1000)}
+          FROM (SELECT ri.range AS si,
+                       row_number() OVER (ORDER BY ri.range) - 1 AS oi
+                FROM range(64) ri
+                WHERE ${lcgSql("ri.range", "0", 48, 7, 1000)} % 3 = 0) s,
+               range(48) rj""",
     // the slice in source coordinates: out(i,j) = lcg(i+10, j+5)
     "a36_slice" ->
       s"""SELECT ri.range AS i, rj.range AS j,

@@ -262,6 +262,139 @@ class DMatrix(
     assemblePieces(pieces, r1 - r0, c1 - c0, bs)
   }
 
+  /** Strided slice `A[r0:r1:rStep, c0:c1:cStep]` (dask basic indexing
+    * with steps — the every-other-row subsample `x[::2]`). Same scale
+    * contract as [[slice]]: blocks outside the window are pruned before
+    * any data moves, each surviving block gathers ONLY its selected
+    * cells (a strided column-major copy — the selected rows of one
+    * source block are contiguous in output space, so each source block
+    * contributes one rectangular piece range), and the keyed assemble
+    * scales with the OUTPUT volume (input/step², not input). Negative
+    * steps compose as `flip` then a positive step, like dask's
+    * normalization. */
+  def sliceStep(r0: Long, r1: Long, rStep: Long,
+                c0: Long, c1: Long, cStep: Long): DMatrix = {
+    require(rStep >= 1 && cStep >= 1, s"steps must be >= 1 (got $rStep, $cStep); " +
+      "compose flipRows/flipCols for negative steps")
+    if (rStep == 1 && cStep == 1) return slice(r0, r1, c0, c1)
+    require(0 <= r0 && r0 < r1 && r1 <= nRows && 0 <= c0 && c0 < c1 && c1 <= nCols,
+      s"bad slice [$r0,$r1)×[$c0,$c1) of ${nRows}×$nCols")
+    val bs = blockSize
+    val mOut = (r1 - r0 + rStep - 1) / rStep
+    val nOut = (c1 - c0 + cStep - 1) / cStep
+    // first selected index >= lo for the arithmetic progression
+    // {origin + k*step}; callers guarantee lo >= origin
+    def firstSel(lo: Long, origin: Long, step: Long): Long =
+      origin + (lo - origin + step - 1) / step * step
+    val pieces = blocks.rdd.filter { b =>
+      val gr0 = b.bi.toLong * bs; val gc0 = b.bj.toLong * bs
+      gr0 < r1 && gr0 + b.rows > r0 && gc0 < c1 && gc0 + b.cols > c0
+    }.flatMap { b =>
+      val gr0 = b.bi.toLong * bs; val gc0 = b.bj.toLong * bs
+      val gr = firstSel(math.max(gr0, r0), r0, rStep)
+      val grEnd = math.min(gr0 + b.rows, r1)
+      val gc = firstSel(math.max(gc0, c0), c0, cStep)
+      val gcEnd = math.min(gc0 + b.cols, c1)
+      if (gr >= grEnd || gc >= gcEnd) Iterator.empty
+      else {
+        // this block's selected cells form output rect [oi0,oi1)×[oj0,oj1)
+        val oi0 = (gr - r0) / rStep; val oi1 = (grEnd - 1 - r0) / rStep + 1
+        val oj0 = (gc - c0) / cStep; val oj1 = (gcEnd - 1 - c0) / cStep + 1
+        for {
+          tbi <- ((oi0 / bs).toInt to ((oi1 - 1) / bs).toInt).iterator
+          tbj <- ((oj0 / bs).toInt to ((oj1 - 1) / bs).toInt).iterator
+        } yield {
+          val po0 = math.max(oi0, tbi.toLong * bs); val po1 = math.min(oi1, tbi.toLong * bs + blockDimOf(mOut, tbi))
+          val qo0 = math.max(oj0, tbj.toLong * bs); val qo1 = math.min(oj1, tbj.toLong * bs + blockDimOf(nOut, tbj))
+          val pr = (po1 - po0).toInt; val pc = (qo1 - qo0).toInt
+          val piece = new Array[Double](pr * pc)
+          var cc = 0
+          while (cc < pc) {
+            val srcCol = (c0 + (qo0 + cc) * cStep - gc0).toInt
+            var rr = 0
+            while (rr < pr) {
+              val srcRow = (r0 + (po0 + rr) * rStep - gr0).toInt
+              piece(cc * pr + rr) = b.data(srcCol * b.rows + srcRow)
+              rr += 1
+            }
+            cc += 1
+          }
+          ((tbi, tbj),
+           ((po0 - tbi.toLong * bs).toInt, (qo0 - tbj.toLong * bs).toInt, pr, pc, piece))
+        }
+      }
+    }
+    assemblePieces(pieces, mOut, nOut, bs)
+  }
+
+  private def blockDimOf(dim: Long, bIdx: Int): Int =
+    DMatrix.blockDim(dim, blockSize, bIdx)
+
+  /** Boolean-mask row selection `A[mask]` (dask/numpy fancy indexing
+    * with a computed boolean vector — `x[x[:,0] % 3 == 0]`): `mask` is
+    * an m×1 matrix, nonzero = keep; selected rows compact upward in
+    * source order.
+    *
+    * Scale shape: output positions need a prefix sum of per-block-row
+    * keep-counts — that scan collects ONE count per block row
+    * (metadata, O(m/bs), the two-pass pattern the text prefix scans
+    * use), never mask data. The mask VALUES ship to the data blocks by
+    * broadcast when small (m doubles ≪ matrix volume), falling back to
+    * a block-row-keyed join for huge masks; either way the selected
+    * volume then makes exactly one keyed-assemble pass, like slice. */
+  def selectRows(mask: DMatrix, broadcastLimit: Long = 1L << 24): DMatrix = {
+    require(mask.nRows == nRows && mask.nCols == 1 && mask.blockSize == blockSize,
+      s"mask must be ${nRows}×1 with blockSize $blockSize")
+    val bs = blockSize
+    // pass 1 (metadata): keep-count per block row → output row offsets
+    val counts = mask.blocks.rdd
+      .map(b => (b.bi, b.data.count(_ != 0.0).toLong)).collectAsMap()
+    val nbR = nbRows
+    val offsets = new Array[Long](nbR + 1)
+    var bi = 0
+    while (bi < nbR) { offsets(bi + 1) = offsets(bi) + counts.getOrElse(bi, 0L); bi += 1 }
+    val mSel = offsets(nbR)
+    require(mSel > 0, "mask selects no rows")
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    // pass 2 (data): each data block gathers its kept rows — already in
+    // output order — and pieces assemble at the prefix-sum positions
+    def piecesFrom(paired: RDD[(Block, Array[Double])]) = paired.flatMap { case (b, mv) =>
+      val kept = Array.range(0, b.rows).filter(r => mv(r) != 0.0)
+      if (kept.isEmpty) Iterator.empty
+      else {
+        val base = offsetsB.value(b.bi) // output row of this block's first kept row
+        for {
+          tbi <- ((base / bs).toInt to ((base + kept.length - 1) / bs).toInt).iterator
+        } yield {
+          val o0 = math.max(base, tbi.toLong * bs)
+          val o1 = math.min(base + kept.length, tbi.toLong * bs + DMatrix.blockDim(mSel, bs, tbi))
+          val pr = (o1 - o0).toInt
+          val piece = new Array[Double](pr * b.cols)
+          var cc = 0
+          while (cc < b.cols) {
+            var rr = 0
+            while (rr < pr) {
+              piece(cc * pr + rr) = b.data(cc * b.rows + kept((o0 - base).toInt + rr))
+              rr += 1
+            }
+            cc += 1
+          }
+          ((tbi, b.bj), ((o0 - tbi.toLong * bs).toInt, 0, pr, b.cols, piece))
+        }
+      }
+    }
+    val pieces =
+      if (nRows <= broadcastLimit) {
+        val maskLocal = spark.sparkContext.broadcast(
+          mask.blocks.rdd.map(b => (b.bi, b.data)).collectAsMap())
+        piecesFrom(blocks.rdd.map(b => (b, maskLocal.value(b.bi))))
+      } else {
+        val maskByRow = mask.blocks.rdd.map(b => (b.bi, b.data))
+        piecesFrom(blocks.rdd.map(b => (b.bi, b)).join(maskByRow).values)
+      }
+    assemblePieces(pieces, mSel, nCols, bs)
+  }
+
   /** Constant pad (numpy/dask `da.pad(x, ((rb,ra),(cb,ca)), mode=
     * 'constant', constant_values=v)` — the boundary-conditioning step
     * stencil and convolution pipelines run before an overlap map).
@@ -1286,4 +1419,66 @@ object DMatrix {
   /** In-memory local matrix → distributed (the `da.asarray` analog). */
   def fromLocal(spark: SparkSession, local: BDM[Double], bs: Int): DMatrix =
     tabulate(spark, local.rows, local.cols, bs)((i, j) => local(i.toInt, j.toInt))
+
+  /** HDF5 shard ingestion (the reference's h5py payload surface,
+    * `SS/wukong/protocol/h5py.py`): a directory of `.h5` files, each a
+    * self-describing horizontal stripe — a rank-2 row-major `dataset`
+    * plus a 1-element `row0` dataset carrying the stripe's global start
+    * row — becomes one DMatrix on the standard bs-grid.
+    *
+    * Scale shape: files are the parallelism unit (one binaryFile task
+    * decodes one shard — the mm01 pattern, so shard size bounds executor
+    * memory, not matrix size). A driver metadata pass sizes the matrix
+    * from per-file (row0, dims) triples only — O(#files), never data.
+    * Stripes need not align to the block grid: each decoded stripe
+    * narrowly flatMaps to per-(bi,bj) partial blocks and one
+    * reduceByKey assembles them (map-side combined; only boundary
+    * blocks receive two pieces), the same single-pass piece shuffle as
+    * `rechunk`. */
+  def fromHdf5(spark: SparkSession, dir: String, dataset: String, bs: Int): DMatrix = {
+    import spark.implicits._
+    import graft.sources.Hdf5Lite
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.h5").load(dir)
+      .select("content").as[Array[Byte]]
+    val meta = files.map { bytes =>
+      val d = Hdf5Lite.readDataset(bytes, dataset)
+      require(d.dims.length == 2, s"'$dataset' must be rank 2, got rank ${d.dims.length}")
+      val r0 = Hdf5Lite.readDataset(bytes, "row0").data(0).toLong
+      (r0, d.dims(0), d.dims(1))
+    }.collect()
+    require(meta.nonEmpty, s"no .h5 files under $dir")
+    val n = meta.head._3
+    require(meta.forall(_._3 == n), "inconsistent column counts across shards")
+    val m = meta.map(t => t._1 + t._2).max
+    val pieces = files.rdd.flatMap { bytes =>
+      val d = Hdf5Lite.readDataset(bytes, dataset)
+      val r0 = Hdf5Lite.readDataset(bytes, "row0").data(0).toLong
+      val p = d.dims(0).toInt; val w = d.dims(1).toInt
+      val bi0 = (r0 / bs).toInt; val bi1 = ((r0 + p - 1) / bs).toInt
+      for {
+        bi <- bi0 to bi1
+        bj <- 0 until nBlocks(n, bs)
+      } yield {
+        val rows = blockDim(m, bs, bi); val cols = blockDim(n, bs, bj)
+        val out = new Array[Double](rows * cols)
+        // stripe rows that land in block row bi, in global coordinates
+        val gLo = math.max(r0, bi.toLong * bs)
+        val gHi = math.min(r0 + p, bi.toLong * bs + rows)
+        var g = gLo
+        while (g < gHi) {
+          val src = (g - r0).toInt * w + bj * bs // row-major stripe offset
+          val li = (g - bi.toLong * bs).toInt
+          var c = 0
+          while (c < cols) { out(li + c * rows) = d.data(src + c); c += 1 }
+          g += 1
+        }
+        ((bi, bj), out)
+      }
+    }
+    val blocks = pieces.reduceByKey(addInto).map { case ((bi, bj), data) =>
+      Block(bi, bj, blockDim(m, bs, bi), blockDim(n, bs, bj), data)
+    }
+    new DMatrix(spark.createDataset(blocks), m, n, bs)
+  }
 }

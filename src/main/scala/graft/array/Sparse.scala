@@ -41,6 +41,81 @@ object Sparse {
   def scale(a: DataFrame, s: Double): DataFrame =
     a.select(col("i"), col("j"), (col("v") * s).as("v"))
 
+  /** COO build with duplicate-summing (scipy `coo_matrix` semantics:
+    * repeated (i,j) entries ADD on construction — the accumulate-then-
+    * build pattern gradient and co-occurrence pipelines rely on). One
+    * hash aggregation with map-side combine; nothing densifies. */
+  def fromCoo(cells: DataFrame): DataFrame =
+    cells.groupBy(col("i"), col("j")).agg(sum(col("v")).as("v"))
+
+  /** Elementwise add `A + B`: present cells are the UNION of supports —
+    * union-all + hash-agg, O(nnz_A + nnz_B), map-side combined. */
+  def add(a: DataFrame, b: DataFrame): DataFrame =
+    fromCoo(a.select(col("i"), col("j"), col("v"))
+      .unionByName(b.select(col("i"), col("j"), col("v"))))
+
+  /** Elementwise (Hadamard) multiply `A.multiply(B)` (scipy): present
+    * cells are the INTERSECTION of supports — an equi-join on (i,j),
+    * shuffling only present cells of each side. */
+  def multiply(a: DataFrame, b: DataFrame): DataFrame = {
+    val bb = b.select(col("i").as("_bi"), col("j").as("_bj"), col("v").as("_bv"))
+    a.join(bb, col("i") === col("_bi") && col("j") === col("_bj"))
+      .select(col("i"), col("j"), (col("v") * col("_bv")).as("v"))
+  }
+
+  /** Axis reductions over the support — each a single hash aggregation
+    * (partial before the shuffle), never materializing absent cells. */
+  def rowSums(a: DataFrame): DataFrame = a.groupBy(col("i")).agg(sum(col("v")).as("v"))
+  def colSums(a: DataFrame): DataFrame = a.groupBy(col("j")).agg(sum(col("v")).as("v"))
+  def rowNnz(a: DataFrame): DataFrame =
+    a.groupBy(col("i")).agg(count(lit(1)).cast("double").as("v"))
+
+  /** Sparse × dense GEMM: COO A (m×k) times blocked dense B (k×n) → a
+    * blocked dense [[DMatrix]] (sparse·dense is dense in general).
+    *
+    * Shape: cells key by their INNER block index and cogroup with B's
+    * block row — each (cell-stripe, B-block) pair scales one dense block
+    * row by the cell value into a local per-output-block accumulator, so
+    * the work and shuffle volume are O(nnz · n / bs · bs) partial
+    * blocks, map-side combined by `reduceByKey(addInto)` exactly like
+    * the dense GEMM's partial-product reduction. A's cell values never
+    * fan out per output COLUMN (the naive join-on-k shape would ship
+    * nnz·n rows); only block-sized partials move. Block rows of the
+    * output with no sparse cells are absent (zero) — the shallow-grid
+    * convention the dense ops already follow. */
+  def spdm(a: DataFrame, b: DMatrix, m: Long): DMatrix = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val bs = b.blockSize
+    val nOut = b.nCols
+    val cells = a
+      .select(col("i").cast("long"), col("j").cast("long"), col("v").cast("double"))
+      .as[(Long, Long, Double)].rdd
+      .map { case (i, k, v) => ((k / bs).toInt, (i, k, v)) }
+    val bBlocks = b.blocks.rdd.map(bl => (bl.bi, bl))
+    val partials = cells.cogroup(bBlocks).flatMap { case (bk, (cs, bls)) =>
+      val cellArr = cs.toArray
+      if (cellArr.isEmpty) Iterator.empty
+      else bls.iterator.flatMap { bl =>
+        val acc = scala.collection.mutable.Map[Int, Array[Double]]()
+        cellArr.foreach { case (i, k, v) =>
+          val biOut = (i / bs).toInt
+          val rows = DMatrix.blockDim(m, bs, biOut)
+          val arr = acc.getOrElseUpdate(biOut, new Array[Double](rows * bl.cols))
+          val r = (i - biOut.toLong * bs).toInt
+          val kk = (k - bk.toLong * bs).toInt
+          var c = 0
+          while (c < bl.cols) { arr(r + c * rows) += v * bl.data(kk + c * bl.rows); c += 1 }
+        }
+        acc.iterator.map { case (biOut, arr) => ((biOut, bl.bj), arr) }
+      }
+    }
+    val blocks = partials.reduceByKey(DMatrix.addInto).map { case ((bi, bj), data) =>
+      Block(bi, bj, DMatrix.blockDim(m, bs, bi), DMatrix.blockDim(nOut, bs, bj), data)
+    }
+    new DMatrix(spark.createDataset(blocks), m, nOut, bs)
+  }
+
   /** COO → blocked dense [[DMatrix]] (the scipy `.toarray()` analog,
     * distributed): cells shuffle once on their block key and each block
     * materializes from its own group. Per-group state is bounded by

@@ -29,9 +29,45 @@ final class Client(val spark: SparkSession)(implicit ec: ExecutionContext = Dela
   /** submit(func, *args): run one task asynchronously, get a future. */
   def submit[T](f: => T): GraftFuture[T] = new GraftFuture(Future(f))
 
-  /** map(func, iterable): one future per element. */
-  def map[A, T](items: Seq[A])(f: A => T): Seq[GraftFuture[T]] =
-    items.map(a => submit(f(a)))
+  /** map(func, iterable): one future per element.
+    *
+    * Two regimes, split at [[Client.largeMapThreshold]]:
+    *  - SMALL maps run on the driver thread pool. This is the
+    *    orchestration use (each element function typically closes over
+    *    Datasets and launches its own Spark jobs — those must not nest
+    *    inside a Spark task).
+    *  - LARGE maps are data parallelism, and 10⁶ driver futures would
+    *    BE the bottleneck (Wukong ships the function to remote
+    *    executors for exactly this reason, client.py:1524). They run as
+    *    ONE Spark job via [[mapLarge]]; the futures facade is kept by
+    *    resolving one promise per element from the job's single
+    *    completion callback. Element functions in this regime must be
+    *    executor-safe (no SparkSession/Dataset use inside `f`).
+    */
+  def map[A: scala.reflect.ClassTag, T: scala.reflect.ClassTag]
+         (items: Seq[A])(f: A => T): Seq[GraftFuture[T]] =
+    if (items.size >= Client.largeMapThreshold) mapLarge(items)(f)
+    else items.map(a => submit(f(a)))
+
+  /** Distributed map: one Spark job over `items`, one future per
+    * element, all backed by the job's result array. Partition count
+    * follows the session's default parallelism so the work spreads
+    * across every executor (on a cluster: every node), never the
+    * driver pool. */
+  def mapLarge[A: scala.reflect.ClassTag, T: scala.reflect.ClassTag]
+              (items: Seq[A], slices: Int = 0)(f: A => T): Seq[GraftFuture[T]] = {
+    val parts = math.max(1, math.min(
+      if (slices > 0) slices else spark.sparkContext.defaultParallelism, items.size))
+    val jobF: Future[Array[T]] =
+      Future(spark.sparkContext.parallelize(items, parts).map(f).collect())
+    val promises = IndexedSeq.fill(items.size)(Promise[T]())
+    jobF.onComplete {
+      case scala.util.Success(arr) =>
+        var i = 0; while (i < arr.length) { promises(i).success(arr(i)); i += 1 }
+      case scala.util.Failure(e) => promises.foreach(_.tryFailure(e))
+    }
+    promises.map(p => new GraftFuture(p.future))
+  }
 
   /** gather(futures): block for all results, first failure rethrown. */
   def gather[T](fs: Seq[GraftFuture[T]]): Seq[T] =
@@ -60,4 +96,11 @@ final class Client(val spark: SparkSession)(implicit ec: ExecutionContext = Dela
 
   /** fire_and_forget: run for side effects, swallow the handle. */
   def fireAndForget[T](f: => T): Unit = { Future(f); () }
+}
+
+object Client {
+  /** Above this size, [[Client.map]] runs as one Spark job instead of
+    * per-element driver futures (see the map scaladoc for the regime
+    * split). */
+  val largeMapThreshold: Int = 10000
 }

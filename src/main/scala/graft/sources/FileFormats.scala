@@ -564,7 +564,51 @@ object FileFormats {
                % 1000000007L).as("text_sig"))
   }
 
+  /** src15: HDF5 SHARD INGESTION — the reference's h5py payload surface
+    * (`SS/wukong/protocol/h5py.py`, tests under
+    * `SS/wukong/protocol/tests/`). Five row stripes of an LCG integer
+    * matrix are written as self-describing classic-format HDF5 shards
+    * (a rank-2 `data` dataset + a `row0` offset dataset, via the
+    * public-spec Hdf5Lite writer) from EXECUTORS, then ingested back
+    * through binaryFile → per-shard decode → DMatrix block assembly.
+    * The 17-row stripes deliberately straddle the 16-row block grid, so
+    * the boundary-piece merge path (not just whole-block passthrough)
+    * is what the oracle checks. Oracle = the LCG in closed form —
+    * exact integers end to end. */
+  def hdf5Ingest(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = scratch("h5")
+    deleteTree(Paths.get(tmp))
+    Files.createDirectories(Paths.get(tmp))
+    val m = 70L; val n = 40L; val stripe = 17L
+    val nStripes = ((m + stripe - 1) / stripe).toInt
+    // executor-side shard staging (local nio path; a shared store would
+    // dispatch through blobFs exactly as src09 does)
+    s.range(nStripes).foreach { k =>
+      val r0 = k * stripe
+      val p = math.min(stripe, m - r0).toInt
+      val data = new Array[Double](p * n.toInt)
+      var idx = 0
+      var i = 0
+      while (i < p) {
+        var j = 0L
+        while (j < n) {
+          data(idx) = (graft.array.DMatrix.lcg(r0 + i, j, n, 77L) % 1000L).toDouble
+          idx += 1; j += 1
+        }
+        i += 1
+      }
+      val bytes = Hdf5Lite.write(
+        Seq(("data", Array(p.toLong, n), data),
+            ("row0", Array(1L), Array(r0.toDouble))), asInt = true)
+      Files.write(Paths.get(tmp, f"part-$k%03d.h5"), bytes)
+      ()
+    }
+    graft.array.DMatrix.fromHdf5(s, tmp, "data", bs = 16).toCoords
+  }
+
   val queries: Map[String, Q] = Map(
+    "src15_hdf5_ingest"     -> (hdf5Ingest _),
     "src14_csv_multiline"   -> (csvMultiline _),
     "src13_xml_roundtrip"   -> (xmlRoundtrip _),
     "src12_dynamic_overwrite" -> (dynamicOverwrite _),
@@ -589,6 +633,11 @@ object FileFormats {
        FROM orders"""
 
   val oracles: Map[String, String] = Map(
+    // the shared LCG in closed form — the ingest moved data, never values
+    "src15_hdf5_ingest" ->
+      """SELECT ri.range AS i, rj.range AS j,
+                CAST(((ri.range*40+rj.range)*1103515245+77)%2147483647%1000 AS DOUBLE) AS v
+         FROM range(70) ri, range(40) rj""",
     // replaced-not-appended for clicks (cents doubled once), untouched
     // siblings — static overwrite or append would both hash-mismatch
     "src12_dynamic_overwrite" ->

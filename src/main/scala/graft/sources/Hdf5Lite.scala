@@ -1,0 +1,318 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal HDF5 reader/writer for the classic on-disk format, built from
+  * the public HDF5 File Format Specification (superblock version 0, v1
+  * object headers, symbol-table root group, contiguous data layout,
+  * little-endian fixed-point and IEEE-float datatypes, rank ≤ 2).
+  *
+  * This is the ingestion half the reference ships as its h5py payload
+  * handler (`SS/wukong/protocol/h5py.py` + tests under
+  * `SS/wukong/protocol/tests/`): scientific-array users land data as
+  * HDF5 shards, and the array surface must read them. The subset here is
+  * exactly what libhdf5 emits for a small contiguous dataset written
+  * with default settings — one symbol-table group, v1 object headers
+  * (unknown messages are skipped, continuation blocks followed), v3
+  * contiguous layout — so a genuine h5py-written file of that shape
+  * parses, not just our own writer's output. Chunked/compressed layouts
+  * fail with an explicit error rather than a wrong answer.
+  *
+  * Scale stance: one file = one decode call on one executor (the mm01
+  * binaryFile pattern). Files are the parallelism unit; the decoder
+  * never touches the driver, and header parsing is O(KB) regardless of
+  * payload size.
+  */
+object Hdf5Lite {
+
+  /** One decoded dataset: `dims` as stored (rank 1 or 2, row-major),
+    * values widened to Double (exact for the int domains the gate uses:
+    * |v| < 2^53). */
+  final case class H5Dataset(name: String, dims: Array[Long], data: Array[Double])
+
+  private val Signature = Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte)
+  private val Undef = -1L // 0xFFFFFFFFFFFFFFFF: the spec's undefined address
+
+  // ---------------------------------------------------------------- write
+
+  /** Write `datasets` (name → (dims, row-major doubles), stored as
+    * int64 when `asInt` else float64) into one classic-format HDF5
+    * byte image. Layout is assembled back-to-front address-wise:
+    * superblock, root object header, local heap, B-tree, SNOD, then per
+    * dataset an object header and its contiguous data block. */
+  def write(datasets: Seq[(String, Array[Long], Array[Double])],
+            asInt: Boolean): Array[Byte] = {
+    require(datasets.nonEmpty && datasets.forall(_._2.length <= 2))
+    val sorted = datasets.sortBy(_._1) // SNOD entries must sort by name
+    // --- local heap data: offset 0 is the reserved empty name slot
+    val nameOffsets = scala.collection.mutable.Map[String, Long]()
+    val heapData = new java.io.ByteArrayOutputStream()
+    heapData.write(new Array[Byte](8))
+    sorted.foreach { case (name, _, _) =>
+      nameOffsets(name) = heapData.size().toLong
+      val b = name.getBytes("UTF-8")
+      heapData.write(b); heapData.write(0)
+      while (heapData.size() % 8 != 0) heapData.write(0)
+    }
+    val heapBytes = heapData.toByteArray
+
+    // --- address plan
+    val superSz = 96L
+    val rootOhSz = 16L + 8 + 16 // prefix + symtab message (16B data)
+    val heapHdrSz = 32L
+    val btreeSz = 24L + 9 * 8 + 8 * 8 // fixed node: 2k=8 children, 9 keys
+    val snodSz = 8L + 8 * 40 // capacity 2*k_leaf = 8 entries
+    val dsOhSz = sorted.map { case (_, dims, _) =>
+      val spaceMsg = 8 + pad8(8 + 8 * dims.length)
+      val typeMsg = 8 + (if (asInt) 16 else 24)
+      val layoutMsg = 8 + 24
+      16L + spaceMsg + typeMsg + layoutMsg
+    }
+    val rootOhAddr = superSz
+    val heapHdrAddr = rootOhAddr + rootOhSz
+    val heapDataAddr = heapHdrAddr + heapHdrSz
+    val btreeAddr = heapDataAddr + heapBytes.length
+    val snodAddr = btreeAddr + btreeSz
+    var cursor = snodAddr + snodSz
+    val ohAddrs = dsOhSz.map { sz => val a = cursor; cursor += sz; a }
+    val dataAddrs = sorted.map { case (_, _, data) =>
+      val a = cursor; cursor += data.length * 8L; a
+    }
+    val eof = cursor
+
+    val buf = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    // --- superblock v0
+    buf.put(Signature)
+    buf.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // sb/freespace/root-group versions + reserved
+    buf.put(0.toByte).put(8.toByte).put(8.toByte).put(0.toByte) // shared-header version, offset size, length size, reserved
+    buf.putShort(4).putShort(16) // group leaf k, group internal k
+    buf.putInt(0) // file consistency flags
+    buf.putLong(0L).putLong(Undef).putLong(eof).putLong(Undef)
+    // root symbol table entry: cached (type 1) btree + heap addresses
+    buf.putLong(0L).putLong(rootOhAddr).putInt(1).putInt(0)
+    buf.putLong(btreeAddr).putLong(heapHdrAddr)
+    // --- root object header: one Symbol Table message
+    buf.position(rootOhAddr.toInt)
+    putOhPrefix(buf, nMsgs = 1, dataSize = 8 + 16)
+    putMsgHeader(buf, 0x0011, 16)
+    buf.putLong(btreeAddr).putLong(heapHdrAddr)
+    // --- local heap header + data
+    buf.position(heapHdrAddr.toInt)
+    buf.put("HEAP".getBytes).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.putLong(heapBytes.length.toLong).putLong(1L /* no free list */).putLong(heapDataAddr)
+    buf.position(heapDataAddr.toInt); buf.put(heapBytes)
+    // --- B-tree v1: one leaf-level node with a single SNOD child
+    buf.position(btreeAddr.toInt)
+    buf.put("TREE".getBytes).put(0.toByte).put(0.toByte).putShort(1)
+    buf.putLong(Undef).putLong(Undef)
+    buf.putLong(0L) // key 0: the empty name (sorts before everything)
+    buf.putLong(snodAddr)
+    buf.putLong(nameOffsets(sorted.last._1)) // key 1: greatest name in child
+    // --- SNOD
+    buf.position(snodAddr.toInt)
+    buf.put("SNOD".getBytes).put(1.toByte).put(0.toByte).putShort(sorted.size.toShort)
+    sorted.zipWithIndex.foreach { case ((name, _, _), k) =>
+      buf.putLong(nameOffsets(name)).putLong(ohAddrs(k)).putInt(0).putInt(0)
+      buf.putLong(0L).putLong(0L)
+    }
+    // --- dataset object headers + data
+    sorted.zipWithIndex.foreach { case ((_, dims, data), k) =>
+      buf.position(ohAddrs(k).toInt)
+      val spaceData = 8 + 8 * dims.length
+      putOhPrefix(buf, nMsgs = 3,
+        dataSize = (8 + pad8(spaceData)) + (8 + (if (asInt) 16 else 24)) + (8 + 24))
+      // dataspace v1
+      putMsgHeader(buf, 0x0001, pad8(spaceData))
+      buf.put(1.toByte).put(dims.length.toByte).put(0.toByte).put(0.toByte).putInt(0)
+      dims.foreach(buf.putLong)
+      padTo8(buf, spaceData)
+      // datatype v1: class 0 fixed-point signed LE, or class 1 IEEE f64 LE
+      if (asInt) {
+        putMsgHeader(buf, 0x0003, 16)
+        buf.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(8)
+        buf.putShort(0).putShort(64)
+        padTo8(buf, 12)
+      } else {
+        putMsgHeader(buf, 0x0003, 24)
+        buf.put(0x11.toByte).put(0x20.toByte).put(0x3F.toByte).put(0.toByte).putInt(8)
+        buf.putShort(0).putShort(64)
+        buf.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023)
+        padTo8(buf, 20)
+      }
+      // data layout v3 class 1 (contiguous)
+      putMsgHeader(buf, 0x0008, 24)
+      buf.put(3.toByte).put(1.toByte)
+      buf.putLong(dataAddrs(k)).putLong(data.length * 8L)
+      padTo8(buf, 18)
+      // payload
+      buf.position(dataAddrs(k).toInt)
+      if (asInt) data.foreach(v => buf.putLong(v.toLong))
+      else data.foreach(buf.putDouble)
+    }
+    buf.array()
+  }
+
+  private def pad8(n: Int): Int = (n + 7) & ~7
+  private def padTo8(buf: ByteBuffer, written: Int): Unit =
+    (written until pad8(written)).foreach(_ => buf.put(0.toByte))
+  private def putOhPrefix(buf: ByteBuffer, nMsgs: Int, dataSize: Int): Unit = {
+    buf.put(1.toByte).put(0.toByte).putShort(nMsgs.toShort)
+    buf.putInt(1).putInt(dataSize).putInt(0)
+  }
+  private def putMsgHeader(buf: ByteBuffer, tpe: Int, size: Int): Unit = {
+    buf.putShort(tpe.toShort).putShort(size.toShort)
+    buf.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** Parse every dataset reachable from the root group. */
+  def read(bytes: Array[Byte]): Seq[H5Dataset] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](8); buf.get(sig)
+    require(sig.sameElements(Signature), "not an HDF5 file (bad signature)")
+    require(buf.get() == 0, "only superblock version 0 is supported")
+    buf.position(13)
+    require(buf.get() == 8 && buf.get() == 8, "only 8-byte offsets/lengths supported")
+    // root symbol table entry sits at superblock offset 56 for v0/8/8
+    buf.position(56)
+    val rootLinkOff = buf.getLong; val rootOhAddr = buf.getLong
+    val cacheType = buf.getInt; buf.getInt
+    val (btreeAddr, heapAddr) =
+      if (cacheType == 1) (buf.getLong, buf.getLong)
+      else { // uncached root: find the symbol-table message in the header
+        val msgs = readMessages(bytes, rootOhAddr)
+        val st = msgs.find(_._1 == 0x0011)
+          .getOrElse(throw new IllegalArgumentException("root group has no symbol table"))
+        val b = ByteBuffer.wrap(st._2).order(ByteOrder.LITTLE_ENDIAN)
+        (b.getLong, b.getLong)
+      }
+    val _ = rootLinkOff
+    // local heap data segment
+    val hb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    hb.position(heapAddr.toInt)
+    val heapSig = new Array[Byte](4); hb.get(heapSig)
+    require(new String(heapSig) == "HEAP", "bad local heap signature")
+    hb.position(heapAddr.toInt + 8 + 16)
+    val heapDataAddr = hb.getLong
+    def heapName(off: Long): String = {
+      var p = (heapDataAddr + off).toInt; val sb = new StringBuilder
+      while (bytes(p) != 0) { sb.append(bytes(p).toChar); p += 1 }
+      sb.toString
+    }
+    // walk the group B-tree to its SNOD leaves
+    def snodAddrs(addr: Long): Seq[Long] = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      b.position(addr.toInt)
+      val s = new Array[Byte](4); b.get(s)
+      require(new String(s) == "TREE", "bad B-tree signature")
+      require(b.get() == 0, "not a group B-tree")
+      val level = b.get(); val used = b.getShort
+      b.getLong; b.getLong // siblings
+      val children = (0 until used).map { _ =>
+        b.getLong // key i
+        b.getLong // child i
+      }
+      if (level == 0) children
+      else children.flatMap(snodAddrs)
+    }
+    snodAddrs(btreeAddr).flatMap { sa =>
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      b.position(sa.toInt)
+      val s = new Array[Byte](4); b.get(s)
+      require(new String(s) == "SNOD", "bad SNOD signature")
+      b.get(); b.get()
+      val n = b.getShort
+      (0 until n).map { _ =>
+        val nameOff = b.getLong; val ohAddr = b.getLong
+        b.getInt; b.getInt; b.getLong; b.getLong
+        readDatasetAt(bytes, heapName(nameOff), ohAddr)
+      }
+    }
+  }
+
+  /** Read one dataset by name; throws with the available names if absent. */
+  def readDataset(bytes: Array[Byte], name: String): H5Dataset = {
+    val all = read(bytes)
+    all.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+      s"dataset '$name' not found; file has ${all.map(_.name).mkString(", ")}"))
+  }
+
+  /** All v1-object-header messages at `addr` as (type, data) pairs,
+    * following continuation messages (0x0010) and skipping unknowns. */
+  private def readMessages(bytes: Array[Byte], addr: Long): Seq[(Int, Array[Byte])] = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.position(addr.toInt)
+    require(b.get() == 1, "only v1 object headers supported")
+    b.get()
+    val total = b.getShort & 0xFFFF
+    b.getInt // ref count
+    val firstBlock = b.getInt // header data size of the first block
+    b.getInt // prefix padding
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+    var blocks = List((addr + 16, firstBlock.toLong))
+    while (out.size < total && blocks.nonEmpty) {
+      val (start, len) = blocks.head; blocks = blocks.tail
+      b.position(start.toInt)
+      val end = start + len
+      while (out.size < total && b.position() + 8 <= end) {
+        val tpe = b.getShort & 0xFFFF
+        val sz = b.getShort & 0xFFFF
+        b.get(); b.get(); b.get(); b.get()
+        val data = new Array[Byte](sz); b.get(data)
+        if (tpe == 0x0010) { // continuation: (offset, length)
+          val cb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+          blocks = blocks :+ ((cb.getLong, cb.getLong))
+        }
+        out += ((tpe, data))
+      }
+    }
+    out.toSeq
+  }
+
+  private def readDatasetAt(bytes: Array[Byte], name: String, ohAddr: Long): H5Dataset = {
+    val msgs = readMessages(bytes, ohAddr)
+    def one(t: Int, what: String): Array[Byte] =
+      msgs.find(_._1 == t).map(_._2).getOrElse(
+        throw new IllegalArgumentException(s"dataset '$name': no $what message"))
+    // dataspace (v1 or v2)
+    val sp = ByteBuffer.wrap(one(0x0001, "dataspace")).order(ByteOrder.LITTLE_ENDIAN)
+    val spVer = sp.get(); val rank = sp.get().toInt
+    sp.get() // flags (max-dims presence — we only need the dims themselves)
+    if (spVer == 1) { sp.get(); sp.getInt } else sp.get() // v1: 5 reserved; v2: type byte
+    val dims = Array.fill(rank)(sp.getLong)
+    require(rank >= 1 && rank <= 2, s"dataset '$name': rank $rank unsupported")
+    // datatype: class 0 fixed-point or class 1 float, little-endian
+    val dt = ByteBuffer.wrap(one(0x0003, "datatype")).order(ByteOrder.LITTLE_ENDIAN)
+    val classAndVersion = dt.get(); val cls = classAndVersion & 0x0F
+    val bf0 = dt.get(); dt.get(); dt.get()
+    val elemSize = dt.getInt
+    require((bf0 & 1) == 0, s"dataset '$name': big-endian data unsupported")
+    val signed = (bf0 & 0x08) != 0
+    // data layout v3 class 1 (contiguous)
+    val dl = ByteBuffer.wrap(one(0x0008, "data layout")).order(ByteOrder.LITTLE_ENDIAN)
+    val dlVer = dl.get(); val dlClass = dl.get()
+    require(dlVer == 3 && dlClass == 1,
+      s"dataset '$name': only v3 contiguous layout supported (got version $dlVer class $dlClass — chunked/compact files need rewriting)")
+    val dataAddr = dl.getLong
+    val n = dims.product.toInt
+    val db = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    db.position(dataAddr.toInt)
+    val out = new Array[Double](n)
+    var i = 0
+    (cls, elemSize) match {
+      case (0, 8) => while (i < n) { out(i) = db.getLong.toDouble; i += 1 }
+      case (0, 4) => while (i < n) {
+        val v = db.getInt; out(i) = (if (signed) v.toDouble else (v & 0xFFFFFFFFL).toDouble); i += 1 }
+      case (0, 2) => while (i < n) {
+        val v = db.getShort; out(i) = (if (signed) v.toDouble else (v & 0xFFFF).toDouble); i += 1 }
+      case (0, 1) => while (i < n) {
+        val v = db.get(); out(i) = (if (signed) v.toDouble else (v & 0xFF).toDouble); i += 1 }
+      case (1, 8) => while (i < n) { out(i) = db.getDouble; i += 1 }
+      case (1, 4) => while (i < n) { out(i) = db.getFloat.toDouble; i += 1 }
+      case _ => throw new IllegalArgumentException(
+        s"dataset '$name': datatype class $cls size $elemSize unsupported")
+    }
+    H5Dataset(name, dims, out)
+  }
+}

@@ -109,6 +109,42 @@ class ArraySpec extends SparkSpec {
       "COO -> dense round-trip must be lossless")
   }
 
+  test("sparse algebra: add/multiply/build-dedup/reductions/spdm match dense equivalents") {
+    import org.apache.spark.sql.functions.{col, sum => ssum}
+    val da = DMatrix.randInt(spark, 30, 22, 8, 3L)
+    val db = DMatrix.randInt(spark, 30, 22, 8, 5L)
+    val sa = da.toCoords.filter(col("v") % 3 === 0 && col("v") =!= 0)
+    val sb = db.toCoords.filter(col("v") % 3 === 0 && col("v") =!= 0)
+    val la = Sparse.toDense(sa, 30, 22, 8).toLocal
+    val lb = Sparse.toDense(sb, 30, 22, 8).toLocal
+    // add: union support
+    assert(Sparse.toDense(Sparse.add(sa, sb), 30, 22, 8).toLocal == la + lb)
+    // multiply: intersection support, elementwise product
+    assert(Sparse.toDense(Sparse.multiply(sa, sb), 30, 22, 8).toLocal == (la *:* lb))
+    // build with duplicates sums them (scipy coo semantics)
+    assert(Sparse.toDense(Sparse.fromCoo(sa.unionByName(sa)), 30, 22, 8).toLocal == la * 2.0)
+    // axis reductions over the support only
+    val rows = Sparse.rowSums(sa).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 until 30).foreach { i =>
+      val want = (0 until 22).map(la(i, _)).sum
+      assert(rows.getOrElse(i.toLong, 0.0) == want, s"rowSums($i)")
+    }
+    val nnz = Sparse.rowNnz(sa).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 until 30).foreach { i =>
+      val want = (0 until 22).count(la(i, _) != 0.0).toDouble
+      assert(nnz.getOrElse(i.toLong, 0.0) == want, s"rowNnz($i)")
+    }
+    // sparse × dense: dense completion equals the dense product (absent
+    // output stripes are zero by the shallow-grid convention)
+    val dn = DMatrix.randInt(spark, 22, 14, 8, 7L)
+    val got = Sparse.spdm(sa, dn, 30)
+    assert(got.nRows == 30 && got.nCols == 14)
+    assert(Sparse.toDense(got.toCoords, 30, 14, 8).toLocal == la * dn.toLocal)
+    // empty stripes stay absent, never NPE: a mask keeping only row 0
+    val tiny = sa.filter(col("i") === 0)
+    assert(Sparse.toDense(Sparse.spdm(tiny, dn, 30).toCoords, 30, 14, 8).toLocal(1, 0) == 0.0)
+  }
+
   test("axis broadcast: x - x.mean(axis=1)[:,None] and col-vector add") {
     // non-divisible shape exercises the ragged edge blocks
     val a = DMatrix.randInt(spark, 21, 13, 8, 43L)
@@ -290,6 +326,48 @@ class ArraySpec extends SparkSpec {
     check(63, 64, 0, 48)     // single row crossing all column blocks
     intercept[IllegalArgumentException] { a.slice(0, 0, 0, 10) }
     intercept[IllegalArgumentException] { a.slice(0, 65, 0, 10) }
+  }
+
+  test("sliceStep: strided windows match the local gather across ragged shapes") {
+    val a = DMatrix.randInt(spark, 37, 29, 8, 23L) // ragged tail blocks
+    val local = a.toLocal
+    def check(r0: Int, r1: Int, rs: Int, c0: Int, c1: Int, cs: Int): Unit = {
+      val got = a.sliceStep(r0, r1, rs, c0, c1, cs)
+      val rows = (r0 until r1 by rs).toArray; val cols = (c0 until c1 by cs).toArray
+      assert(got.nRows == rows.length && got.nCols == cols.length,
+        s"[$r0:$r1:$rs, $c0:$c1:$cs] dims ${got.nRows}x${got.nCols}")
+      val g = got.toLocal
+      for (i <- rows.indices; j <- cols.indices)
+        assert(g(i, j) == local(rows(i), cols(j)), s"cell ($i,$j) of [$r0:$r1:$rs, $c0:$c1:$cs]")
+    }
+    check(0, 37, 2, 0, 29, 1)   // x[::2] — the canonical subsample
+    check(3, 36, 5, 1, 28, 3)   // off-grid start, both axes strided
+    check(0, 37, 8, 0, 29, 8)   // step == blockSize (one row/col per block)
+    check(0, 37, 40, 0, 29, 40) // step > extent: single cell
+    check(5, 6, 2, 7, 8, 3)     // degenerate 1×1 window
+    assert(a.sliceStep(0, 37, 1, 0, 29, 1).toLocal == local) // step-1 = slice fast path
+    intercept[IllegalArgumentException] { a.sliceStep(0, 37, 0, 0, 29, 1) }
+    intercept[IllegalArgumentException] { a.sliceStep(0, 37, -2, 0, 29, 1) }
+  }
+
+  test("selectRows: computed boolean mask compacts rows in order; join path agrees") {
+    val a = DMatrix.randInt(spark, 37, 29, 8, 23L)
+    val local = a.toLocal
+    // keep rows whose first column is even — mask computed from the data
+    val mask = a.slice(0, 37, 0, 1).mapElements(v => if (v % 2.0 == 0.0) 1.0 else 0.0)
+    val keptRows = (0 until 37).filter(i => local(i, 0) % 2.0 == 0.0)
+    val got = a.selectRows(mask)
+    assert(got.nRows == keptRows.length && got.nCols == 29)
+    val g = got.toLocal
+    for (oi <- keptRows.indices; j <- 0 until 29)
+      assert(g(oi, j) == local(keptRows(oi), j), s"row $oi (src ${keptRows(oi)}) col $j")
+    // force the huge-mask join path; result must be identical
+    val viaJoin = a.selectRows(mask, broadcastLimit = 1L)
+    assert(viaJoin.toLocal == g)
+    // shape guards + empty selection
+    intercept[IllegalArgumentException] { a.selectRows(a) }
+    val none = a.slice(0, 37, 0, 1).mapElements(_ => 0.0)
+    intercept[IllegalArgumentException] { a.selectRows(none) }
   }
 
   test("cov: n²·cov_pop matches the local Breeze covariance exactly") {

@@ -108,6 +108,31 @@ class DelayedSpec extends SparkSpec {
     assert(err.getMessage == "remote failure")
   }
 
+  test("client: a 10⁶-element map executes as ONE Spark job, not 10⁶ driver futures") {
+    val client = new Client(spark)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // TaskContext is non-null ONLY inside a Spark task — each element
+    // records where it actually ran
+    val fs = client.map(1 to 1000000)(i =>
+      (i.toLong * 2, org.apache.spark.TaskContext.get() != null))
+    val results = client.gather(fs)
+    assert(results.length == 1000000)
+    assert(results.zipWithIndex.forall { case ((v, _), k) => v == (k + 1).toLong * 2 },
+      "values must come back in element order")
+    assert(results.forall(_._2), "every element must have run inside a Spark task")
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after - before <= 2, s"expected one collect job, saw ${after - before}")
+    // the small regime still uses the driver pool (element fns there
+    // launch their own Spark jobs, which must not nest inside a task)
+    val small = client.map(Seq(1, 2, 3))(_ => org.apache.spark.TaskContext.get() == null)
+    assert(client.gather(small).forall(identity), "small maps stay on the driver pool")
+    // failure in the large regime propagates to every element future
+    val failing = client.mapLarge(1 to 20000)(i =>
+      if (i == 12345) throw new IllegalStateException("element failure") else i)
+    val e = intercept[Exception](client.gather(failing))
+    assert(e.getMessage != null && e.getMessage.contains("element failure"))
+  }
+
   test("delayed over Spark actions runs independent branches in parallel") {
     val t0 = System.nanoTime()
     val a = Delayed { Thread.sleep(300); 1 }
