@@ -79,6 +79,37 @@ object ArrayQueries {
     Sparse.spdm(a, dense, 40).toCoords.filter(col("v") =!= 0.0)
   }
 
+  /** a61: elementwise selection surface — clip to [200,700], ternary
+    * where (odd cells keep their value, even cells negate — the
+    * condition is computed FROM the matrix, dask's `da.where(x % 2,
+    * x, -x)` shape), and isin membership against a small value set.
+    * clip/isin are narrow maps; where is one co-partitioned 3-way
+    * block join. Oracles are the LCG under LEAST/GREATEST, CASE on
+    * parity, and IN — closed form. */
+  def clipWhereIsin(s: SparkSession, d: String): DataFrame = {
+    val a = matA(s)
+    val clip = a.clip(200, 700).toCoords
+      .select(lit("clip").as("op"), col("i"), col("j"), col("v"))
+    val cond = a.mapElements(_ % 2.0)
+    val whr = DMatrix.where(cond, a, a * -1.0).toCoords
+      .select(lit("where").as("op"), col("i"), col("j"), col("v"))
+    val member = a.isin(Set(7.0, 42.0, 123.0, 999.0)).toCoords
+      .select(lit("isin").as("op"), col("i"), col("j"), col("v"))
+    clip.unionByName(whr).unionByName(member)
+  }
+
+  /** a62: running extrema down the rows — `np.fmax/fmin.accumulate
+    * (axis=0)` through the generic two-pass prefix scan (no global
+    * sort at any row count). Oracle: cumulative window MAX/MIN per
+    * column over the same LCG. */
+  def cumExtrema(s: SparkSession, d: String): DataFrame = {
+    val a = matA(s)
+    a.cummaxAxis0.toCoords
+      .select(lit("cummax").as("op"), col("i"), col("j"), col("v"))
+      .unionByName(a.cumminAxis0.toCoords
+        .select(lit("cummin").as("op"), col("i"), col("j"), col("v")))
+  }
+
   /** Blocked GEMM: C = A(64×48) · B(48×32). */
   def matmul(s: SparkSession, d: String): DataFrame =
     matA(s).multiply(matB(s)).toCoords
@@ -947,6 +978,8 @@ object ArrayQueries {
     "a58_sparse_ewise"   -> (sparseEwise _),
     "a59_sparse_reduce"  -> (sparseReduce _),
     "a60_spdm"           -> (sparseDenseGemm _),
+    "a61_clip_where_isin" -> (clipWhereIsin _),
+    "a62_cum_extrema"    -> (cumExtrema _),
     "a37_corrcoef"       -> (corrcoefEntry _),
     "a38_roll_flip"      -> (rollFlipEntry _),
     "a39_gemm_rechunk"   -> (gemmRechunkEntry _),
@@ -1304,6 +1337,25 @@ object ArrayQueries {
       s"""WITH ${matSql("a", 96, 64, 41)}, ${matSql("b", 64, 80, 43)}
           SELECT a.i AS i, b.j AS j, sum(a.v * b.v) AS v
           FROM a JOIN b ON a.j = b.i GROUP BY 1, 2""",
+    // LEAST/GREATEST clamp, CASE on parity, and IN membership over the
+    // shared LCG
+    "a61_clip_where_isin" ->
+      s"""WITH ${matSql("a", 64, 48, 7)}
+          SELECT 'clip' AS op, i, j, LEAST(GREATEST(v, 200), 700) AS v FROM a
+          UNION ALL
+          SELECT 'where', i, j, CASE WHEN v % 2 <> 0 THEN v ELSE -v END FROM a
+          UNION ALL
+          SELECT 'isin', i, j,
+                 CASE WHEN v IN (7, 42, 123, 999) THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END FROM a""",
+    // cumulative per-column window extrema over the same LCG
+    "a62_cum_extrema" ->
+      s"""WITH ${matSql("a", 64, 48, 7)}
+          SELECT 'cummax' AS op, i, j,
+                 max(v) OVER (PARTITION BY j ORDER BY i) AS v FROM a
+          UNION ALL
+          SELECT 'cummin', i, j,
+                 min(v) OVER (PARTITION BY j ORDER BY i) FROM a""",
     // the same hash-gated COO generators in closed form (present iff
     // hash%5=0, value hash%100+1); add = union-support sum, mul =
     // intersection product, build = the doubled input summed

@@ -54,6 +54,25 @@ class DMatrix(
   def *(s: Double): DMatrix = mapElements(_ * s)
   def +(s: Double): DMatrix = mapElements(_ + s)
 
+  /** numpy/dask `da.clip(x, lo, hi)` — narrow map, no data movement. */
+  def clip(lo: Double, hi: Double): DMatrix =
+    mapElements(v => math.min(hi, math.max(lo, v)))
+
+  /** numpy/dask `da.isin(x, values)` → 0/1 indicator matrix. The value
+    * set broadcasts inside the map closure (it is membership metadata,
+    * sized like a dimension table, never like the matrix). */
+  def isin(values: Set[Double]): DMatrix = {
+    val s = values
+    mapElements(v => if (s.contains(v)) 1.0 else 0.0)
+  }
+
+  /** Running extrema down the rows (dask `da.maximum.accumulate` /
+    * `np.fmax.accumulate(x, axis=0)`): the generic two-pass prefix
+    * scan with the max/min monoid — same no-global-sort shape as
+    * cumsum. */
+  def cummaxAxis0: DMatrix = scanAxis0(math.max, Double.NegativeInfinity)
+  def cumminAxis0: DMatrix = scanAxis0(math.min, Double.PositiveInfinity)
+
   /** Elementwise binary op with an identically-chunked matrix
     * (dask `x + y`, `x - y`): one co-partitioned join on block key. */
   def zip(other: DMatrix)(f: (Double, Double) => Double): DMatrix = {
@@ -1420,41 +1439,85 @@ object DMatrix {
   def fromLocal(spark: SparkSession, local: BDM[Double], bs: Int): DMatrix =
     tabulate(spark, local.rows, local.cols, bs)((i, j) => local(i.toInt, j.toInt))
 
+  /** Ternary select `da.where(cond, a, b)` over three identically-
+    * chunked matrices: ONE co-partitioned 3-way join on the block key
+    * (cond nonzero picks a, else b) — cell volume moves once, no
+    * densified intermediate. */
+  def where(cond: DMatrix, a: DMatrix, b: DMatrix): DMatrix = {
+    require(cond.nRows == a.nRows && cond.nCols == a.nCols &&
+            cond.nRows == b.nRows && cond.nCols == b.nCols &&
+            cond.blockSize == a.blockSize && cond.blockSize == b.blockSize,
+      "where: shape/chunk mismatch")
+    import cond.blocks.sparkSession.implicits._
+    def keyed(m: DMatrix) = m.blocks.rdd.map(bl => ((bl.bi, bl.bj), bl))
+    val out = keyed(cond).join(keyed(a)).join(keyed(b)).map {
+      case (_, ((c, x), y)) =>
+        val data = new Array[Double](c.data.length)
+        var i = 0
+        while (i < data.length) {
+          data(i) = if (c.data(i) != 0.0) x.data(i) else y.data(i); i += 1
+        }
+        c.copy(data = data)
+    }
+    new DMatrix(cond.blocks.sparkSession.createDataset(out),
+      cond.nRows, cond.nCols, cond.blockSize)
+  }
+
   /** HDF5 shard ingestion (the reference's h5py payload surface,
     * `SS/wukong/protocol/h5py.py`): a directory of `.h5` files, each a
     * self-describing horizontal stripe — a rank-2 row-major `dataset`
     * plus a 1-element `row0` dataset carrying the stripe's global start
-    * row — becomes one DMatrix on the standard bs-grid.
-    *
-    * Scale shape: files are the parallelism unit (one binaryFile task
-    * decodes one shard — the mm01 pattern, so shard size bounds executor
-    * memory, not matrix size). A driver metadata pass sizes the matrix
-    * from per-file (row0, dims) triples only — O(#files), never data.
-    * Stripes need not align to the block grid: each decoded stripe
-    * narrowly flatMaps to per-(bi,bj) partial blocks and one
-    * reduceByKey assembles them (map-side combined; only boundary
-    * blocks receive two pieces), the same single-pass piece shuffle as
-    * `rechunk`. */
-  def fromHdf5(spark: SparkSession, dir: String, dataset: String, bs: Int): DMatrix = {
+    * row — becomes one DMatrix on the standard bs-grid via
+    * [[fromStripes]] (see there for the scale shape). */
+  def fromHdf5(spark: SparkSession, dir: String, dataset: String, bs: Int): DMatrix =
+    fromStripes(spark, dir, "*.h5", bs) { bytes =>
+      val d = graft.sources.Hdf5Lite.readDataset(bytes, dataset)
+      require(d.dims.length == 2, s"'$dataset' must be rank 2, got rank ${d.dims.length}")
+      val r0 = graft.sources.Hdf5Lite.readDataset(bytes, "row0").data(0).toLong
+      (r0, d.dims(0), d.dims(1), d.data)
+    }
+
+  /** NetCDF classic shard ingestion (the reference's netCDF4 payload
+    * surface, `SS/wukong/protocol/netcdf4.py`): same self-describing
+    * stripe contract as [[fromHdf5]] — a rank-2 `variable` plus a
+    * 1-element `row0` variable — through the same binaryFile decode +
+    * piece-assemble path. */
+  def fromNetcdf(spark: SparkSession, dir: String, variable: String, bs: Int): DMatrix =
+    fromStripes(spark, dir, "*.nc", bs) { bytes =>
+      val d = graft.sources.NetcdfLite.readVariable(bytes, variable)
+      require(d.dims.length == 2, s"'$variable' must be rank 2, got rank ${d.dims.length}")
+      val r0 = graft.sources.NetcdfLite.readVariable(bytes, "row0").data(0).toLong
+      (r0, d.dims(0), d.dims(1), d.data)
+    }
+
+  /** Shared shard-ingestion engine: a directory of self-describing
+    * horizontal stripes — `decode` maps one file's bytes to
+    * (startRow, rows, cols, row-major data) — becomes one DMatrix.
+    * Files are the parallelism unit (one binaryFile task decodes one
+    * shard, the mm01 pattern, so shard size bounds executor memory); a
+    * driver metadata pass sizes the matrix from per-file headers only
+    * (O(#files), never data); stripes need not align to the block grid —
+    * each decoded stripe narrowly flatMaps to per-(bi,bj) partial blocks
+    * and one map-side-combined reduceByKey assembles them (only
+    * boundary blocks receive two pieces), the same single-pass piece
+    * shuffle as `rechunk`. */
+  def fromStripes(spark: SparkSession, dir: String, glob: String, bs: Int)
+                 (decode: Array[Byte] => (Long, Long, Long, Array[Double])): DMatrix = {
     import spark.implicits._
-    import graft.sources.Hdf5Lite
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.h5").load(dir)
+      .option("pathGlobFilter", glob).load(dir)
       .select("content").as[Array[Byte]]
     val meta = files.map { bytes =>
-      val d = Hdf5Lite.readDataset(bytes, dataset)
-      require(d.dims.length == 2, s"'$dataset' must be rank 2, got rank ${d.dims.length}")
-      val r0 = Hdf5Lite.readDataset(bytes, "row0").data(0).toLong
-      (r0, d.dims(0), d.dims(1))
+      val (r0, rows, cols, _) = decode(bytes)
+      (r0, rows, cols)
     }.collect()
-    require(meta.nonEmpty, s"no .h5 files under $dir")
+    require(meta.nonEmpty, s"no $glob files under $dir")
     val n = meta.head._3
     require(meta.forall(_._3 == n), "inconsistent column counts across shards")
     val m = meta.map(t => t._1 + t._2).max
     val pieces = files.rdd.flatMap { bytes =>
-      val d = Hdf5Lite.readDataset(bytes, dataset)
-      val r0 = Hdf5Lite.readDataset(bytes, "row0").data(0).toLong
-      val p = d.dims(0).toInt; val w = d.dims(1).toInt
+      val (r0, dRows, dCols, data) = decode(bytes)
+      val p = dRows.toInt; val w = dCols.toInt
       val bi0 = (r0 / bs).toInt; val bi1 = ((r0 + p - 1) / bs).toInt
       for {
         bi <- bi0 to bi1
@@ -1470,7 +1533,7 @@ object DMatrix {
           val src = (g - r0).toInt * w + bj * bs // row-major stripe offset
           val li = (g - bi.toLong * bs).toInt
           var c = 0
-          while (c < cols) { out(li + c * rows) = d.data(src + c); c += 1 }
+          while (c < cols) { out(li + c * rows) = data(src + c); c += 1 }
           g += 1
         }
         ((bi, bj), out)

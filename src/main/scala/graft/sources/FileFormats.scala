@@ -607,7 +607,45 @@ object FileFormats {
     graft.array.DMatrix.fromHdf5(s, tmp, "data", bs = 16).toCoords
   }
 
+  /** src16: NETCDF SHARD INGESTION — the reference's netCDF4 payload
+    * surface (`SS/wukong/protocol/netcdf4.py`, the sibling of src15's
+    * h5py handler). Same self-describing stripe contract (`data` +
+    * `row0` variables per CDF-1 shard, written big-endian by the
+    * public-spec NetcdfLite writer) through the same fromStripes
+    * decode-and-assemble path; 13-row stripes against the 16-row grid
+    * keep the boundary merge honest. Oracle = the LCG in closed form. */
+  def netcdfIngest(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = scratch("nc")
+    deleteTree(Paths.get(tmp))
+    Files.createDirectories(Paths.get(tmp))
+    val m = 66L; val n = 36L; val stripe = 13L
+    val nStripes = ((m + stripe - 1) / stripe).toInt
+    s.range(nStripes).foreach { k =>
+      val r0 = k * stripe
+      val p = math.min(stripe, m - r0).toInt
+      val data = new Array[Double](p * n.toInt)
+      var idx = 0
+      var i = 0
+      while (i < p) {
+        var j = 0L
+        while (j < n) {
+          data(idx) = (graft.array.DMatrix.lcg(r0 + i, j, n, 79L) % 1000L).toDouble
+          idx += 1; j += 1
+        }
+        i += 1
+      }
+      val bytes = NetcdfLite.write(
+        Seq(("data", Array(p.toLong, n), data),
+            ("row0", Array(1L), Array(r0.toDouble))), asInt = true)
+      Files.write(Paths.get(tmp, f"part-$k%03d.nc"), bytes)
+      ()
+    }
+    graft.array.DMatrix.fromNetcdf(s, tmp, "data", bs = 16).toCoords
+  }
+
   val queries: Map[String, Q] = Map(
+    "src16_netcdf_ingest"   -> (netcdfIngest _),
     "src15_hdf5_ingest"     -> (hdf5Ingest _),
     "src14_csv_multiline"   -> (csvMultiline _),
     "src13_xml_roundtrip"   -> (xmlRoundtrip _),
@@ -633,6 +671,11 @@ object FileFormats {
        FROM orders"""
 
   val oracles: Map[String, String] = Map(
+    // the shared LCG in closed form — the ingest moved data, never values
+    "src16_netcdf_ingest" ->
+      """SELECT ri.range AS i, rj.range AS j,
+                CAST(((ri.range*36+rj.range)*1103515245+79)%2147483647%1000 AS DOUBLE) AS v
+         FROM range(66) ri, range(36) rj""",
     // the shared LCG in closed form — the ingest moved data, never values
     "src15_hdf5_ingest" ->
       """SELECT ri.range AS i, rj.range AS j,

@@ -370,6 +370,36 @@ class ArraySpec extends SparkSpec {
     intercept[IllegalArgumentException] { a.selectRows(none) }
   }
 
+  test("clip/where/isin/cummax/cummin match local elementwise walks") {
+    val a = DMatrix.randInt(spark, 37, 29, 8, 31L)
+    val la = a.toLocal
+    val lc = a.clip(200, 700).toLocal
+    for (i <- 0 until 37; j <- 0 until 29)
+      assert(lc(i, j) == math.min(700.0, math.max(200.0, la(i, j))), s"clip($i,$j)")
+    val cond = a.mapElements(_ % 2.0)
+    val lw = DMatrix.where(cond, a, a * -1.0).toLocal
+    for (i <- 0 until 37; j <- 0 until 29)
+      assert(lw(i, j) == (if (la(i, j) % 2.0 != 0.0) la(i, j) else -la(i, j)), s"where($i,$j)")
+    val set = Set(7.0, 42.0, 123.0)
+    val li = a.isin(set).toLocal
+    for (i <- 0 until 37; j <- 0 until 29)
+      assert(li(i, j) == (if (set(la(i, j))) 1.0 else 0.0), s"isin($i,$j)")
+    val lmax = a.cummaxAxis0.toLocal
+    val lmin = a.cumminAxis0.toLocal
+    for (j <- 0 until 29) {
+      var mx = Double.NegativeInfinity; var mn = Double.PositiveInfinity
+      for (i <- 0 until 37) {
+        mx = math.max(mx, la(i, j)); mn = math.min(mn, la(i, j))
+        assert(lmax(i, j) == mx, s"cummax($i,$j)")
+        assert(lmin(i, j) == mn, s"cummin($i,$j)")
+      }
+    }
+    // where rejects mismatched chunking
+    intercept[IllegalArgumentException] {
+      DMatrix.where(cond, a, DMatrix.randInt(spark, 37, 29, 7, 31L))
+    }
+  }
+
   test("cov: n²·cov_pop matches the local Breeze covariance exactly") {
     val a = DMatrix.randInt(spark, 64, 48, 16, 7L)
     val local = a.toLocal
