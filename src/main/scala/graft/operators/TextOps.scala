@@ -1310,7 +1310,58 @@ object TextOps {
               round(col("ent_nano").cast("double") / lit(1.0e9), 6).as("entropy_nats"))
   }
 
+  /** t54: DSIR-STYLE IMPORTANCE RESAMPLING (the published
+    * hashed-n-gram data-selection method: score each document by the
+    * log-likelihood ratio of its hashed-feature profile under a TARGET
+    * seed corpus vs the RAW corpus, then keep the highest-weight docs).
+    * Here the features are md5-hashed unigrams in 128 buckets and the
+    * seed corpus is the deterministic doc_id%5==0 slice.
+    *
+    * Shapes for 100 TB: ONE token pass builds (doc, bucket) counts AND
+    * the two bucket profiles (target counts ride a count(when) beside
+    * the raw counts — no second scan); the 128-row score dimension
+    * attaches by broadcast; document weights are one partial-combined
+    * aggregation of cnt·s products; the final top-20 is a TakeOrdered
+    * cut, never a global sort. Exactness: per-bucket scores are
+    * floor-nano natural logs of exact-int64 ratios (the t46/ml17
+    * discipline — +1/+B add-one smoothing keeps every ratio finite),
+    * and doc weights are pure int64 sums of cnt·s. The int64 products
+    * inside the ratio stay below 2^53 at gate scale; a full-corpus run
+    * would subtract logs instead. */
+  def dsirResample(s: SparkSession, d: String): DataFrame = {
+    val B = 128L
+    val tok = TextSim.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(TextSim.words(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % B).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isTgt = col("doc_id") % 5 === 0
+    val totals = tok.agg(count(lit(1)).as("tr"),
+                         count(when(isTgt, 1)).as("tt"))
+    val profile = tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"), count(when(isTgt, 1)).as("ct"))
+    val scores = profile.crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(log(((col("ct") + 1L) * (col("tr") + B)).cast("double") /
+                  ((col("cr") + 1L) * (col("tt") + B)).cast("double")) * lit(1.0e9))
+          .cast("long").as("s"))
+    val weights = tok.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(scores), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_tokens"),
+           sum(col("cnt") * col("s")).cast("long").as("weight"))
+    val out = weights.orderBy(col("weight").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("weight").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_tokens"), col("weight"))
+      .localCheckpoint(true)
+    tok.unpersist(false)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "t54_dsir"            -> (dsirResample _),
     "t53_doc_entropy"     -> (docEntropy _),
     "t52_skipgram"        -> (skipgramCooc _),
     "t51_bigram_lm"       -> (bigramSurprisal _),
@@ -1359,6 +1410,32 @@ object TextOps {
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
   // replace all matches (Spark replaces all by default).
   val oracles: Map[String, String] = Map(
+    // same md5-bucketed unigram profiles, same one-pass count/FILTER
+    // split, same floor-nano log-ratio scores, same int64 weight sums
+    "t54_dsir" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(t), 1, 15))::BIGINT % 128 AS b
+           FROM (SELECT doc_id,
+                        unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS t
+                 FROM documents)
+           WHERE t <> ''),
+         tot AS (SELECT count(*) AS tr,
+                        count(*) FILTER (doc_id % 5 = 0) AS tt FROM tok),
+         prof AS (SELECT b, count(*) AS cr,
+                         count(*) FILTER (doc_id % 5 = 0) AS ct
+                  FROM tok GROUP BY 1),
+         sc AS (SELECT b,
+                       CAST(floor(ln(CAST((ct+1)*(tr+128) AS DOUBLE) /
+                                     CAST((cr+1)*(tt+128) AS DOUBLE)) * 1e9) AS BIGINT) AS s
+                FROM prof, tot),
+         dc AS (SELECT doc_id, b, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         w AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                      CAST(sum(cnt * s) AS BIGINT) AS weight
+               FROM dc JOIN sc USING (b) GROUP BY 1)
+         SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS BIGINT) AS rank,
+                doc_id, n_tokens, weight
+         FROM w ORDER BY weight DESC, doc_id LIMIT 20""",
     // same per-term floor-nano entropy over the same (doc, token)
     // frequency table
     "t53_doc_entropy" ->
