@@ -9,6 +9,8 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * shuffles). Run: `sbt "runMain graft.tools.PlanDump"`. */
 object PlanDump {
   private val picks: Seq[(String, String)] = Seq(
+    "a58_sparse_ewise" ->
+      "Sparse elementwise algebra stays relational: add is union + two-phase hash agg (partial combine before its exchange), multiply is an equi-join of the two supports — present cells shuffle, absent cells never exist, nothing densifies.",
     "q02_project_filter" ->
       "Filter + projection reach the parquet scan: PushedFilters is populated and ReadSchema is pruned to 3 of 16 lineitem columns.",
     "q03_revenue_by_nation" ->
