@@ -737,9 +737,79 @@ object Streams {
     "st10_incremental_resume" -> (streamedIncrementalResume _),
     "st11_transform_state" -> (streamedTransformState _),
     "st12_sliding_window" -> (streamedSlidingCounts _),
+    "st13_stream_blobs"  -> (streamedBlobIngest _),
   )
 
+  /** st13: STREAMING BINARY-BLOB INGESTION — the multimodal landing
+    * zone (src09/mm01) as a stream: blobs land in a directory, a
+    * binaryFile file-source stream picks them up in arrival batches
+    * (`maxFilesPerTrigger=10` → three micro-batches over 30 staged
+    * assets), each batch decodes the payload header map-only (the mm01
+    * stub codec: width/height from the first four bytes) and a
+    * complete-mode aggregate accumulates the corpus profile across
+    * batches. This is the continuous-ingest half of the multimodal
+    * surface: at 100 TB/day the landing bucket IS a stream, and the
+    * blob bytes must stay map-side in every micro-batch exactly as
+    * they do in batch mode — only (id, meta) reach the state store.
+    * Payloads are the deterministic mm01 LCG assets, so the oracle is
+    * the decode in closed form. */
+  def streamedBlobIngest(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
+    val run = sinkSeq.incrementAndGet()
+    val dir = graft.sources.FileFormats.scratch(s"st13_blobs_$run")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // stage 30 assets as individual blob files (executor-side, the
+    // src09 local-scheme path); mtimes pin a deterministic batch order
+    s.range(30).foreach { i =>
+      val len = 64 + (i % 32).toInt
+      val bytes = Array.tabulate(len)(t =>
+        (((i * 64L + t) * 1103515245L + 99L) % 2147483647L % 256L).toByte)
+      val p = java.nio.file.Paths.get(dir, f"asset_$i%03d.bin")
+      java.nio.file.Files.write(p, bytes)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+      ()
+    }
+    val src = s.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("pathGlobFilter", "*.bin")
+      .option("maxFilesPerTrigger", "10")
+      .load(dir)
+    val decoded = src.select(
+      regexp_extract(col("path"), "asset_(\\d+)\\.bin", 1).cast("long").as("asset_id"),
+      (conv(hex(substring(col("content"), 1, 1)), 16, 10).cast("long") * 256 +
+       conv(hex(substring(col("content"), 2, 1)), 16, 10).cast("long")).as("width"),
+      (conv(hex(substring(col("content"), 3, 1)), 16, 10).cast("long") * 256 +
+       conv(hex(substring(col("content"), 4, 1)), 16, 10).cast("long")).as("height"),
+      col("length").as("n_bytes"))
+    val profile = decoded.agg(
+      count(lit(1)).as("n_assets"), sum(col("asset_id")).as("sum_ids"),
+      sum(col("width")).as("sum_w"), sum(col("height")).as("sum_h"),
+      sum(col("n_bytes")).as("sum_bytes"))
+    val sink = s"graft_st13_sink_$run"
+    val q = profile.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   val oracles: Map[String, String] = Map(
+    // the staged-blob decode in closed form: byte t of asset i is
+    // (i*64+t)*lcg mod 256, header = b0..b3, length = 64 + i%32
+    "st13_stream_blobs" ->
+      """WITH b AS (
+           SELECT range AS i,
+                  (range*64+0)*1103515245+99 AS h0, (range*64+1)*1103515245+99 AS h1,
+                  (range*64+2)*1103515245+99 AS h2, (range*64+3)*1103515245+99 AS h3
+           FROM range(30)),
+         d AS (SELECT i,
+                      (h0%2147483647%256)*256 + (h1%2147483647%256) AS w,
+                      (h2%2147483647%256)*256 + (h3%2147483647%256) AS h,
+                      64 + i%32 AS len
+               FROM b)
+         SELECT count(*) AS n_assets, CAST(sum(i) AS BIGINT) AS sum_ids,
+                CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h,
+                CAST(sum(len) AS BIGINT) AS sum_bytes
+         FROM d""",
     // the final per-user ValueState must equal the all-history aggregate
     "st11_transform_state" ->
       """SELECT user_id, count(*) AS n_events,

@@ -346,4 +346,17 @@ class StreamingSpec extends SparkSpec {
     // total window-rows = 2 × events: the slide-ratio state-cost identity
     assert(got.values.sum == 2L * evs.length)
   }
+
+  test("st13 blob stream: profile equals the closed-form decode of every staged asset") {
+    val row = Streams.streamedBlobIngest(spark, sfDir).collect().head
+    val expected = (0L until 30L).map { i =>
+      def byteAt(t: Long): Long = ((i * 64 + t) * 1103515245L + 99L) % 2147483647L % 256L
+      (i, byteAt(0) * 256 + byteAt(1), byteAt(2) * 256 + byteAt(3), 64 + i % 32)
+    }
+    assert(row.getLong(0) == 30L, "all three 10-file micro-batches must reach the sink")
+    assert(row.getLong(1) == expected.map(_._1).sum)
+    assert(row.getLong(2) == expected.map(_._2).sum, "width decode")
+    assert(row.getLong(3) == expected.map(_._3).sum, "height decode")
+    assert(row.getLong(4) == expected.map(_._4).sum, "byte lengths")
+  }
 }
