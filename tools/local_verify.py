@@ -35,6 +35,16 @@ for name, sql in sorted(oracles.items()):
     except Exception as e:
         bad.append((name, f"SQL ERROR: {e}"))
         continue
+    # driver semantics: its compare sorts/hashes CELLS in pandas, which
+    # crashes on nested values (q59's round-10 err slipped past this
+    # script because the string-compare below tolerates arrays). Fail
+    # the same class here so local iteration matches the driver.
+    import numpy as _np
+    nested = [c for c in spark_df.columns
+              if spark_df[c].map(lambda v: isinstance(v, (list, dict, _np.ndarray))).any()]
+    if nested:
+        bad.append((name, f"NON-SCALAR COLUMNS (driver compare would crash): {nested}"))
+        continue
     # driver semantics: sort columns by name, then compare values
     spark_df = spark_df.reindex(sorted(spark_df.columns), axis=1)
     oracle_df = oracle_df.reindex(sorted(oracle_df.columns), axis=1)
