@@ -276,7 +276,56 @@ object IterativeQueries {
     out
   }
 
+  /** i06: K-CORE PEELING — the degeneracy-ordering kernel under
+    * community mining and graph sparsification, and the iterative
+    * REMOVE-and-recompute shape (monotone shrinking state) next to
+    * i02's fixed-point, i03's enumeration, i04/i05's relaxation. The
+    * graph is a deterministic sparse LCG multigraph-made-simple
+    * (600 hash-generated pairs over 200 nodes, ≈6 avg degree — the
+    * fixture co-purchase graph is near-complete, so nothing would
+    * peel there); three rounds drop nodes of degree < 4 and keep only
+    * edges with both endpoints surviving.
+    *
+    * Scale shape: each round is one node-sized degree aggregation
+    * (explode → partial-combined count) plus two semi-joins of the
+    * edge set against the surviving-node set — edges shuffle by
+    * endpoint, degrees are (v, deg) pairs, and the per-round profile
+    * is checkpointed so lineage stays flat however many rounds run.
+    * Oracle: the same three rounds unrolled as CTEs. */
+  def kcorePeel(s: SparkSession, d: String): DataFrame = {
+    val k = 4
+    val raw = s.range(600).select(
+      ((col("id") * 2 * 1103515245L + 17L) % 2147483647L % 200L).as("u"),
+      (((col("id") * 2 + 1) * 1103515245L + 17L) % 2147483647L % 200L).as("v"))
+    var edges = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val profiles = (1 to 3).map { r =>
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = edges
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prof = keep.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(next.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+        .localCheckpoint(true) // materialize before the inputs unpersist
+      edges.unpersist(false); keep.unpersist(false)
+      edges = next
+      prof
+    }
+    val out = profiles.reduce(_ unionByName _)
+    edges.unpersist(false)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "i06_kcore"          -> (kcorePeel _),
     "i05_sssp"           -> (ssspBuckets _),
     "i01_iterative_trim" -> (iterativeTrim _),
     "i02_pagerank"       -> (pagerank _),
@@ -350,6 +399,35 @@ object IterativeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the same three peel rounds unrolled over the same LCG edge list
+    "i06_kcore" ->
+      """WITH raw AS (SELECT (range*2*1103515245+17)%2147483647%200 AS u,
+                             ((range*2+1)*1103515245+17)%2147483647%200 AS v
+                      FROM range(600)),
+         e0 AS (SELECT DISTINCT least(u,v) AS a, greatest(u,v) AS b
+                FROM raw WHERE u <> v),
+         d1 AS (SELECT v, count(*) AS deg FROM (
+                  SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+         s1 AS (SELECT v FROM d1 WHERE deg >= 4),
+         e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT v FROM s1)
+                                      AND b IN (SELECT v FROM s1)),
+         d2 AS (SELECT v, count(*) AS deg FROM (
+                  SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+         s2 AS (SELECT v FROM d2 WHERE deg >= 4),
+         e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT v FROM s2)
+                                      AND b IN (SELECT v FROM s2)),
+         d3 AS (SELECT v, count(*) AS deg FROM (
+                  SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+         s3 AS (SELECT v FROM d3 WHERE deg >= 4),
+         e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT v FROM s3)
+                                      AND b IN (SELECT v FROM s3))
+         SELECT CAST(1 AS BIGINT) AS round,
+                (SELECT count(*) FROM s1) AS n_nodes,
+                (SELECT count(*) FROM e1) AS n_edges
+         UNION ALL
+         SELECT 2, (SELECT count(*) FROM s2), (SELECT count(*) FROM e2)
+         UNION ALL
+         SELECT 3, (SELECT count(*) FROM s3), (SELECT count(*) FROM e3)""",
     "i02_pagerank" -> pagerankOracle(3),
     "i04_bfs_layers" -> bfsOracle(3),
     "i05_sssp" -> ssspOracle(3),

@@ -81,4 +81,25 @@ class SessionSpec extends SparkSpec {
     assert(got.getLong(0) == cents.size.toLong)
     assert(got.getLong(1) == cents.sum)
   }
+
+  test("i06 k-core peel matches a local reference loop and strictly shrinks") {
+    val got = IterativeQueries.kcorePeel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // same generator, peeled locally
+    var edges = (0L until 600L).map { e =>
+      val u = (e * 2 * 1103515245L + 17L) % 2147483647L % 200L
+      val v = ((e * 2 + 1) * 1103515245L + 17L) % 2147483647L % 200L
+      (math.min(u, v), math.max(u, v))
+    }.filter(p => p._1 != p._2).distinct
+    val expect = (1 to 3).map { r =>
+      val deg = edges.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .map { case (v, xs) => v -> xs.size }
+      val keep = deg.filter(_._2 >= 4).keySet
+      edges = edges.filter(p => keep(p._1) && keep(p._2))
+      (r.toLong, keep.size.toLong, edges.size.toLong)
+    }
+    assert(got.toSeq == expect, s"got ${got.toSeq}")
+    // the peel must do real work on this graph at every round
+    assert(expect.map(_._2).distinct.size == 3, "node counts must strictly shrink")
+  }
 }
