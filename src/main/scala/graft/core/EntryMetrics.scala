@@ -32,13 +32,16 @@ final class EntryMetrics extends SparkListener {
                              shuffleReadBytes: Long, shuffleWriteBytes: Long,
                              fetchWaitMs: Long, shuffleWriteMs: Long,
                              spillMemBytes: Long, spillDiskBytes: Long,
-                             inputBytes: Long) {
+                             inputBytes: Long, peakMemBytes: Long) {
     def +(o: Breakdown): Breakdown = Breakdown(
       stages + o.stages, tasks + o.tasks, runMs + o.runMs, gcMs + o.gcMs,
       shuffleReadBytes + o.shuffleReadBytes, shuffleWriteBytes + o.shuffleWriteBytes,
       fetchWaitMs + o.fetchWaitMs, shuffleWriteMs + o.shuffleWriteMs,
       spillMemBytes + o.spillMemBytes, spillDiskBytes + o.spillDiskBytes,
-      inputBytes + o.inputBytes)
+      inputBytes + o.inputBytes,
+      // peak is a per-stage pressure indicator: take the worst stage,
+      // never a sum across stages that ran at different times
+      math.max(peakMemBytes, o.peakMemBytes))
   }
 
   private final case class StageRec(submittedMs: Long, b: Breakdown)
@@ -56,7 +59,7 @@ final class EntryMetrics extends SparkListener {
         m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
         m.shuffleReadMetrics.fetchWaitTime, m.shuffleWriteMetrics.writeTime / 1000000L,
         m.memoryBytesSpilled, m.diskBytesSpilled,
-        m.inputMetrics.bytesRead)))
+        m.inputMetrics.bytesRead, m.peakExecutionMemory)))
   }
 
   /** Record that `name` owned the wall-clock interval [startMs, endMs). */
@@ -102,7 +105,7 @@ final class EntryMetrics extends SparkListener {
         s""""shuffle_read_mb":${mb(b.shuffleReadBytes)},"shuffle_write_mb":${mb(b.shuffleWriteBytes)},""" +
         s""""fetch_wait_sec":${sec(b.fetchWaitMs)},"shuffle_write_sec":${sec(b.shuffleWriteMs)},""" +
         s""""spill_mem_mb":${mb(b.spillMemBytes)},"spill_disk_mb":${mb(b.spillDiskBytes)},""" +
-        s""""input_mb":${mb(b.inputBytes)}}"""
+        s""""input_mb":${mb(b.inputBytes)},"peak_mem_mb":${mb(b.peakMemBytes)}}"""
     }.mkString(",")
     val head = extra.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
     s"{$head,\"entries\":{$entries}}"
