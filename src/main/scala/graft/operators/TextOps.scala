@@ -1360,7 +1360,38 @@ object TextOps {
     out
   }
 
+  /** t56: ZIPF RANK-FREQUENCY SLOPE — the log-log OLS fit of token
+    * frequency against frequency rank over the top-100 vocabulary, the
+    * classic corpus-health statistic (natural text sits near slope −1;
+    * templated/spam corpora flatten or steepen it). Shapes: the
+    * vocabulary aggregate partial-combines, the top-100 cut is a
+    * TakeOrdered (never a global sort of the vocabulary), and the OLS
+    * runs over 100 rows. Exactness: ln(rank)/ln(count) floor to
+    * integer MICROS (1e6 — small enough that every OLS power sum stays
+    * in int64 at any corpus size, since x,y are log-scale), the five
+    * sums are exact integers, and the single slope division is the one
+    * mirrored double op, rounded to 6. */
+  def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    val counts = TextSim.spread(Tables.documents(s, d))
+      .select(explode(TextSim.words(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts.orderBy(col("cnt").desc, col("tok")).limit(100)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+    val xy = ranked.select(
+      floor(log(col("rank").cast("double")) * lit(1.0e6)).cast("long").as("x"),
+      floor(log(col("cnt").cast("double")) * lit(1.0e6)).cast("long").as("y"))
+    xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"), col("sx"), col("sy"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t56_zipf"            -> (zipfSlope _),
     "t54_dsir"            -> (dsirResample _),
     "t53_doc_entropy"     -> (docEntropy _),
     "t52_skipgram"        -> (skipgramCooc _),
@@ -1410,6 +1441,27 @@ object TextOps {
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
   // replace all matches (Spark replaces all by default).
   val oracles: Map[String, String] = Map(
+    // same top-100 vocabulary (count desc, token tie-break), same
+    // floor-micro logs, same int64 power sums, one mirrored division
+    "t56_zipf" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS t
+           FROM documents),
+         c AS (SELECT t, count(*) AS cnt FROM tok WHERE t <> '' GROUP BY 1),
+         r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rank
+               FROM c ORDER BY cnt DESC, t LIMIT 100),
+         xy AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                       CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+                FROM r),
+         a AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x*y) AS BIGINT) AS sxy,
+                      CAST(sum(x*x) AS BIGINT) AS sxx
+               FROM xy)
+         SELECT n, sx, sy,
+                round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                      CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope
+         FROM a""",
     // same md5-bucketed unigram profiles, same one-pass count/FILTER
     // split, same floor-nano log-ratio scores, same int64 weight sums
     "t54_dsir" ->
