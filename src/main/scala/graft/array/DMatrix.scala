@@ -1470,9 +1470,15 @@ object DMatrix {
     * row — becomes one DMatrix on the standard bs-grid via
     * [[fromStripes]] (see there for the scale shape). */
   def fromHdf5(spark: SparkSession, dir: String, dataset: String, bs: Int): DMatrix =
-    fromStripes(spark, dir, "*.h5", bs) { bytes =>
+    fromStripes(spark, dir, "*.h5", bs)(meta = { bytes =>
+      // header-only: dims probe + the 1-element row0 payload (8 bytes) —
+      // the metadata pass never decodes the stripe data
+      val dims = graft.sources.Hdf5Lite.readDims(bytes, dataset)
+      require(dims.length == 2, s"'$dataset' must be rank 2, got rank ${dims.length}")
+      val r0 = graft.sources.Hdf5Lite.readDataset(bytes, "row0").data(0).toLong
+      (r0, dims(0), dims(1))
+    }) { bytes =>
       val d = graft.sources.Hdf5Lite.readDataset(bytes, dataset)
-      require(d.dims.length == 2, s"'$dataset' must be rank 2, got rank ${d.dims.length}")
       val r0 = graft.sources.Hdf5Lite.readDataset(bytes, "row0").data(0).toLong
       (r0, d.dims(0), d.dims(1), d.data)
     }
@@ -1483,9 +1489,13 @@ object DMatrix {
     * 1-element `row0` variable — through the same binaryFile decode +
     * piece-assemble path. */
   def fromNetcdf(spark: SparkSession, dir: String, variable: String, bs: Int): DMatrix =
-    fromStripes(spark, dir, "*.nc", bs) { bytes =>
+    fromStripes(spark, dir, "*.nc", bs)(meta = { bytes =>
+      val dims = graft.sources.NetcdfLite.readDims(bytes, variable)
+      require(dims.length == 2, s"'$variable' must be rank 2, got rank ${dims.length}")
+      val r0 = graft.sources.NetcdfLite.readVariable(bytes, "row0").data(0).toLong
+      (r0, dims(0), dims(1))
+    }) { bytes =>
       val d = graft.sources.NetcdfLite.readVariable(bytes, variable)
-      require(d.dims.length == 2, s"'$variable' must be rank 2, got rank ${d.dims.length}")
       val r0 = graft.sources.NetcdfLite.readVariable(bytes, "row0").data(0).toLong
       (r0, d.dims(0), d.dims(1), d.data)
     }
@@ -1495,26 +1505,39 @@ object DMatrix {
     * (startRow, rows, cols, row-major data) — becomes one DMatrix.
     * Files are the parallelism unit (one binaryFile task decodes one
     * shard, the mm01 pattern, so shard size bounds executor memory); a
-    * driver metadata pass sizes the matrix from per-file headers only
-    * (O(#files), never data); stripes need not align to the block grid —
+    * driver metadata pass sizes the matrix through `meta` — a
+    * HEADER-ONLY probe (both shard codecs parse headers in O(KB)), so
+    * the corpus is decoded exactly once, in the data pass, not twice;
+    * the collected metadata is validated for disjoint, gap-free row
+    * coverage (overlaps would silently SUM into wrong cells via the
+    * piece merge, gaps would yield silent zero rows);
+    * stripes need not align to the block grid —
     * each decoded stripe narrowly flatMaps to per-(bi,bj) partial blocks
     * and one map-side-combined reduceByKey assembles them (only
     * boundary blocks receive two pieces), the same single-pass piece
     * shuffle as `rechunk`. */
   def fromStripes(spark: SparkSession, dir: String, glob: String, bs: Int)
+                 (meta: Array[Byte] => (Long, Long, Long))
                  (decode: Array[Byte] => (Long, Long, Long, Array[Double])): DMatrix = {
     import spark.implicits._
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).load(dir)
       .select("content").as[Array[Byte]]
-    val meta = files.map { bytes =>
-      val (r0, rows, cols, _) = decode(bytes)
-      (r0, rows, cols)
-    }.collect()
-    require(meta.nonEmpty, s"no $glob files under $dir")
-    val n = meta.head._3
-    require(meta.forall(_._3 == n), "inconsistent column counts across shards")
-    val m = meta.map(t => t._1 + t._2).max
+    val metas = files.map(meta).collect().sortBy(_._1)
+    require(metas.nonEmpty, s"no $glob files under $dir")
+    val n = metas.head._3
+    require(metas.forall(_._3 == n), "inconsistent column counts across shards")
+    require(metas.head._1 == 0L,
+      s"stripe coverage must start at row 0, first stripe starts at ${metas.head._1}")
+    metas.sliding(2).foreach {
+      case Array((r0a, rowsA, _), (r0b, _, _)) =>
+        require(r0a + rowsA == r0b,
+          if (r0a + rowsA > r0b)
+            s"overlapping stripes: [$r0a, ${r0a + rowsA}) and row0=$r0b — overlaps would sum into wrong cells"
+          else s"gap in stripe coverage: rows [${r0a + rowsA}, $r0b) missing")
+      case _ => ()
+    }
+    val m = metas.map(t => t._1 + t._2).max
     val pieces = files.rdd.flatMap { bytes =>
       val (r0, dRows, dCols, data) = decode(bytes)
       val p = dRows.toInt; val w = dCols.toInt

@@ -108,6 +108,7 @@ final class EntryMetrics extends SparkListener {
         s""""input_mb":${mb(b.inputBytes)},"peak_mem_mb":${mb(b.peakMemBytes)}}"""
     }.mkString(",")
     val head = extra.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
-    s"{$head,\"entries\":{$entries}}"
+    // empty extra must not leave a leading comma (invalid JSON)
+    Seq(head, s"\"entries\":{$entries}").filter(_.nonEmpty).mkString("{", ",", "}")
   }
 }

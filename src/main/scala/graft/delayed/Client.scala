@@ -60,6 +60,15 @@ final class Client(val spark: SparkSession)(implicit ec: ExecutionContext = Dela
       if (slices > 0) slices else spark.sparkContext.defaultParallelism, items.size))
     val jobF: Future[Array[T]] =
       Future(spark.sparkContext.parallelize(items, parts).map(f).collect())
+        .recoverWith { case e: Throwable =>
+          // name the regime so a map() that silently crossed the
+          // threshold fails diagnosably, not with a bare
+          // Task-not-serializable/NPE from inside the collect job
+          Future.failed(new RuntimeException(
+            s"large map (>= ${Client.largeMapThreshold} elements) runs on executors; " +
+            "element functions must not use SparkSession/Datasets — " +
+            "split below Client.largeMapThreshold or make f executor-safe", e))
+        }
     val promises = IndexedSeq.fill(items.size)(Promise[T]())
     jobF.onComplete {
       case scala.util.Success(arr) =>

@@ -607,6 +607,46 @@ object FileFormats {
     graft.array.DMatrix.fromHdf5(s, tmp, "data", bs = 16).toCoords
   }
 
+  /** src17: CHUNKED+COMPRESSED HDF5 INGESTION — the layout h5py emits
+    * for any `compression="gzip"` dataset (chunked v3 class-2 layout, a
+    * v1 raw-data-chunk B-tree index, shuffle+deflate filter pipeline).
+    * Production scientific shards are almost always this shape, not
+    * contiguous — src15 covers the uncompressed default, this covers the
+    * compressed one. The 7×11 chunk grid divides NEITHER the 17-row
+    * stripes nor the 40 columns, so edge-chunk zero-padding + clipping
+    * and multi-chunk reassembly are what the oracle checks, through the
+    * same fromStripes header-probe + decode-once path. Oracle = the LCG
+    * in closed form. */
+  def hdf5ChunkedIngest(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = scratch("h5c")
+    deleteTree(Paths.get(tmp))
+    Files.createDirectories(Paths.get(tmp))
+    val m = 70L; val n = 40L; val stripe = 17L
+    val nStripes = ((m + stripe - 1) / stripe).toInt
+    s.range(nStripes).foreach { k =>
+      val r0 = k * stripe
+      val p = math.min(stripe, m - r0).toInt
+      val data = new Array[Double](p * n.toInt)
+      var idx = 0
+      var i = 0
+      while (i < p) {
+        var j = 0L
+        while (j < n) {
+          data(idx) = (graft.array.DMatrix.lcg(r0 + i, j, n, 81L) % 1000L).toDouble
+          idx += 1; j += 1
+        }
+        i += 1
+      }
+      val bytes = Hdf5Lite.writeChunked(
+        Seq(("data", Array(p.toLong, n), data),
+            ("row0", Array(1L), Array(r0.toDouble))), asInt = true, chunk = (7L, 11L))
+      Files.write(Paths.get(tmp, f"part-$k%03d.h5"), bytes)
+      ()
+    }
+    graft.array.DMatrix.fromHdf5(s, tmp, "data", bs = 16).toCoords
+  }
+
   /** src16: NETCDF SHARD INGESTION — the reference's netCDF4 payload
     * surface (`SS/wukong/protocol/netcdf4.py`, the sibling of src15's
     * h5py handler). Same self-describing stripe contract (`data` +
@@ -645,6 +685,7 @@ object FileFormats {
   }
 
   val queries: Map[String, Q] = Map(
+    "src17_hdf5_chunked"    -> (hdf5ChunkedIngest _),
     "src16_netcdf_ingest"   -> (netcdfIngest _),
     "src15_hdf5_ingest"     -> (hdf5Ingest _),
     "src14_csv_multiline"   -> (csvMultiline _),
@@ -671,6 +712,12 @@ object FileFormats {
        FROM orders"""
 
   val oracles: Map[String, String] = Map(
+    // the shared LCG in closed form — decompress/reassemble moved data,
+    // never values
+    "src17_hdf5_chunked" ->
+      """SELECT ri.range AS i, rj.range AS j,
+                CAST(((ri.range*40+rj.range)*1103515245+81)%2147483647%1000 AS DOUBLE) AS v
+         FROM range(70) ri, range(40) rj""",
     // the shared LCG in closed form — the ingest moved data, never values
     "src16_netcdf_ingest" ->
       """SELECT ri.range AS i, rj.range AS j,

@@ -15,8 +15,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * with default settings — one symbol-table group, v1 object headers
   * (unknown messages are skipped, continuation blocks followed), v3
   * contiguous layout — so a genuine h5py-written file of that shape
-  * parses, not just our own writer's output. Chunked/compressed layouts
-  * fail with an explicit error rather than a wrong answer.
+  * parses, not just our own writer's output. Chunked datasets (v3
+  * class-2 layout, the v1 raw-data-chunk B-tree index) with the
+  * deflate / shuffle / fletcher32 filter pipeline — what h5py emits for
+  * any `compression="gzip"` dataset — decode too; only filters outside
+  * that set fail, with an explicit error rather than a wrong answer.
   *
   * Scale stance: one file = one decode call on one executor (the mm01
   * binaryFile pattern). Files are the parallelism unit; the decoder
@@ -43,6 +46,9 @@ object Hdf5Lite {
   def write(datasets: Seq[(String, Array[Long], Array[Double])],
             asInt: Boolean): Array[Byte] = {
     require(datasets.nonEmpty && datasets.forall(_._2.length <= 2))
+    // the single SNOD below has capacity 8 (snodSz); a 9th entry would
+    // overwrite the dataset object headers and corrupt the file silently
+    require(datasets.size <= 8, "single-SNOD writer supports at most 8 datasets")
     val sorted = datasets.sortBy(_._1) // SNOD entries must sort by name
     // --- local heap data: offset 0 is the reserved empty name slot
     val nameOffsets = scala.collection.mutable.Map[String, Long]()
@@ -167,7 +173,15 @@ object Hdf5Lite {
   // ----------------------------------------------------------------- read
 
   /** Parse every dataset reachable from the root group. */
-  def read(bytes: Array[Byte]): Seq[H5Dataset] = {
+  def read(bytes: Array[Byte]): Seq[H5Dataset] =
+    entries(bytes).map { case (name, ohAddr) => readDatasetAt(bytes, name, ohAddr) }
+
+  /** Enumerate (name, object-header address) pairs reachable from the
+    * root group — headers only, no payload touched. This is what lets
+    * callers decode ONE dataset (or just its dims) without paying for
+    * the others: the fromStripes metadata pass reads three longs per
+    * multi-GB shard through [[readDims]], never the data. */
+  private def entries(bytes: Array[Byte]): Seq[(String, Long)] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sig = new Array[Byte](8); buf.get(sig)
     require(sig.sameElements(Signature), "not an HDF5 file (bad signature)")
@@ -226,16 +240,30 @@ object Hdf5Lite {
       (0 until n).map { _ =>
         val nameOff = b.getLong; val ohAddr = b.getLong
         b.getInt; b.getInt; b.getLong; b.getLong
-        readDatasetAt(bytes, heapName(nameOff), ohAddr)
+        (heapName(nameOff), ohAddr)
       }
     }
   }
 
+  private def entryFor(bytes: Array[Byte], name: String): (String, Long) = {
+    val all = entries(bytes)
+    all.find(_._1 == name).getOrElse(throw new IllegalArgumentException(
+      s"dataset '$name' not found; file has ${all.map(_._1).mkString(", ")}"))
+  }
+
   /** Read one dataset by name; throws with the available names if absent. */
   def readDataset(bytes: Array[Byte], name: String): H5Dataset = {
-    val all = read(bytes)
-    all.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-      s"dataset '$name' not found; file has ${all.map(_.name).mkString(", ")}"))
+    val (_, ohAddr) = entryFor(bytes, name)
+    readDatasetAt(bytes, name, ohAddr)
+  }
+
+  /** Header-only probe: one dataset's dims without touching its payload
+    * (O(KB) however large the data block is). */
+  def readDims(bytes: Array[Byte], name: String): Array[Long] = {
+    val (_, ohAddr) = entryFor(bytes, name)
+    val sp = ByteBuffer.wrap(oneMsg(readMessages(bytes, ohAddr), 0x0001, name, "dataspace"))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    parseDims(sp)
   }
 
   /** All v1-object-header messages at `addr` as (type, data) pairs,
@@ -270,34 +298,23 @@ object Hdf5Lite {
     out.toSeq
   }
 
-  private def readDatasetAt(bytes: Array[Byte], name: String, ohAddr: Long): H5Dataset = {
-    val msgs = readMessages(bytes, ohAddr)
-    def one(t: Int, what: String): Array[Byte] =
-      msgs.find(_._1 == t).map(_._2).getOrElse(
-        throw new IllegalArgumentException(s"dataset '$name': no $what message"))
-    // dataspace (v1 or v2)
-    val sp = ByteBuffer.wrap(one(0x0001, "dataspace")).order(ByteOrder.LITTLE_ENDIAN)
+  private def oneMsg(msgs: Seq[(Int, Array[Byte])], t: Int,
+                     name: String, what: String): Array[Byte] =
+    msgs.find(_._1 == t).map(_._2).getOrElse(
+      throw new IllegalArgumentException(s"dataset '$name': no $what message"))
+
+  /** Dims from a dataspace message body (v1 or v2). */
+  private def parseDims(sp: ByteBuffer): Array[Long] = {
     val spVer = sp.get(); val rank = sp.get().toInt
     sp.get() // flags (max-dims presence — we only need the dims themselves)
     if (spVer == 1) { sp.get(); sp.getInt } else sp.get() // v1: 5 reserved; v2: type byte
-    val dims = Array.fill(rank)(sp.getLong)
-    require(rank >= 1 && rank <= 2, s"dataset '$name': rank $rank unsupported")
-    // datatype: class 0 fixed-point or class 1 float, little-endian
-    val dt = ByteBuffer.wrap(one(0x0003, "datatype")).order(ByteOrder.LITTLE_ENDIAN)
-    val classAndVersion = dt.get(); val cls = classAndVersion & 0x0F
-    val bf0 = dt.get(); dt.get(); dt.get()
-    val elemSize = dt.getInt
-    require((bf0 & 1) == 0, s"dataset '$name': big-endian data unsupported")
-    val signed = (bf0 & 0x08) != 0
-    // data layout v3 class 1 (contiguous)
-    val dl = ByteBuffer.wrap(one(0x0008, "data layout")).order(ByteOrder.LITTLE_ENDIAN)
-    val dlVer = dl.get(); val dlClass = dl.get()
-    require(dlVer == 3 && dlClass == 1,
-      s"dataset '$name': only v3 contiguous layout supported (got version $dlVer class $dlClass — chunked/compact files need rewriting)")
-    val dataAddr = dl.getLong
-    val n = dims.product.toInt
-    val db = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    db.position(dataAddr.toInt)
+    Array.fill(rank)(sp.getLong)
+  }
+
+  /** Decode `n` little-endian values of (class, size, signedness) off
+    * `db` into doubles — shared by the contiguous and chunked paths. */
+  private def readValues(db: ByteBuffer, cls: Int, elemSize: Int, signed: Boolean,
+                         n: Int, name: String): Array[Double] = {
     val out = new Array[Double](n)
     var i = 0
     (cls, elemSize) match {
@@ -313,6 +330,364 @@ object Hdf5Lite {
       case _ => throw new IllegalArgumentException(
         s"dataset '$name': datatype class $cls size $elemSize unsupported")
     }
-    H5Dataset(name, dims, out)
+    out
+  }
+
+  /** One filter pipeline step: (id, client values). */
+  private def parsePipeline(body: Array[Byte]): Seq[(Int, Array[Int])] = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val ver = b.get()
+    require(ver == 1, s"filter pipeline version $ver unsupported")
+    val nf = b.get().toInt
+    b.position(b.position() + 6) // reserved
+    (0 until nf).map { _ =>
+      val id = b.getShort & 0xFFFF
+      val nameLen = b.getShort & 0xFFFF
+      b.getShort // flags
+      val nClient = b.getShort & 0xFFFF
+      b.position(b.position() + pad8(nameLen))
+      val cd = Array.fill(nClient)(b.getInt)
+      if (nClient % 2 == 1) b.getInt // pad to 8
+      (id, cd)
+    }
+  }
+
+  /** Undo one stored chunk's filter pipeline (applied in reverse
+    * declaration order, skipping filters masked out for this chunk):
+    * fletcher32 (3) drops its trailing checksum, deflate (1) inflates,
+    * shuffle (2) de-interleaves the byte planes. Anything else fails
+    * loudly — better than silently mis-decoding. */
+  private def defilter(raw: Array[Byte], pipeline: Seq[(Int, Array[Int])],
+                       filterMask: Int, elemSize: Int, name: String): Array[Byte] = {
+    var cur = raw
+    pipeline.zipWithIndex.reverse.foreach { case ((id, _), k) =>
+      if ((filterMask & (1 << k)) == 0) id match {
+        case 1 => // deflate
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(cur)
+          val outStream = new java.io.ByteArrayOutputStream(cur.length * 4)
+          val tmp = new Array[Byte](1 << 16)
+          while (!inf.finished()) {
+            val n = inf.inflate(tmp)
+            if (n == 0 && inf.needsInput())
+              throw new IllegalArgumentException(s"dataset '$name': truncated deflate chunk")
+            outStream.write(tmp, 0, n)
+          }
+          inf.end()
+          cur = outStream.toByteArray
+        case 2 => // shuffle: stored as elemSize byte-planes; restore interleave
+          val n = cur.length / elemSize
+          val out = new Array[Byte](cur.length)
+          var p = 0
+          while (p < elemSize) {
+            var i = 0
+            while (i < n) { out(i * elemSize + p) = cur(p * n + i); i += 1 }
+            p += 1
+          }
+          cur = out
+        case 3 => // fletcher32: payload + 4-byte checksum (trusted, not re-verified)
+          cur = java.util.Arrays.copyOf(cur, cur.length - 4)
+        case other =>
+          throw new IllegalArgumentException(
+            s"dataset '$name': filter id $other unsupported (deflate/shuffle/fletcher32 only)")
+      }
+    }
+    cur
+  }
+
+  /** Walk a v1 raw-data-chunk B-tree (node type 1) to its level-0
+    * entries: (stored size, filter mask, chunk offsets, data address). */
+  private def chunkEntries(bytes: Array[Byte], addr: Long,
+                           nOffsets: Int): Seq[(Int, Int, Array[Long], Long)] = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.position(addr.toInt)
+    val s = new Array[Byte](4); b.get(s)
+    require(new String(s) == "TREE", "bad chunk B-tree signature")
+    require(b.get() == 1, "not a raw-data-chunk B-tree")
+    val level = b.get(); val used = b.getShort
+    b.getLong; b.getLong // siblings
+    val entries = (0 until used).map { _ =>
+      val sz = b.getInt; val mask = b.getInt
+      val offs = Array.fill(nOffsets)(b.getLong)
+      val child = b.getLong
+      (sz, mask, offs, child)
+    }
+    if (level == 0) entries
+    else entries.flatMap { case (_, _, _, child) => chunkEntries(bytes, child, nOffsets) }
+  }
+
+  private def readDatasetAt(bytes: Array[Byte], name: String, ohAddr: Long): H5Dataset = {
+    val msgs = readMessages(bytes, ohAddr)
+    def one(t: Int, what: String): Array[Byte] = oneMsg(msgs, t, name, what)
+    // dataspace (v1 or v2)
+    val dims = parseDims(
+      ByteBuffer.wrap(one(0x0001, "dataspace")).order(ByteOrder.LITTLE_ENDIAN))
+    val rank = dims.length
+    require(rank >= 1 && rank <= 2, s"dataset '$name': rank $rank unsupported")
+    // datatype: class 0 fixed-point or class 1 float, little-endian
+    val dt = ByteBuffer.wrap(one(0x0003, "datatype")).order(ByteOrder.LITTLE_ENDIAN)
+    val classAndVersion = dt.get(); val cls = classAndVersion & 0x0F
+    val bf0 = dt.get(); dt.get(); dt.get()
+    val elemSize = dt.getInt
+    require((bf0 & 1) == 0, s"dataset '$name': big-endian data unsupported")
+    val signed = (bf0 & 0x08) != 0
+    // data layout v3: class 1 (contiguous) or class 2 (chunked)
+    val dl = ByteBuffer.wrap(one(0x0008, "data layout")).order(ByteOrder.LITTLE_ENDIAN)
+    val dlVer = dl.get(); val dlClass = dl.get()
+    require(dlVer == 3 && (dlClass == 1 || dlClass == 2),
+      s"dataset '$name': only v3 contiguous/chunked layout supported (got version $dlVer class $dlClass)")
+    val n = dims.product.toInt
+    if (dlClass == 1) {
+      val dataAddr = dl.getLong
+      val db = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      db.position(dataAddr.toInt)
+      H5Dataset(name, dims, readValues(db, cls, elemSize, signed, n, name))
+    } else {
+      // chunked: dimensionality = rank+1 (trailing element-size dim)
+      val dimensionality = dl.get().toInt
+      require(dimensionality == rank + 1,
+        s"dataset '$name': chunk dimensionality $dimensionality vs rank $rank")
+      val btAddr = dl.getLong
+      val chunkDims = Array.fill(dimensionality)(dl.getInt.toLong)
+      require(chunkDims.last == elemSize, s"dataset '$name': chunk element size mismatch")
+      val pipeline = msgs.find(_._1 == 0x000B).map(m => parsePipeline(m._2)).getOrElse(Seq.empty)
+      val out = new Array[Double](n)
+      val rowsTotal = dims(0)
+      val colsTotal = if (rank == 2) dims(1) else 1L
+      val cRows = chunkDims(0)
+      val cCols = if (rank == 2) chunkDims(1) else 1L
+      chunkEntries(bytes, btAddr, dimensionality).foreach { case (storedSz, mask, offs, addr) =>
+        val raw = java.util.Arrays.copyOfRange(bytes, addr.toInt, addr.toInt + storedSz)
+        val plain = defilter(raw, pipeline, mask, elemSize, name)
+        require(plain.length >= (cRows * cCols * elemSize).toInt,
+          s"dataset '$name': chunk at ${offs.mkString(",")} too short after filters")
+        val vals = readValues(ByteBuffer.wrap(plain).order(ByteOrder.LITTLE_ENDIAN),
+          cls, elemSize, signed, (cRows * cCols).toInt, name)
+        // edge chunks are stored full-size; clip to the dataspace
+        val oi = offs(0); val oj = if (rank == 2) offs(1) else 0L
+        var a = 0L
+        while (a < cRows && oi + a < rowsTotal) {
+          var b2 = 0L
+          while (b2 < cCols && oj + b2 < colsTotal) {
+            out(((oi + a) * colsTotal + (oj + b2)).toInt) = vals((a * cCols + b2).toInt)
+            b2 += 1
+          }
+          a += 1
+        }
+      }
+      H5Dataset(name, dims, out)
+    }
+  }
+
+  // --------------------------------------------------- write (chunked)
+
+  /** Write one classic-format image where every rank-2 dataset is
+    * CHUNKED (`chunk` = rows×cols tile) behind a shuffle+deflate filter
+    * pipeline — the byte shape h5py emits for
+    * `create_dataset(..., chunks=..., shuffle=True, compression="gzip")`.
+    * Rank-1 datasets (the `row0` stripe offsets) stay contiguous. Edge
+    * chunks are stored full-size and zero-padded, as libhdf5 does.
+    * Fixture-staging scope like [[write]]: one leaf B-tree node, so the
+    * chunk count per dataset must stay ≤ 256. */
+  def writeChunked(datasets: Seq[(String, Array[Long], Array[Double])],
+                   asInt: Boolean, chunk: (Long, Long)): Array[Byte] = {
+    require(datasets.nonEmpty && datasets.forall(_._2.length <= 2))
+    require(datasets.size <= 8, "single-SNOD writer supports at most 8 datasets")
+    require(chunk._1 > 0 && chunk._2 > 0)
+    val sorted = datasets.sortBy(_._1)
+    val nameOffsets = scala.collection.mutable.Map[String, Long]()
+    val heapData = new java.io.ByteArrayOutputStream()
+    heapData.write(new Array[Byte](8))
+    sorted.foreach { case (name, _, _) =>
+      nameOffsets(name) = heapData.size().toLong
+      val b = name.getBytes("UTF-8")
+      heapData.write(b); heapData.write(0)
+      while (heapData.size() % 8 != 0) heapData.write(0)
+    }
+    val heapBytes = heapData.toByteArray
+
+    // deflate every chunk of every rank-2 dataset up front (shuffle then
+    // deflate — pipeline declaration order), so addresses can be planned
+    final case class Ck(oi: Long, oj: Long, stored: Array[Byte])
+    val chunked: Seq[Option[Seq[Ck]]] = sorted.map {
+      case (_, dims, data) if dims.length == 2 =>
+        val (cr, cc) = chunk
+        val rows = dims(0); val cols = dims(1)
+        val cks = for {
+          oi <- 0L until rows by cr
+          oj <- 0L until cols by cc
+        } yield {
+          val plain = new Array[Byte]((cr * cc * 8).toInt)
+          val bb = ByteBuffer.wrap(plain).order(ByteOrder.LITTLE_ENDIAN)
+          var a = 0L
+          while (a < cr) {
+            var b2 = 0L
+            while (b2 < cc) {
+              val v = if (oi + a < rows && oj + b2 < cols) data(((oi + a) * cols + oj + b2).toInt) else 0.0
+              if (asInt) bb.putLong(v.toLong) else bb.putDouble(v)
+              b2 += 1
+            }
+            a += 1
+          }
+          // shuffle filter: split into 8 byte-planes
+          val n = plain.length / 8
+          val shuf = new Array[Byte](plain.length)
+          var p = 0
+          while (p < 8) {
+            var i = 0
+            while (i < n) { shuf(p * n + i) = plain(i * 8 + p); i += 1 }
+            p += 1
+          }
+          val defl = new java.util.zip.Deflater()
+          defl.setInput(shuf); defl.finish()
+          val outStream = new java.io.ByteArrayOutputStream(shuf.length / 2 + 64)
+          val tmp = new Array[Byte](1 << 16)
+          while (!defl.finished()) outStream.write(tmp, 0, defl.deflate(tmp))
+          defl.end()
+          Ck(oi, oj, outStream.toByteArray)
+        }
+        require(cks.size <= 256, s"single-leaf chunk B-tree supports ≤256 chunks, got ${cks.size}")
+        Some(cks)
+      case _ => None
+    }
+
+    // --- address plan (same skeleton as write, plus pipeline msg,
+    // chunked layout msg, B-tree node and chunk payloads per dataset)
+    // msg header 8 + (version/nfilters/reserved 8 + shuffle 16 + deflate 16)
+    val pipelineMsgSz = 8 + 8 + 16 + 16
+    val chunkKeySz = 8 + 8 * 3      // size+mask + (rank+1) offsets, rank 2
+    val superSz = 96L
+    val rootOhSz = 16L + 8 + 16
+    val heapHdrSz = 32L
+    val btreeSz = 24L + 9 * 8 + 8 * 8
+    val snodSz = 8L + 8 * 40
+    val dsOhSz = sorted.zip(chunked).map { case ((_, dims, _), ck) =>
+      val spaceMsg = 8 + pad8(8 + 8 * dims.length)
+      val typeMsg = 8 + (if (asInt) 16 else 24)
+      val layoutMsg = if (ck.isDefined) 8 + pad8(2 + 1 + 8 + 4 * 3) else 8 + 24
+      val pipeMsg = if (ck.isDefined) pipelineMsgSz else 0
+      16L + spaceMsg + typeMsg + layoutMsg + pipeMsg
+    }
+    val rootOhAddr = superSz
+    val heapHdrAddr = rootOhAddr + rootOhSz
+    val heapDataAddr = heapHdrAddr + heapHdrSz
+    val btreeAddr = heapDataAddr + heapBytes.length
+    val snodAddr = btreeAddr + btreeSz
+    var cursor = snodAddr + snodSz
+    val ohAddrs = dsOhSz.map { sz => val a = cursor; cursor += sz; a }
+    // per chunked dataset: a single leaf B-tree node then its chunks;
+    // per contiguous dataset: the raw data block
+    val chunkBtAddrs = new Array[Long](sorted.size)
+    val chunkDataAddrs = new Array[Seq[Long]](sorted.size)
+    val contigAddrs = new Array[Long](sorted.size)
+    sorted.indices.foreach { k =>
+      chunked(k) match {
+        case Some(cks) =>
+          chunkBtAddrs(k) = cursor
+          cursor += 24L + cks.size * (chunkKeySz + 8) + chunkKeySz // entries + final key
+          chunkDataAddrs(k) = cks.map { c => val a = cursor; cursor += c.stored.length; a }
+        case None =>
+          contigAddrs(k) = cursor
+          cursor += sorted(k)._3.length * 8L
+      }
+    }
+    val eof = cursor
+
+    val buf = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(Signature)
+    buf.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.put(0.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    buf.putShort(4).putShort(16)
+    buf.putInt(0)
+    buf.putLong(0L).putLong(Undef).putLong(eof).putLong(Undef)
+    buf.putLong(0L).putLong(rootOhAddr).putInt(1).putInt(0)
+    buf.putLong(btreeAddr).putLong(heapHdrAddr)
+    buf.position(rootOhAddr.toInt)
+    putOhPrefix(buf, nMsgs = 1, dataSize = 8 + 16)
+    putMsgHeader(buf, 0x0011, 16)
+    buf.putLong(btreeAddr).putLong(heapHdrAddr)
+    buf.position(heapHdrAddr.toInt)
+    buf.put("HEAP".getBytes).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.putLong(heapBytes.length.toLong).putLong(1L).putLong(heapDataAddr)
+    buf.position(heapDataAddr.toInt); buf.put(heapBytes)
+    buf.position(btreeAddr.toInt)
+    buf.put("TREE".getBytes).put(0.toByte).put(0.toByte).putShort(1)
+    buf.putLong(Undef).putLong(Undef)
+    buf.putLong(0L)
+    buf.putLong(snodAddr)
+    buf.putLong(nameOffsets(sorted.last._1))
+    buf.position(snodAddr.toInt)
+    buf.put("SNOD".getBytes).put(1.toByte).put(0.toByte).putShort(sorted.size.toShort)
+    sorted.zipWithIndex.foreach { case ((name, _, _), k) =>
+      buf.putLong(nameOffsets(name)).putLong(ohAddrs(k)).putInt(0).putInt(0)
+      buf.putLong(0L).putLong(0L)
+    }
+    sorted.zipWithIndex.foreach { case ((_, dims, data), k) =>
+      buf.position(ohAddrs(k).toInt)
+      val spaceData = 8 + 8 * dims.length
+      val isChunked = chunked(k).isDefined
+      val layoutBody = if (isChunked) pad8(2 + 1 + 8 + 4 * 3) else 24
+      val nMsgs = if (isChunked) 4 else 3
+      val pipeSz = if (isChunked) pipelineMsgSz else 0
+      putOhPrefix(buf, nMsgs = nMsgs,
+        dataSize = (8 + pad8(spaceData)) + (8 + (if (asInt) 16 else 24)) + (8 + layoutBody) + pipeSz)
+      putMsgHeader(buf, 0x0001, pad8(spaceData))
+      buf.put(1.toByte).put(dims.length.toByte).put(0.toByte).put(0.toByte).putInt(0)
+      dims.foreach(buf.putLong)
+      padTo8(buf, spaceData)
+      if (asInt) {
+        putMsgHeader(buf, 0x0003, 16)
+        buf.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(8)
+        buf.putShort(0).putShort(64)
+        padTo8(buf, 12)
+      } else {
+        putMsgHeader(buf, 0x0003, 24)
+        buf.put(0x11.toByte).put(0x20.toByte).put(0x3F.toByte).put(0.toByte).putInt(8)
+        buf.putShort(0).putShort(64)
+        buf.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023)
+        padTo8(buf, 20)
+      }
+      if (!isChunked) {
+        putMsgHeader(buf, 0x0008, 24)
+        buf.put(3.toByte).put(1.toByte)
+        buf.putLong(contigAddrs(k)).putLong(data.length * 8L)
+        padTo8(buf, 18)
+      } else {
+        // filter pipeline v1: shuffle(2) then deflate(1), 1 client value each
+        putMsgHeader(buf, 0x000B, 8 + 16 + 16)
+        buf.put(1.toByte).put(2.toByte)
+        buf.put(new Array[Byte](6))
+        buf.putShort(2).putShort(0).putShort(0).putShort(1); buf.putInt(8); buf.putInt(0)
+        buf.putShort(1).putShort(0).putShort(0).putShort(1); buf.putInt(6); buf.putInt(0)
+        // layout v3 class 2
+        putMsgHeader(buf, 0x0008, pad8(2 + 1 + 8 + 4 * 3))
+        buf.put(3.toByte).put(2.toByte).put(3.toByte)
+        buf.putLong(chunkBtAddrs(k))
+        buf.putInt(chunk._1.toInt).putInt(chunk._2.toInt).putInt(8)
+        padTo8(buf, 2 + 1 + 8 + 12)
+        // chunk B-tree: one leaf
+        val cks = chunked(k).get
+        buf.position(chunkBtAddrs(k).toInt)
+        buf.put("TREE".getBytes).put(1.toByte).put(0.toByte).putShort(cks.size.toShort)
+        buf.putLong(Undef).putLong(Undef)
+        cks.zipWithIndex.foreach { case (c, i) =>
+          buf.putInt(c.stored.length).putInt(0)
+          buf.putLong(c.oi).putLong(c.oj).putLong(0L)
+          buf.putLong(chunkDataAddrs(k)(i))
+        }
+        buf.putInt(0).putInt(0) // final key: one past the last chunk
+        buf.putLong(dims(0)).putLong(if (dims.length == 2) dims(1) else 0L).putLong(8L)
+        cks.zipWithIndex.foreach { case (c, i) =>
+          buf.position(chunkDataAddrs(k)(i).toInt)
+          buf.put(c.stored)
+        }
+      }
+      if (!isChunked) {
+        buf.position(contigAddrs(k).toInt)
+        if (asInt) data.foreach(v => buf.putLong(v.toLong))
+        else data.foreach(buf.putDouble)
+      }
+    }
+    buf.array()
   }
 }

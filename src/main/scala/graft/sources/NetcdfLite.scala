@@ -47,7 +47,11 @@ object NetcdfLite {
       8 + vars.map { case (n, ds, _) =>
         nameBytes(n) + 4 + 4 * ds.length + 8 + 4 + 4 + 4 }.sum // var_list (begin = u32)
     val vsizes = vars.map { case (_, ds, _) => padded((ds.product * elemSize).toInt) }
-    val begins = vsizes.scanLeft(headerSize)(_ + _).init
+    val begins = vsizes.map(_.toLong).scanLeft(headerSize.toLong)(_ + _).init
+    // CDF-1 stores begin offsets as u32; a silent putInt truncation past
+    // 2 GiB would corrupt the file — fail instead (CDF-2/-5 territory)
+    require(begins.last + vsizes.last <= Int.MaxValue,
+      s"CDF-1 offsets are 32-bit; total payload ${begins.last + vsizes.last} bytes too large")
     val buf = ByteBuffer.allocate(headerSize + vsizes.sum).order(ByteOrder.BIG_ENDIAN)
     def putName(s: String): Unit = {
       buf.putInt(s.length); buf.put(s.getBytes("UTF-8"))
@@ -66,10 +70,10 @@ object NetcdfLite {
       buf.putInt(0).putInt(0) // vatt_list ABSENT
       buf.putInt(ncType)
       buf.putInt(vsizes(k))
-      buf.putInt(begins(k))
+      buf.putInt(begins(k).toInt)
     }
     vars.zipWithIndex.foreach { case ((_, _, data), k) =>
-      buf.position(begins(k))
+      buf.position(begins(k).toInt)
       if (asInt) data.foreach(v => buf.putInt(v.toInt)) else data.foreach(buf.putDouble)
     }
     buf.array()
@@ -77,7 +81,15 @@ object NetcdfLite {
 
   // ----------------------------------------------------------------- read
 
-  def read(bytes: Array[Byte]): Seq[NcVariable] = {
+  def read(bytes: Array[Byte]): Seq[NcVariable] =
+    headers(bytes).map(h => decodeVar(bytes, h))
+
+  /** One parsed variable header: everything needed to decode its
+    * payload later (or to answer a dims-only probe without decoding). */
+  private final case class VarHeader(name: String, dims: Array[Long], ncType: Int, begin: Long)
+
+  /** Header-only parse: O(KB) regardless of payload size. */
+  private def headers(bytes: Array[Byte]): Seq[VarHeader] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val magic = new Array[Byte](3); buf.get(magic)
     require(new String(magic) == "CDF", "not a NetCDF classic file (bad magic)")
@@ -97,7 +109,7 @@ object NetcdfLite {
     skipAttributes(buf)
     val varTag = buf.getInt; val nVars = buf.getInt
     require(varTag == NcVariableTag || (varTag == 0 && nVars == 0), "bad var_list tag")
-    val headers = (0 until nVars).map { _ =>
+    val parsed = (0 until nVars).map { _ =>
       val vn = name()
       val rank = buf.getInt
       val dimIds = Array.fill(rank)(buf.getInt)
@@ -105,37 +117,47 @@ object NetcdfLite {
       val ncType = buf.getInt
       buf.getInt // vsize (recomputed from dims)
       val begin = if (version == 1) buf.getInt.toLong else buf.getLong
-      (vn, dimIds, ncType, begin)
-    }
-    val _ = numrecs
-    headers.map { case (vn, dimIds, ncType, begin) =>
       require(dimIds.forall(id => dimLens(id) != 0),
         s"variable '$vn' uses the unlimited (record) dimension — unsupported")
       val dims = dimIds.map(id => dimLens(id).toLong)
       require(dims.length <= 2, s"variable '$vn': rank ${dims.length} unsupported")
-      val n = dims.product.toInt.max(1)
-      val db = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-      db.position(begin.toInt)
-      val out = new Array[Double](n)
-      var i = 0
-      ncType match {
-        case 1 => while (i < n) { out(i) = db.get().toDouble; i += 1 }       // NC_BYTE
-        case 2 => while (i < n) { out(i) = (db.get() & 0xFF).toDouble; i += 1 } // NC_CHAR
-        case 3 => while (i < n) { out(i) = db.getShort.toDouble; i += 1 }    // NC_SHORT
-        case 4 => while (i < n) { out(i) = db.getInt.toDouble; i += 1 }      // NC_INT
-        case 5 => while (i < n) { out(i) = db.getFloat.toDouble; i += 1 }    // NC_FLOAT
-        case 6 => while (i < n) { out(i) = db.getDouble; i += 1 }            // NC_DOUBLE
-        case t => throw new IllegalArgumentException(s"variable '$vn': nc_type $t unsupported")
-      }
-      NcVariable(vn, dims, out)
+      VarHeader(vn, dims, ncType, begin)
     }
+    val _ = numrecs
+    parsed
   }
 
-  def readVariable(bytes: Array[Byte], name: String): NcVariable = {
-    val all = read(bytes)
+  private def decodeVar(bytes: Array[Byte], h: VarHeader): NcVariable = {
+    val n = h.dims.product.toInt.max(1)
+    val db = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    db.position(h.begin.toInt)
+    val out = new Array[Double](n)
+    var i = 0
+    h.ncType match {
+      case 1 => while (i < n) { out(i) = db.get().toDouble; i += 1 }       // NC_BYTE
+      case 2 => while (i < n) { out(i) = (db.get() & 0xFF).toDouble; i += 1 } // NC_CHAR
+      case 3 => while (i < n) { out(i) = db.getShort.toDouble; i += 1 }    // NC_SHORT
+      case 4 => while (i < n) { out(i) = db.getInt.toDouble; i += 1 }      // NC_INT
+      case 5 => while (i < n) { out(i) = db.getFloat.toDouble; i += 1 }    // NC_FLOAT
+      case 6 => while (i < n) { out(i) = db.getDouble; i += 1 }            // NC_DOUBLE
+      case t => throw new IllegalArgumentException(s"variable '${h.name}': nc_type $t unsupported")
+    }
+    NcVariable(h.name, h.dims, out)
+  }
+
+  private def headerFor(bytes: Array[Byte], name: String): VarHeader = {
+    val all = headers(bytes)
     all.find(_.name == name).getOrElse(throw new IllegalArgumentException(
       s"variable '$name' not found; file has ${all.map(_.name).mkString(", ")}"))
   }
+
+  def readVariable(bytes: Array[Byte], name: String): NcVariable =
+    decodeVar(bytes, headerFor(bytes, name))
+
+  /** Header-only probe: one variable's dims without decoding any
+    * payload — the fromStripes metadata pass. */
+  def readDims(bytes: Array[Byte], name: String): Array[Long] =
+    headerFor(bytes, name).dims
 
   /** Parse past an attribute list (names, types, padded values). */
   private def skipAttributes(buf: ByteBuffer): Unit = {

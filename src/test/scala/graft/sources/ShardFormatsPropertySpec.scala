@@ -37,6 +37,47 @@ class ShardFormatsPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: random chunk grids + shuffle/deflate round-trip exactly (h5py's gzip shape)") {
+    val rng = new scala.util.Random(3331)
+    for (trial <- 1 to 8) {
+      val rows = 1L + rng.nextInt(40); val cols = 1L + rng.nextInt(40)
+      // chunk dims independent of the data dims — edge chunks everywhere
+      val chunk = (1L + rng.nextInt(13), 1L + rng.nextInt(13))
+      val asInt = rng.nextBoolean()
+      val data = Array.fill((rows * cols).toInt)(
+        if (asInt) (rng.nextInt(200001) - 100000).toDouble else rng.nextDouble() * 1e6 - 5e5)
+      val extra = ("row0", Array(1L), Array(trial.toDouble)) // contiguous sibling
+      val bytes = Hdf5Lite.writeChunked(
+        Seq(("data", Array(rows, cols), data), extra), asInt, chunk)
+      val d = Hdf5Lite.readDataset(bytes, "data")
+      assert(d.dims.sameElements(Array(rows, cols)), s"trial $trial dims chunk=$chunk")
+      assert(d.data.zip(data).forall { case (a, b) =>
+        java.lang.Double.doubleToRawLongBits(a) == java.lang.Double.doubleToRawLongBits(b) },
+        s"trial $trial values ${rows}x$cols chunk=$chunk asInt=$asInt")
+      assert(Hdf5Lite.readDataset(bytes, "row0").data(0) == trial.toDouble)
+      assert(Hdf5Lite.readDims(bytes, "data").sameElements(Array(rows, cols)))
+    }
+  }
+
+  test("fromStripes rejects overlapping stripes and coverage gaps explicitly") {
+    def stage(offsets: Seq[(Long, Int)]): String = { // (row0, rows) shards, 4 cols
+      val dir = java.nio.file.Files.createTempDirectory("graft_badstripes").toString
+      offsets.zipWithIndex.foreach { case ((r0, p), k) =>
+        val bytes = Hdf5Lite.write(Seq(
+          ("data", Array(p.toLong, 4L), Array.fill(p * 4)(1.0)),
+          ("row0", Array(1L), Array(r0.toDouble))), asInt = true)
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, f"part-$k%03d.h5"), bytes)
+      }
+      dir
+    }
+    val e1 = intercept[Exception] {
+      DMatrix.fromHdf5(spark, stage(Seq((0L, 5), (3L, 5))), "data", bs = 4).toLocal }
+    assert(e1.getMessage.contains("overlap"))
+    val e2 = intercept[Exception] {
+      DMatrix.fromHdf5(spark, stage(Seq((0L, 3), (5L, 3))), "data", bs = 4).toLocal }
+    assert(e2.getMessage.contains("gap"))
+  }
+
   test("property: random stripe layouts ingest to the exact matrix through both formats") {
     val rng = new scala.util.Random(2229)
     for (trial <- 1 to 3) {
