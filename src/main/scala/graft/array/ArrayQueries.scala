@@ -720,6 +720,33 @@ object ArrayQueries {
     st.unionByName(mk)
   }
 
+  /** a63: integer fancy indexing `x[idx]` / `da.take(x, idx, axis=0)` —
+    * the dask surface a57's mask can't express: the 90-long index
+    * REORDERS (affine (37o+11) mod 64 scramble) and REPEATS rows
+    * (90 > 64 source rows, so ≥26 duplicates), with output longer than
+    * input. The shuffle scales with the OUTPUT volume. Oracle: the LCG
+    * at the scrambled row index, in closed form. */
+  def takeRowsEntry(s: SparkSession, d: String): DataFrame = {
+    val idx = Array.tabulate(90)(o => ((o * 37 + 11) % 64).toLong)
+    matA(s).takeRows(idx).toCoords
+  }
+
+  /** a64: 2-D tensordot / einsum contraction over a chosen axis pair
+    * (`da.tensordot(x, y, axes=(0,0))` and `axes=(1,1)` — the two cases
+    * that are NOT plain matmul, each needing a transposed layout).
+    * Transpose is a narrow block map, so both plans cost exactly one
+    * blocked GEMM. Integer operands keep every dot product exact
+    * (≤ 64·999² < 2^53). Oracle: the contraction as a relational join
+    * on the shared LCG CTEs. */
+  def tensordotEntry(s: SparkSession, d: String): DataFrame = {
+    val a = matA(s); val e = matE(s)
+    val t00 = a.tensordot(e, 0, 0).toCoords
+      .select(lit("td00").as("op"), col("i"), col("j"), col("v"))
+    val t11 = a.tensordot(e, 1, 1).toCoords
+      .select(lit("td11").as("op"), col("i"), col("j"), col("v"))
+    t00.unionByName(t11)
+  }
+
   /** Flagship-scale entry names: Bench runs these once per pass (not
     * REPS×), and PlanAuditSpec's join sweep skips them — their compute is
     * RDD block algebra (no Catalyst joins anywhere) and the returned
@@ -980,6 +1007,8 @@ object ArrayQueries {
     "a60_spdm"           -> (sparseDenseGemm _),
     "a61_clip_where_isin" -> (clipWhereIsin _),
     "a62_cum_extrema"    -> (cumExtrema _),
+    "a63_take_fancy"     -> (takeRowsEntry _),
+    "a64_tensordot"      -> (tensordotEntry _),
     "a37_corrcoef"       -> (corrcoefEntry _),
     "a38_roll_flip"      -> (rollFlipEntry _),
     "a39_gemm_rechunk"   -> (gemmRechunkEntry _),
@@ -1403,6 +1432,20 @@ object ArrayQueries {
                 FROM range(64) ri
                 WHERE ${lcgSql("ri.range", "0", 48, 7, 1000)} % 3 = 0) s,
                range(48) rj""",
+    // fancy index: out(o,j) = lcg((37o+11) mod 64, j) — reorder + repeats
+    "a63_take_fancy" ->
+      s"""SELECT o.range AS i, rj.range AS j,
+                 ${lcgSql("((o.range*37+11)%64)", "rj.range", 48, 7, 1000)} AS v
+          FROM range(90) o, range(48) rj""",
+    // both contractions as joins over the shared LCG CTEs: axes=(0,0)
+    // sums over shared rows, axes=(1,1) over shared columns
+    "a64_tensordot" ->
+      s"""WITH ${matSql("ma", 64, 48, 7)}, ${matSql("me", 64, 48, 19)}
+          SELECT 'td00' AS op, a.j AS i, b.j AS j, sum(a.v * b.v) AS v
+          FROM ma a JOIN me b ON a.i = b.i GROUP BY 2, 3
+          UNION ALL
+          SELECT 'td11', a.i, b.i, sum(a.v * b.v)
+          FROM ma a JOIN me b ON a.j = b.j GROUP BY 2, 3""",
     // the slice in source coordinates: out(i,j) = lcg(i+10, j+5)
     "a36_slice" ->
       s"""SELECT ri.range AS i, rj.range AS j,

@@ -414,6 +414,100 @@ class DMatrix(
     assemblePieces(pieces, mSel, nCols, bs)
   }
 
+  /** Integer fancy indexing `A[idx]` / `da.take(x, idx, axis=0)`:
+    * output row o is source row idx(o) — arbitrary order, repeats
+    * allowed (the dask fancy-indexing surface a boolean mask can't
+    * express: reordering and duplication).
+    *
+    * Scale shape: the index array is metadata (one long per OUTPUT
+    * row — dask materializes it on the client too), broadcast when
+    * small; for huge indices it shuffles as keyed requests grouped by
+    * source block row instead, so no executor ever holds more than its
+    * own blocks' request slice. Either way each source block gathers
+    * ONLY its referenced rows (repeats gathered once per reference) and
+    * ships them keyed by target block — the shuffle is exactly the
+    * OUTPUT volume, like [[sliceStep]]; a target block's pieces tile it
+    * disjointly (every output row has exactly one source), so the
+    * groupByKey assemble holds one block per key, like [[rechunk]]. */
+  def takeRows(idx: Array[Long], broadcastLimit: Long = 1L << 24): DMatrix = {
+    require(idx.nonEmpty, "empty index array")
+    idx.foreach(i => require(0 <= i && i < nRows, s"index $i out of [0, $nRows)"))
+    val bs = blockSize
+    val mOut = idx.length.toLong
+    val n = nCols
+    // per (source block, target block row): the referenced rows, gathered
+    // in one pass, with their scattered target-local positions
+    type Piece = (Array[Int], Array[Double]) // target-local rows; pr × cols col-major
+    def gather(b: Block, reqs: Seq[(Int, Int)] /* (tLocalRow, srcLocalRow) */): Piece = {
+      val pr = reqs.length
+      val tRows = new Array[Int](pr)
+      val data = new Array[Double](pr * b.cols)
+      var k = 0
+      while (k < pr) {
+        val (tr, sr) = reqs(k)
+        tRows(k) = tr
+        var c = 0
+        while (c < b.cols) { data(c * pr + k) = b.data(c * b.rows + sr); c += 1 }
+        k += 1
+      }
+      (tRows, data)
+    }
+    val pieces: RDD[((Int, Int), Piece)] =
+      if (mOut <= broadcastLimit) {
+        val idxB = spark.sparkContext.broadcast(idx)
+        blocks.rdd.flatMap { b =>
+          val lo = b.bi.toLong * bs; val hi = lo + b.rows
+          val ids = idxB.value
+          val byT = scala.collection.mutable.LinkedHashMap[Int, scala.collection.mutable.ArrayBuffer[(Int, Int)]]()
+          var o = 0
+          while (o < ids.length) {
+            val s = ids(o)
+            if (s >= lo && s < hi) {
+              val tbi = o / bs
+              byT.getOrElseUpdate(tbi, new scala.collection.mutable.ArrayBuffer[(Int, Int)]())
+                .append(((o - tbi.toLong * bs).toInt, (s - lo).toInt))
+            }
+            o += 1
+          }
+          byT.iterator.map { case (tbi, reqs) => ((tbi, b.bj), gather(b, reqs.toSeq)) }
+        }
+      } else {
+        // huge index: ship requests through a shuffle instead of a
+        // broadcast — grouped by SOURCE block row, so each data block
+        // joins exactly its own request slice
+        val reqParts = math.max(1, blocks.rdd.getNumPartitions)
+        val requests = spark.sparkContext
+          .parallelize(idx.toIndexedSeq.zipWithIndex, reqParts)
+          .map { case (s, o) => ((s / bs).toInt, (o, (s - (s / bs) * bs).toInt)) }
+          .groupByKey(reqParts)
+        blocks.rdd.map(b => (b.bi, b)).join(requests).values.flatMap { case (b, rs) =>
+          rs.groupBy(_._1 / bs).iterator.map { case (tbi, reqs) =>
+            ((tbi, b.bj),
+             gather(b, reqs.toSeq.map { case (o, sr) => ((o - tbi.toLong * bs).toInt, sr) }))
+          }
+        }
+      }
+    val nParts = math.max(1, math.min(blocks.rdd.getNumPartitions,
+      DMatrix.nBlocks(mOut, bs) * DMatrix.nBlocks(n, bs)))
+    import blocks.sparkSession.implicits._
+    val assembled = pieces.groupByKey(nParts).map { case ((tbi, tbj), ps) =>
+      val rows = DMatrix.blockDim(mOut, bs, tbi)
+      val cols = DMatrix.blockDim(n, bs, tbj)
+      val data = new Array[Double](rows * cols)
+      ps.foreach { case (tRows, pd) =>
+        val pr = tRows.length
+        var k = 0
+        while (k < pr) {
+          var c = 0
+          while (c < cols) { data(c * rows + tRows(k)) = pd(c * pr + k); c += 1 }
+          k += 1
+        }
+      }
+      Block(tbi, tbj, rows, cols, data)
+    }
+    new DMatrix(blocks.sparkSession.createDataset(assembled), mOut, n, bs)
+  }
+
   /** Constant pad (numpy/dask `da.pad(x, ((rb,ra),(cb,ca)), mode=
     * 'constant', constant_values=v)` — the boundary-conditioning step
     * stencil and convolution pipelines run before an overlap map).
@@ -562,6 +656,21 @@ class DMatrix(
     }.flatMap { case (i, row) =>
       row.iterator.zipWithIndex.map { case (v, j) => (i, j.toLong, v) }
     }.toDF("i", "j", "v")
+  }
+
+  /** 2-D tensordot (`da.tensordot(x, y, axes=(axisA, axisB))`, the
+    * 2-operand einsum contraction): contract this matrix's `axisA`
+    * against `other`'s `axisB`; result axes are (this's remaining axis,
+    * other's remaining axis), numpy's order. All four axis pairs reduce
+    * to GEMM after at most two narrow transposes (transpose is a pure
+    * block map — no shuffle), so the cost IS [[multiply]]'s blocked
+    * join/stream at every scale; nothing new moves. */
+  def tensordot(other: DMatrix, axisA: Int, axisB: Int): DMatrix = {
+    require(axisA == 0 || axisA == 1, s"axisA must be 0 or 1, got $axisA")
+    require(axisB == 0 || axisB == 1, s"axisB must be 0 or 1, got $axisB")
+    val a = if (axisA == 1) this else this.transpose
+    val b = if (axisB == 0) other else other.transpose
+    a.multiply(b)
   }
 
   /** Blocked GEMM (reference flagship: `da.matmul`, 10k×10k blocks 1k —

@@ -370,6 +370,47 @@ class ArraySpec extends SparkSpec {
     intercept[IllegalArgumentException] { a.selectRows(none) }
   }
 
+  test("takeRows: reorder/repeat fancy index matches local gather; join path agrees") {
+    val a = DMatrix.randInt(spark, 37, 29, 8, 23L)
+    val local = a.toLocal
+    def check(idx: Array[Long]): Unit = {
+      val got = a.takeRows(idx)
+      assert(got.nRows == idx.length && got.nCols == 29)
+      val g = got.toLocal
+      for (o <- idx.indices; j <- 0 until 29)
+        assert(g(o, j) == local(idx(o).toInt, j), s"out row $o (src ${idx(o)}) col $j")
+      val viaJoin = a.takeRows(idx, broadcastLimit = 1L)
+      assert(viaJoin.toLocal == g, "join-path regime must agree with broadcast")
+    }
+    check(Array.tabulate(50)(o => ((o * 13 + 5) % 37).toLong)) // scramble + repeats
+    check(Array(36L, 35L, 0L, 36L, 1L, 1L))                    // descending + duplicates
+    check(Array(7L))                                           // single row
+    check(Array.tabulate(37)(_.toLong))                        // identity
+    intercept[IllegalArgumentException] { a.takeRows(Array(37L)) }
+    intercept[IllegalArgumentException] { a.takeRows(Array(-1L)) }
+    intercept[IllegalArgumentException] { a.takeRows(Array.empty[Long]) }
+  }
+
+  test("tensordot: all four axis pairs match the local contraction") {
+    val x = DMatrix.randInt(spark, 21, 13, 8, 41L) // ragged both axes
+    val y10 = DMatrix.randInt(spark, 13, 17, 8, 43L)
+    val lx = x.toLocal
+    def localTd(ly: breeze.linalg.DenseMatrix[Double], aA: Int, aB: Int) = {
+      val a = if (aA == 1) lx else lx.t
+      val b = if (aB == 0) ly else ly.t
+      a * b
+    }
+    assert(x.tensordot(y10, 1, 0).toLocal == localTd(y10.toLocal, 1, 0)) // matmul
+    val y00 = DMatrix.randInt(spark, 21, 17, 8, 47L)
+    assert(x.tensordot(y00, 0, 0).toLocal == localTd(y00.toLocal, 0, 0))
+    val y11 = DMatrix.randInt(spark, 19, 13, 8, 53L)
+    assert(x.tensordot(y11, 1, 1).toLocal == localTd(y11.toLocal, 1, 1))
+    val y01 = DMatrix.randInt(spark, 17, 21, 8, 59L)
+    assert(x.tensordot(y01, 0, 1).toLocal == localTd(y01.toLocal, 0, 1))
+    intercept[IllegalArgumentException] { x.tensordot(y10, 2, 0) }
+    intercept[IllegalArgumentException] { x.tensordot(y00, 1, 0) } // dim mismatch
+  }
+
   test("clip/where/isin/cummax/cummin match local elementwise walks") {
     val a = DMatrix.randInt(spark, 37, 29, 8, 31L)
     val la = a.toLocal
