@@ -171,7 +171,8 @@ object Bench {
     // PASSES; individual entries may appear in fewer (partial runs).
     val code = codeId()
     val outPath = Paths.get(if (args.isEmpty) "bench_out.json" else "bench_partial.json")
-    val (merged, samples) = readPrev(outPath) match {
+    val prev = readPrev(outPath)
+    val (merged, samples) = prev match {
       case Some((prevQ, prevS, prevCode, prevSf, prevN)) if prevCode == code && prevSf == sfDir =>
         val m = results.map { case (k, med, lo, hi) =>
           prevQ.get(k) match {
@@ -196,17 +197,60 @@ object Bench {
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    // Drain the listener BEFORE assembling the line: the noise flags
+    // below attach this pass's A19 breakdown to each flagged entry.
+    try metrics.drain(spark) catch { case _: Throwable => () }
+    val breakdowns = try metrics.breakdowns catch { case _: Throwable => Map.empty[String, graft.core.EntryMetrics#Breakdown] }
+    // NOISE FLAGS: any entry whose THIS-PASS median exceeds 2× the best
+    // already recorded for this sf (previous bench_out.json, ANY code id
+    // — that is exactly the cross-round comparison the verdicts keep
+    // re-adjudicating by hand) gets flagged with its A19 attribution
+    // (GC vs shuffle vs fetch-wait vs spill), so a genuinely regressed
+    // entry is distinguishable from a noisy window without diffing JSONs.
+    // Sub-0.15 s absolute deltas are timer noise, not regressions.
+    val prevForFlags: Map[String, Double] = prev match {
+      case Some((prevQ, _, _, prevSf, _)) if prevSf == sfDir => prevQ
+      case _ => Map.empty
+    }
+    val prevGc: Map[String, Double] = try {
+      val mPath = Paths.get(if (args.isEmpty) "bench_metrics.json" else "bench_metrics_partial.json")
+      if (!Files.exists(mPath)) Map.empty else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(Files.readString(mPath))
+        import scala.jdk.CollectionConverters._
+        root.path("entries").properties().asScala
+          .map(e => e.getKey -> e.getValue.path("gc_sec").asDouble(0.0)).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val flags = results.flatMap { case (name, med, _, _) =>
+      prevForFlags.get(name) match {
+        case Some(best) if best > 0 && med > 2 * best && med - best > 0.15 =>
+          val b = breakdowns.get(name)
+          def f(v: Double) = f"$v%.3f"
+          val attrib = b.map { bd =>
+            s""","gc_sec":${f(bd.gcMs / 1e3)},"fetch_wait_sec":${f(bd.fetchWaitMs / 1e3)}""" +
+            s""","shuffle_read_mb":${f(bd.shuffleReadBytes / 1e6)},"spill_mb":${f((bd.spillMemBytes + bd.spillDiskBytes) / 1e6)}""" +
+            s""","peak_mem_mb":${f(bd.peakMemBytes / 1e6)}"""
+          }.getOrElse("")
+          val prevG = prevGc.get(name).map(g => s""","prev_gc_sec":${f(g)}""").getOrElse("")
+          Some(name -> s"""{"now":${f(med)},"best":${f(best)},"ratio":${f(med / best)}$attrib$prevG}""")
+        case _ => None
+      }
+    }
+    if (flags.nonEmpty)
+      System.err.println(s"[bench] ${flags.size} entries >2x their recorded best: " +
+        flags.map(_._1).mkString(", "))
+    val fJson = flags.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val qJson = merged.map { case (k, med, _, _) => s"${jstr(k)}:$med" }.mkString("{", ",", "}")
     val sJson = merged.map { case (k, _, lo, hi) => s"${jstr(k)}:[$lo,$hi]" }.mkString("{", ",", "}")
     val eJson = errors.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = merged.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"spread":$sJson,"reps":$reps,"heavy_reps":$heavyReps,"samples":$samples,"code":${jstr(code)},"errors":$eJson,"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"spread":$sJson,"reps":$reps,"heavy_reps":$heavyReps,"samples":$samples,"code":${jstr(code)},"errors":$eJson,"flags":$fJson,"sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(outPath, line)
     // A19 breakdown file: raw per-entry sums over this pass's reps (no
     // best-of merge — a breakdown only explains the pass it measured).
     try {
-      metrics.drain(spark)
       val mPath = if (args.isEmpty) "bench_metrics.json" else "bench_metrics_partial.json"
       Files.writeString(Paths.get(mPath),
         metrics.toJson(Map("code" -> code, "sf" -> sfDir,
