@@ -508,6 +508,12 @@ class DMatrix(
     new DMatrix(blocks.sparkSession.createDataset(assembled), mOut, n, bs)
   }
 
+  /** Column-axis fancy indexing `da.take(x, idx, axis=1)`: two narrow
+    * transposes around [[takeRows]] — the transposes are pure block
+    * maps, so the cost IS the row take's output-volume shuffle. */
+  def takeCols(idx: Array[Long], broadcastLimit: Long = 1L << 24): DMatrix =
+    transpose.takeRows(idx, broadcastLimit).transpose
+
   /** Constant pad (numpy/dask `da.pad(x, ((rb,ra),(cb,ca)), mode=
     * 'constant', constant_values=v)` — the boundary-conditioning step
     * stencil and convolution pipelines run before an overlap map).

@@ -650,7 +650,55 @@ object Predict {
               expr("(d_num * 1000000) div (n_a * n_b)").as("d_ppm"))
   }
 
+  /** ml19: EXTERNAL MODEL-ARTIFACT INGESTION — the reference's
+    * torch/keras/numpy payload handlers (`SS/wukong/protocol/torch.py`,
+    * `keras.py`, `numpy.py`): a model serialized OUTSIDE the engine
+    * arrives as a binary artifact and must become a broadcast scorer.
+    * A 2×4 weight matrix (two scorers × four features) is staged as an
+    * NPY v1 file from an EXECUTOR (the src15 staging pattern), ingested
+    * back through binaryFile → `NpyLite.read`, and broadcast into a
+    * map-side lineitem scoring pass — the artifact never rides a
+    * shuffle, the fact table never collects. All-integer weights and
+    * cent-domain features keep every score exact; the oracle recomputes
+    * the weights from the LCG closed form. */
+  def npyModelScore(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.{FileFormats, NpyLite}
+    val tmp = FileFormats.scratch("npy")
+    FileFormats.deleteTree(Paths.get(tmp))
+    Files.createDirectories(Paths.get(tmp))
+    s.range(1).foreach { _ =>
+      val w = Array.tabulate(8)(k =>
+        (graft.array.DMatrix.lcg(k / 4, k % 4, 4, 37L) % 100L).toDouble)
+      Files.write(Paths.get(tmp, "model.npy"),
+        NpyLite.write(Array(2L, 4L), w, asInt = true))
+      ()
+    }
+    val bytes = s.read.format("binaryFile").option("pathGlobFilter", "*.npy")
+      .load(tmp).select("content").head.getAs[Array[Byte]](0)
+    val m = NpyLite.read(bytes)
+    require(m.dims.sameElements(Array(2L, 4L)), s"bad model shape ${m.dims.mkString("x")}")
+    val w = s.sparkContext.broadcast(m.data)
+    val feats = Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("f0"),
+      expr("cast(round(l_extendedprice * 100) as bigint) div 100").as("f1"),
+      expr("cast(round(l_discount * 100) as bigint)").as("f2"),
+      expr("cast(round(l_tax * 100) as bigint)").as("f3"))
+    val wv = w.value.map(v => lit(v.toLong))
+    feats.select(col("l_returnflag"),
+        (wv(0) * col("f0") + wv(1) * col("f1") + wv(2) * col("f2") + wv(3) * col("f3")).as("s0"),
+        (wv(4) * col("f0") + wv(5) * col("f1") + wv(6) * col("f2") + wv(7) * col("f3")).as("s1"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("s0")).cast("long").as("score0_sum"),
+           sum(col("s1")).cast("long").as("score1_sum"),
+           sum(when(col("s0") > col("s1"), 1L).otherwise(0L)).as("n_pick0"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml19_npy_model"     -> (npyModelScore _),
     "ml18_ks"            -> (ksTest _),
     "ml17_psi"           -> (psiDrift _),
     "ml16_chi2"          -> (chi2Contingency _),
@@ -699,7 +747,29 @@ object Predict {
     base + steps + "\n       " + rows
   }
 
+  /** The staged NPY weight w[k] = lcg(k/4, k%4, 4, 37) % 100 in closed
+    * form (i*4+j == k, so the LCG collapses to one term per k). */
+  private def wSql(k: Int) = s"((CAST($k AS BIGINT)*1103515245+37)%2147483647%100)"
+
   val oracles: Map[String, String] = Map(
+    // integer cent-domain features, the staged weights in closed form —
+    // the artifact moved a model, never values
+    "ml19_npy_model" ->
+      s"""WITH f AS (SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS f0,
+                 CAST(round(l_extendedprice*100) AS BIGINT)//100 AS f1,
+                 CAST(round(l_discount*100) AS BIGINT) AS f2,
+                 CAST(round(l_tax*100) AS BIGINT) AS f3
+               FROM lineitem),
+          s AS (SELECT l_returnflag,
+                 ${wSql(0)}*f0 + ${wSql(1)}*f1 + ${wSql(2)}*f2 + ${wSql(3)}*f3 AS s0,
+                 ${wSql(4)}*f0 + ${wSql(5)}*f1 + ${wSql(6)}*f2 + ${wSql(7)}*f3 AS s1
+               FROM f)
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(s0) AS BIGINT) AS score0_sum,
+                 CAST(sum(s1) AS BIGINT) AS score1_sum,
+                 CAST(sum(CASE WHEN s0 > s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pick0
+          FROM s GROUP BY 1 ORDER BY 1""",
     // same $1000 buckets and period split, same per-term floor-nano
     // ln discipline (t46), one-sided buckets counted not ln(0)'d
     "ml17_psi" ->

@@ -386,6 +386,11 @@ class ArraySpec extends SparkSpec {
     check(Array(36L, 35L, 0L, 36L, 1L, 1L))                    // descending + duplicates
     check(Array(7L))                                           // single row
     check(Array.tabulate(37)(_.toLong))                        // identity
+    // axis=1: column take with reorder + repeats through the transpose route
+    val cIdx = Array(28L, 3L, 3L, 11L, 0L)
+    val gc2 = a.takeCols(cIdx).toLocal
+    for (i <- 0 until 37; o <- cIdx.indices)
+      assert(gc2(i, o) == local(i, cIdx(o).toInt), s"col take ($i,$o)")
     intercept[IllegalArgumentException] { a.takeRows(Array(37L)) }
     intercept[IllegalArgumentException] { a.takeRows(Array(-1L)) }
     intercept[IllegalArgumentException] { a.takeRows(Array.empty[Long]) }
