@@ -66,8 +66,8 @@ final class Client(val spark: SparkSession)(implicit ec: ExecutionContext = Dela
           // Task-not-serializable/NPE from inside the collect job
           Future.failed(new RuntimeException(
             s"large map (>= ${Client.largeMapThreshold} elements) runs on executors; " +
-            "element functions must not use SparkSession/Datasets — " +
-            "split below Client.largeMapThreshold or make f executor-safe", e))
+            "element functions must not use SparkSession/Datasets " +
+            s"(see Client.largeMapThreshold). Underlying failure: ${e.getMessage}", e))
         }
     val promises = IndexedSeq.fill(items.size)(Promise[T]())
     jobF.onComplete {
