@@ -40,7 +40,8 @@ object ScaleProbe {
     "t30_prefix_join",    // rarest-shingle inverted index exact Jaccard
     "t44_containment",    // one-sided containment prefix filter
     "q37_global_rank",    // two-pass salted global rank
-    "t20_pack_sequences"  // distributed prefix-scan packing
+    "t20_pack_sequences", // distributed prefix-scan packing
+    "e04_embed_neardup"   // sign-bit banded LSH embedding dedup
   )
 
   private def gen(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
@@ -71,6 +72,22 @@ object ScaleProbe {
         col("o_orderpriority"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    // embeddings: per-replica deterministic sign-flip pattern — an
+    // orthogonal transform, so every intra-replica cosine (and hence
+    // e04's near-dup pair structure) is EXACTLY preserved per replica
+    // while cross-replica vectors scatter; volume scales, geometry
+    // doesn't
+    spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .select(col("*"), reps)
+      .select(
+        (col("vec_id") + col("r").cast("long") * 10000000L).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+                  CASE WHEN r = 0 THEN x
+                       WHEN (CAST(i+1 AS BIGINT)*(r+13)*1103515245) % 2147483647 % 2 = 0
+                       THEN -x ELSE x END)""").as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     Files.createFile(doneMarker)
     ()
   }
