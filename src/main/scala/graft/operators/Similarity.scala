@@ -48,6 +48,24 @@ object Similarity {
     math.min(30, math.max(DefaultPlanes, needed))
   }
 
+  /** Per-band plane count scaled to corpus size — [[numPlanesFor]]'s law
+    * for the BANDED dedup join. A fixed 4-bit band (16 buckets) makes
+    * per-band candidates O(N²/16): the round-12 scaling probe measured
+    * exactly that — the e04 pipeline at 16× sf0.1 volume blew up to a
+    * 3.42 time-vs-volume exponent and a 3.8 GB candidate shuffle.
+    * Holding per-bucket occupancy at `targetOccupancy` instead makes
+    * candidates ≈ N·occupancy/2 per band — LINEAR in N. Floored at 4
+    * (the fixture-pinned constant, so gate corpora of ≤4·occupancy
+    * vectors plan identically to the pinned oracles) and capped at 20
+    * (band bucket ids pack into a Long well clear of the sign bit).
+    * More planes per band lowers per-band recall; `numBands` recovers
+    * it — the standard banding tradeoff, same as MinHash-LSH t06. */
+  def planesPerBandFor(n: Long, targetOccupancy: Long = 256L): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.min(20, math.max(4, needed))
+  }
+
   /** Integer-quantized copy of a float embedding array. */
   def quantize(c: Column): Column =
     transform(c, x => floor(x.cast("double") * Scale + 0.5).cast("long"))
@@ -189,6 +207,17 @@ object Similarity {
     out
   }
 
+  /** [[embedNearDups]] with the band width sized to the corpus by
+    * [[planesPerBandFor]]: one count job (ids only — metadata-scale)
+    * picks the plane count that holds per-bucket occupancy, so the
+    * candidate join stays linear in N instead of O(N²/2^4). At gate
+    * fixture sizes (N ≤ 4·targetOccupancy) this resolves to the pinned
+    * 4-plane constant, so the e04 oracle covers both paths verbatim. */
+  def embedNearDupsScaled(emb: DataFrame, minCos: Double, numBands: Int = 4,
+                          targetOccupancy: Long = 256L): DataFrame =
+    embedNearDups(emb, minCos,
+      planesPerBandFor(emb.select(col("vec_id")).count(), targetOccupancy), numBands)
+
   /** IVF coarse assignment: each vector goes to its nearest of `k`
     * centroids by exact squared L2 (integer domain). Centroids here are
     * the k lowest-id corpus vectors — a deterministic stand-in for a
@@ -315,9 +344,13 @@ object Similarity {
   /** e04: embedding-cosine near-dup pairs via banded LSH. The synthetic
     * embeddings are mean-centered (max pairwise cosine ≈ 0.46), so the
     * gate threshold 0.3 plays the role a ~0.95 threshold would on a real
-    * near-dup corpus — the pipeline shape is identical. */
+    * near-dup corpus — the pipeline shape is identical. Runs the
+    * OCCUPANCY-SCALED path ([[embedNearDupsScaled]] — the round-12
+    * scaling probe caught the fixed 4-bit band going O(N²) at 16×
+    * volume); at every gate scale (N ≤ 1024) the law resolves to the
+    * same pinned 4 planes the oracle mirrors. */
   def embedNearDupQuery(s: SparkSession, d: String): DataFrame =
-    embedNearDups(TextSim.spread(Tables.embeddings(s, d)), 0.3)
+    embedNearDupsScaled(TextSim.spread(Tables.embeddings(s, d)), 0.3)
 
   /** e05: IVF-bucketed nearest same-cell neighbor (exact oracle). The
     * gate PINS 8 cells — the constant the oracle SQL hardcodes — the

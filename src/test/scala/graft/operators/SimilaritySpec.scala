@@ -188,6 +188,25 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"false near-dups: ${pairs - ((1L, 2L))}")
   }
 
+  test("banded dedup occupancy law: planes grow with N, floor at the pinned 4, cap at 20") {
+    // the round-12 scaling probe measured the fixed 4-bit band going
+    // O(N^2): 3.42 exponent / 3.8 GB candidate shuffle at 16x sf0.1 —
+    // this law is the fix, so pin its shape
+    assert(Similarity.planesPerBandFor(2000L) == 4)          // every gate fixture
+    assert(Similarity.planesPerBandFor(1024L) == 4)          // floor boundary
+    assert(Similarity.planesPerBandFor(8192L) == 5)          // 32 buckets, occ 256
+    assert(Similarity.planesPerBandFor(32000L) == 7)         // the probe's 16x point
+    assert(Similarity.planesPerBandFor(1_000_000_000L) == 20) // cap: Long band ids
+    // scaled variant must be EXACTLY the pinned pipeline at fixture scale
+    // (N <= 4*occupancy resolves to 4 planes — the oracle's constants)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val scaled = Similarity.embedNearDupsScaled(emb, 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val pinned = Similarity.embedNearDups(emb, 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(scaled == pinned, "scaled path must match the pinned gate constants at fixture N")
+  }
+
   test("e11 cluster profile: inertia and radius equal a local recomputation from the assignment") {
     import org.apache.spark.sql.functions._
     val assign = graft.ml.Cluster.assignDF(
