@@ -160,8 +160,14 @@ object Cluster {
       .select(col("vec_id"), col("cell"))
   }
 
-  def semanticDedupQuery(s: SparkSession, d: String): DataFrame =
-    semanticDedup(TextSim.spread(Tables.embeddings(s, d)))
+  /** e06 entry: runs the occupancy-scaled cell count
+    * ([[Similarity.numCellsFor]] — resolves to the pinned 8 cells at
+    * every gate sf, grows linearly with N, the e04/e05 discipline). */
+  def semanticDedupQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = TextSim.spread(Tables.embeddings(s, d))
+    semanticDedup(emb, k = graft.operators.Similarity.numCellsFor(
+      emb.select(col("vec_id")).count()))
+  }
 
   /** e11: clustering QUALITY profile — per-cell inertia (Σ‖q − c‖²),
     * squared radius (max member distance) and membership, the

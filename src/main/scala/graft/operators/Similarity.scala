@@ -207,6 +207,22 @@ object Similarity {
     out
   }
 
+  /** [[annTopK]] with the plane count sized by [[numPlanesFor]] — one
+    * metadata-scale count picks the bucket grain, so the per-bucket
+    * self-join stays at target occupancy instead of O((N/256)²). At
+    * gate fixture sizes the law resolves to the pinned
+    * [[DefaultPlanes]], so the e03 oracle covers this path verbatim. */
+  def annTopKScaled(emb: DataFrame, k: Int, targetOccupancy: Long = 4096L): DataFrame =
+    annTopK(emb, k,
+      numPlanesFor(emb.select(col("vec_id")).count(), targetOccupancy))
+
+  /** [[ivfTopK]] with the cell count sized by [[numCellsFor]] — same
+    * contract: resolves to the pinned 8 cells at gate fixture sizes,
+    * grows linearly with N past 8·targetOccupancy. */
+  def ivfTopKScaled(emb: DataFrame, topK: Int, targetOccupancy: Long = 256L): DataFrame =
+    ivfTopK(emb, topK,
+      numCellsFor(emb.select(col("vec_id")).count(), targetOccupancy))
+
   /** [[embedNearDups]] with the band width sized to the corpus by
     * [[planesPerBandFor]]: one count job (ids only — metadata-scale)
     * picks the plane count that holds per-bucket occupancy, so the
@@ -337,9 +353,11 @@ object Similarity {
   def bucketsQuery(s: SparkSession, d: String): DataFrame =
     lshBuckets(TextSim.spread(Tables.embeddings(s, d)))
 
-  /** e03: nearest same-bucket neighbor per vector (exact oracle). */
+  /** e03: nearest same-bucket neighbor per vector (exact oracle). Runs
+    * the occupancy-scaled path — the law resolves to the pinned
+    * DefaultPlanes at every gate scale, the e04 discipline. */
   def annQuery(s: SparkSession, d: String): DataFrame =
-    annTopK(TextSim.spread(Tables.embeddings(s, d)), 1)
+    annTopKScaled(TextSim.spread(Tables.embeddings(s, d)), 1)
 
   /** e04: embedding-cosine near-dup pairs via banded LSH. The synthetic
     * embeddings are mean-centered (max pairwise cosine ≈ 0.46), so the
@@ -352,15 +370,14 @@ object Similarity {
   def embedNearDupQuery(s: SparkSession, d: String): DataFrame =
     embedNearDupsScaled(TextSim.spread(Tables.embeddings(s, d)), 0.3)
 
-  /** e05: IVF-bucketed nearest same-cell neighbor (exact oracle). The
-    * gate PINS 8 cells — the constant the oracle SQL hardcodes — the
-    * same way e02/e03 pin DefaultPlanes, so the entry stays correct at
-    * any sf (a scaled cell count on one side only would be an
-    * oracle/parameter skew, not a wrong answer). Production callers
-    * size cells via [[numCellsFor]] from a corpus count or catalog
-    * stats; the scale law is spec-covered in SimilaritySpec. */
+  /** e05: IVF-bucketed nearest same-cell neighbor (exact oracle). Runs
+    * the occupancy-scaled path: [[numCellsFor]] resolves to exactly the
+    * 8 cells the oracle SQL hardcodes at every gate sf (the law floors
+    * there), and grows the cell count linearly with N past
+    * 8·targetOccupancy — so the gate verifies the production sizing
+    * path, not a parallel pinned one. */
   def ivfQuery(s: SparkSession, d: String): DataFrame =
-    ivfTopK(TextSim.spread(Tables.embeddings(s, d)), 1, k = 8)
+    ivfTopKScaled(TextSim.spread(Tables.embeddings(s, d)), 1)
 
   /** Exact maximum-inner-product top-k (MIPS) — retrieval where
     * magnitude matters (un-normalized embeddings: recommender scores,

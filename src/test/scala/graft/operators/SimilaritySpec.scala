@@ -205,6 +205,22 @@ class SimilaritySpec extends SparkSpec {
     val pinned = Similarity.embedNearDups(emb, 0.3)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(scaled == pinned, "scaled path must match the pinned gate constants at fixture N")
+    // the ANN/IVF scaled paths resolve to their pinned constants at
+    // fixture N too (floors of the laws) — the gate oracles therefore
+    // verify the production sizing path, not a parallel pinned one
+    val n = emb.count()
+    assert(Similarity.numPlanesFor(n) == Similarity.DefaultPlanes)
+    assert(Similarity.numCellsFor(n) == 8)
+    val annScaled = Similarity.annTopKScaled(emb, 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val annPinned = Similarity.annTopK(emb, 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(annScaled == annPinned)
+    val ivfScaled = Similarity.ivfTopKScaled(emb, 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val ivfPinned = Similarity.ivfTopK(emb, 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivfScaled == ivfPinned)
   }
 
   test("e11 cluster profile: inertia and radius equal a local recomputation from the assignment") {
