@@ -487,8 +487,10 @@ object Hdf5Lite {
     * `create_dataset(..., chunks=..., shuffle=True, compression="gzip")`.
     * Rank-1 datasets (the `row0` stripe offsets) stay contiguous. Edge
     * chunks are stored full-size and zero-padded, as libhdf5 does.
-    * Fixture-staging scope like [[write]]: one leaf B-tree node, so the
-    * chunk count per dataset must stay ≤ 256. */
+    * The chunk index is a v1 B-tree: a single leaf for ≤128 chunks,
+    * else one internal node over ≤256 sibling-chained leaves (up to
+    * 32,768 chunks — enough to exercise the reader's level>0 recursion,
+    * which real libhdf5 files hit routinely). */
   def writeChunked(datasets: Seq[(String, Array[Long], Array[Double])],
                    asInt: Boolean, chunk: (Long, Long)): Array[Byte] = {
     require(datasets.nonEmpty && datasets.forall(_._2.length <= 2))
@@ -546,10 +548,12 @@ object Hdf5Lite {
           defl.end()
           Ck(oi, oj, outStream.toByteArray)
         }
-        require(cks.size <= 256, s"single-leaf chunk B-tree supports ≤256 chunks, got ${cks.size}")
+        require(cks.size <= 128 * 256,
+          s"two-level chunk B-tree supports ≤32768 chunks, got ${cks.size}")
         Some(cks)
       case _ => None
     }
+    val LeafCap = 128
 
     // --- address plan (same skeleton as write, plus pipeline msg,
     // chunked layout msg, B-tree node and chunk payloads per dataset)
@@ -575,16 +579,31 @@ object Hdf5Lite {
     val snodAddr = btreeAddr + btreeSz
     var cursor = snodAddr + snodSz
     val ohAddrs = dsOhSz.map { sz => val a = cursor; cursor += sz; a }
-    // per chunked dataset: a single leaf B-tree node then its chunks;
-    // per contiguous dataset: the raw data block
+    // per chunked dataset: the B-tree root (leaf, or internal over
+    // ≤LeafCap-entry leaves) then its chunks; per contiguous dataset:
+    // the raw data block
     val chunkBtAddrs = new Array[Long](sorted.size)
+    val chunkLeafGroups = new Array[Seq[Seq[Ck]]](sorted.size)
+    val chunkLeafAddrs = new Array[Seq[Long]](sorted.size)
     val chunkDataAddrs = new Array[Seq[Long]](sorted.size)
     val contigAddrs = new Array[Long](sorted.size)
+    def nodeSz(entries: Int): Long = 24L + entries * (chunkKeySz + 8) + chunkKeySz
     sorted.indices.foreach { k =>
       chunked(k) match {
         case Some(cks) =>
-          chunkBtAddrs(k) = cursor
-          cursor += 24L + cks.size * (chunkKeySz + 8) + chunkKeySz // entries + final key
+          val leaves = cks.grouped(LeafCap).toSeq
+          chunkLeafGroups(k) = leaves
+          if (leaves.size == 1) {
+            chunkBtAddrs(k) = cursor
+            cursor += nodeSz(cks.size)
+            chunkLeafAddrs(k) = Seq(chunkBtAddrs(k))
+          } else {
+            chunkBtAddrs(k) = cursor // internal (level 1) node
+            cursor += nodeSz(leaves.size)
+            chunkLeafAddrs(k) = leaves.map { lv =>
+              val a = cursor; cursor += nodeSz(lv.size); a
+            }
+          }
           chunkDataAddrs(k) = cks.map { c => val a = cursor; cursor += c.stored.length; a }
         case None =>
           contigAddrs(k) = cursor
@@ -665,18 +684,36 @@ object Hdf5Lite {
         buf.putLong(chunkBtAddrs(k))
         buf.putInt(chunk._1.toInt).putInt(chunk._2.toInt).putInt(8)
         padTo8(buf, 2 + 1 + 8 + 12)
-        // chunk B-tree: one leaf
+        // chunk B-tree: leaf(s), plus an internal node when >LeafCap
         val cks = chunked(k).get
-        buf.position(chunkBtAddrs(k).toInt)
-        buf.put("TREE".getBytes).put(1.toByte).put(0.toByte).putShort(cks.size.toShort)
-        buf.putLong(Undef).putLong(Undef)
-        cks.zipWithIndex.foreach { case (c, i) =>
+        val leaves = chunkLeafGroups(k)
+        def putKey(c: Ck): Unit = {
           buf.putInt(c.stored.length).putInt(0)
           buf.putLong(c.oi).putLong(c.oj).putLong(0L)
-          buf.putLong(chunkDataAddrs(k)(i))
         }
-        buf.putInt(0).putInt(0) // final key: one past the last chunk
-        buf.putLong(dims(0)).putLong(if (dims.length == 2) dims(1) else 0L).putLong(8L)
+        def putEndKey(): Unit = {
+          buf.putInt(0).putInt(0) // one past the last chunk
+          buf.putLong(dims(0)).putLong(if (dims.length == 2) dims(1) else 0L).putLong(8L)
+        }
+        if (leaves.size > 1) {
+          buf.position(chunkBtAddrs(k).toInt)
+          buf.put("TREE".getBytes).put(1.toByte).put(1.toByte).putShort(leaves.size.toShort)
+          buf.putLong(Undef).putLong(Undef)
+          leaves.zipWithIndex.foreach { case (lv, i) =>
+            putKey(lv.head); buf.putLong(chunkLeafAddrs(k)(i))
+          }
+          putEndKey()
+        }
+        var ci = 0
+        leaves.zipWithIndex.foreach { case (lv, li) =>
+          buf.position(chunkLeafAddrs(k)(li).toInt)
+          buf.put("TREE".getBytes).put(1.toByte).put(0.toByte).putShort(lv.size.toShort)
+          buf.putLong(if (li == 0) Undef else chunkLeafAddrs(k)(li - 1))
+          buf.putLong(if (li == leaves.size - 1) Undef else chunkLeafAddrs(k)(li + 1))
+          lv.foreach { c => putKey(c); buf.putLong(chunkDataAddrs(k)(ci)); ci += 1 }
+          // final key: the next leaf's first chunk (spec), or past-the-end
+          if (li == leaves.size - 1) putEndKey() else putKey(leaves(li + 1).head)
+        }
         cks.zipWithIndex.foreach { case (c, i) =>
           buf.position(chunkDataAddrs(k)(i).toInt)
           buf.put(c.stored)

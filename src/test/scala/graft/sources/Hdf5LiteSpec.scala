@@ -79,6 +79,30 @@ class Hdf5LiteSpec extends AnyFunSuite {
     assert(readDataset(bytes, "m").data.sameElements(data))
   }
 
+  test("multi-leaf chunk B-tree: >128 chunks round-trip through the internal-node walk") {
+    // 60x60 in 3x3 chunks = 400 chunks -> one internal node over 4
+    // sibling-chained leaves: the reader's level>0 recursion (which any
+    // real libhdf5 file of this size hits) is what this exercises
+    val dims = Array(60L, 60L)
+    val data = Array.tabulate(3600)(k => ((k * 29 + 3) % 1000).toDouble)
+    val bytes = writeChunked(Seq(("m", dims, data)), asInt = true, chunk = (3L, 3L))
+    val d = readDataset(bytes, "m")
+    assert(d.dims.sameElements(dims) && d.data.sameElements(data))
+    // verify the root really is an internal node, not one big leaf:
+    // its level byte sits 5 bytes into the node after the TREE sig
+    val dl = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val sig = "TREE".getBytes
+    // find chunk B-tree nodes (type byte 1 after signature); count levels
+    val levels = (0 until bytes.length - 6).collect {
+      case i if bytes(i) == sig(0) && bytes(i + 1) == sig(1) &&
+                bytes(i + 2) == sig(2) && bytes(i + 3) == sig(3) &&
+                bytes(i + 4) == 1 => bytes(i + 5).toInt
+    }
+    assert(levels.count(_ == 1) == 1 && levels.count(_ == 0) == 4,
+      s"expected 1 internal + 4 leaf chunk nodes, got levels ${levels.mkString(",")}")
+    val _ = dl
+  }
+
   test("row-major rank-2 layout: cell (i,j) reads back from offset i*cols+j") {
     val dims = Array(3L, 4L)
     val data = Array.tabulate(12)(_.toDouble) // row-major: row i = [4i, 4i+3]

@@ -42,6 +42,23 @@ class NpyLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("NPY v2 header (u32 length) reads back — numpy emits v2 for huge headers") {
+    // hand-build a v2 image: same dict header, u32 hlen instead of u16
+    val data = Array(3.0, 1.0, 4.0, 1.0, 5.0)
+    val dict = "{'descr': '<f8', 'fortran_order': False, 'shape': (5,), }"
+    val unpadded = 12 + dict.length + 1
+    val hlen = ((unpadded + 63) / 64) * 64 - 12
+    val header = dict + (" " * (hlen - dict.length - 1)) + "\n"
+    val buf = java.nio.ByteBuffer.allocate(12 + hlen + 40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(0x93.toByte).put("NUMPY".getBytes).put(2.toByte).put(0.toByte)
+    buf.putInt(hlen)
+    buf.put(header.getBytes)
+    data.foreach(buf.putDouble)
+    val a = read(buf.array())
+    assert(a.dims.sameElements(Array(5L)) && a.data.sameElements(data))
+  }
+
   test("non-NPY bytes and unsupported descr fail with explicit messages") {
     val e1 = intercept[IllegalArgumentException](read("not an npy".getBytes))
     assert(e1.getMessage.contains("magic"))
