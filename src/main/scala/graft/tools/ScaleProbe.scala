@@ -41,7 +41,8 @@ object ScaleProbe {
     "t44_containment",    // one-sided containment prefix filter
     "q37_global_rank",    // two-pass salted global rank
     "t20_pack_sequences", // distributed prefix-scan packing
-    "e04_embed_neardup"   // sign-bit banded LSH embedding dedup
+    "e04_embed_neardup",  // sign-bit banded LSH embedding dedup
+    "i03_triangles"       // degree-oriented triangle counting
   )
 
   private def gen(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
@@ -72,6 +73,17 @@ object ScaleProbe {
         col("o_orderpriority"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    // lineitem: order AND supplier keys offset per replica, so the i03
+    // supplier co-purchase graph becomes K disjoint copies — degree
+    // distribution, orientation ranks and per-node out-lists are what
+    // sf0.1 planted, volume (and triangle count) scale linearly
+    spark.read.parquet(s"$srcDir/lineitem.parquet")
+      .select(col("*"), reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("r").cast("long") * 100000000L)
+      .withColumn("l_suppkey", col("l_suppkey") + col("r").cast("long") * 100000000L)
+      .drop("r")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     // embeddings: per-replica deterministic sign-flip pattern — an
     // orthogonal transform, so every intra-replica cosine (and hence
     // e04's near-dup pair structure) is EXACTLY preserved per replica
