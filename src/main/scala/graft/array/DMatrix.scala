@@ -429,9 +429,12 @@ class DMatrix(
     * OUTPUT volume, like [[sliceStep]]; a target block's pieces tile it
     * disjointly (every output row has exactly one source), so the
     * groupByKey assemble holds one block per key, like [[rechunk]]. */
-  def takeRows(idx: Array[Long], broadcastLimit: Long = 1L << 24): DMatrix = {
-    require(idx.nonEmpty, "empty index array")
-    idx.foreach(i => require(0 <= i && i < nRows, s"index $i out of [0, $nRows)"))
+  def takeRows(idx0: Array[Long], broadcastLimit: Long = 1L << 24): DMatrix = {
+    require(idx0.nonEmpty, "empty index array")
+    // numpy/dask negative-index convention: -1 is the last row
+    val idx = idx0.map(i => if (i < 0) i + nRows else i)
+    idx.foreach(i => require(0 <= i && i < nRows,
+      s"index $i out of [-$nRows, $nRows)"))
     val bs = blockSize
     val mOut = idx.length.toLong
     val n = nCols

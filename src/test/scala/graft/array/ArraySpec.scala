@@ -391,8 +391,13 @@ class ArraySpec extends SparkSpec {
     val gc2 = a.takeCols(cIdx).toLocal
     for (i <- 0 until 37; o <- cIdx.indices)
       assert(gc2(i, o) == local(i, cIdx(o).toInt), s"col take ($i,$o)")
+    // numpy convention: -1 = last row, -nRows = first
+    val neg = a.takeRows(Array(-1L, -37L, 5L)).toLocal
+    for (j <- 0 until 29) {
+      assert(neg(0, j) == local(36, j) && neg(1, j) == local(0, j) && neg(2, j) == local(5, j))
+    }
     intercept[IllegalArgumentException] { a.takeRows(Array(37L)) }
-    intercept[IllegalArgumentException] { a.takeRows(Array(-1L)) }
+    intercept[IllegalArgumentException] { a.takeRows(Array(-38L)) }
     intercept[IllegalArgumentException] { a.takeRows(Array.empty[Long]) }
   }
 
