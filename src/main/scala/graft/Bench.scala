@@ -248,6 +248,12 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"spread":$sJson,"reps":$reps,"heavy_reps":$heavyReps,"samples":$samples,"code":${jstr(code)},"errors":$eJson,"flags":$fJson,"sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(outPath, line)
+    // Compact machine-readable summary, re-printed as the very LAST
+    // stdout line (after the metrics dump below, right before exit): the
+    // full line above is ~20 KB and a tail-capture of stdout can truncate
+    // it mid-JSON (BENCH_r12 was recorded unparseable that way). The
+    // per-entry detail stays in bench_out.json either way.
+    def summaryLine = s"""{"metric":"total","value":$total,"unit":"sec","entries":${merged.size},"nflags":${flags.size},"nerrors":${errors.size},"samples":$samples,"code":${jstr(code)},"sf":${jstr(sfDir)}}"""
     // A19 breakdown file: raw per-entry sums over this pass's reps (no
     // best-of merge — a breakdown only explains the pass it measured).
     try {
@@ -259,5 +265,6 @@ object Bench {
       System.err.println(s"[bench] metrics dump failed (bench_out.json unaffected): $e")
     }
     spark.stop()
+    println(summaryLine)
   }
 }

@@ -457,22 +457,28 @@ class DMatrix(
     }
     val pieces: RDD[((Int, Int), Piece)] =
       if (mOut <= broadcastLimit) {
-        val idxB = spark.sparkContext.broadcast(idx)
-        blocks.rdd.flatMap { b =>
-          val lo = b.bi.toLong * bs; val hi = lo + b.rows
-          val ids = idxB.value
-          val byT = scala.collection.mutable.LinkedHashMap[Int, scala.collection.mutable.ArrayBuffer[(Int, Int)]]()
-          var o = 0
-          while (o < ids.length) {
-            val s = ids(o)
-            if (s >= lo && s < hi) {
-              val tbi = o / bs
-              byT.getOrElseUpdate(tbi, new scala.collection.mutable.ArrayBuffer[(Int, Int)]())
-                .append(((o - tbi.toLong * bs).toInt, (s - lo).toInt))
-            }
-            o += 1
+        // pre-grouped by SOURCE block row on the driver: each block scans
+        // only its own request slice — a full-index scan per block would
+        // be O(nBlocks·|idx|) comparisons before any data moved
+        val bySrc: Map[Int, Array[(Int, Int, Int)]] = idx.iterator.zipWithIndex
+          .map { case (s, o) =>
+            val tbi = o / bs
+            ((s / bs).toInt, (tbi, (o - tbi.toLong * bs).toInt, (s - (s / bs) * bs).toInt))
           }
-          byT.iterator.map { case (tbi, reqs) => ((tbi, b.bj), gather(b, reqs.toSeq)) }
+          .toArray.groupBy(_._1)
+          .map { case (sbi, rs) => sbi -> rs.map(_._2) }
+        val idxB = spark.sparkContext.broadcast(bySrc)
+        blocks.rdd.flatMap { b =>
+          idxB.value.get(b.bi) match {
+            case None => Iterator.empty
+            case Some(slice) =>
+              val byT = scala.collection.mutable.LinkedHashMap[Int, scala.collection.mutable.ArrayBuffer[(Int, Int)]]()
+              slice.foreach { case (tbi, tr, sr) =>
+                byT.getOrElseUpdate(tbi, new scala.collection.mutable.ArrayBuffer[(Int, Int)]())
+                  .append((tr, sr))
+              }
+              byT.iterator.map { case (tbi, reqs) => ((tbi, b.bj), gather(b, reqs.toSeq)) }
+          }
         }
       } else {
         // huge index: ship requests through a shuffle instead of a

@@ -165,8 +165,9 @@ object Cluster {
     * every gate sf, grows linearly with N, the e04/e05 discipline). */
   def semanticDedupQuery(s: SparkSession, d: String): DataFrame = {
     val emb = TextSim.spread(Tables.embeddings(s, d))
-    semanticDedup(emb, k = graft.operators.Similarity.numCellsFor(
-      emb.select(col("vec_id")).count()))
+    val k = Similarity.requirePinned("e06", Similarity.numCellsFor(
+      emb.select(col("vec_id")).count()), 8)
+    semanticDedup(emb, k = k)
   }
 
   /** e11: clustering QUALITY profile — per-cell inertia (Σ‖q − c‖²),

@@ -353,11 +353,27 @@ object Similarity {
   def bucketsQuery(s: SparkSession, d: String): DataFrame =
     lshBuckets(TextSim.spread(Tables.embeddings(s, d)))
 
+  /** The scaled-law gate contract: the occupancy law must resolve to the
+    * constant the DuckDB oracle hardcodes — a gate fixture that outgrows
+    * the floor would otherwise fail as an opaque hash mismatch (the law
+    * correctly re-sizes, the pinned oracle doesn't). Fail loudly with the
+    * reason instead. */
+  private[graft] def requirePinned(entry: String, resolved: Int, pinned: Int): Int = {
+    require(resolved == pinned,
+      s"$entry gate fixture outgrew the pinned oracle constants: the occupancy " +
+        s"law resolved to $resolved (oracle pins $pinned) — regenerate the oracle SQL")
+    resolved
+  }
+
   /** e03: nearest same-bucket neighbor per vector (exact oracle). Runs
     * the occupancy-scaled path — the law resolves to the pinned
     * DefaultPlanes at every gate scale, the e04 discipline. */
-  def annQuery(s: SparkSession, d: String): DataFrame =
-    annTopKScaled(TextSim.spread(Tables.embeddings(s, d)), 1)
+  def annQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = TextSim.spread(Tables.embeddings(s, d))
+    val planes = requirePinned("e03",
+      numPlanesFor(emb.select(col("vec_id")).count()), DefaultPlanes)
+    annTopK(emb, 1, planes)
+  }
 
   /** e04: embedding-cosine near-dup pairs via banded LSH. The synthetic
     * embeddings are mean-centered (max pairwise cosine ≈ 0.46), so the
@@ -367,8 +383,12 @@ object Similarity {
     * scaling probe caught the fixed 4-bit band going O(N²) at 16×
     * volume); at every gate scale (N ≤ 1024) the law resolves to the
     * same pinned 4 planes the oracle mirrors. */
-  def embedNearDupQuery(s: SparkSession, d: String): DataFrame =
-    embedNearDupsScaled(TextSim.spread(Tables.embeddings(s, d)), 0.3)
+  def embedNearDupQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = TextSim.spread(Tables.embeddings(s, d))
+    val ppb = requirePinned("e04",
+      planesPerBandFor(emb.select(col("vec_id")).count()), 4)
+    embedNearDups(emb, 0.3, ppb)
+  }
 
   /** e05: IVF-bucketed nearest same-cell neighbor (exact oracle). Runs
     * the occupancy-scaled path: [[numCellsFor]] resolves to exactly the
@@ -376,8 +396,12 @@ object Similarity {
     * there), and grows the cell count linearly with N past
     * 8·targetOccupancy — so the gate verifies the production sizing
     * path, not a parallel pinned one. */
-  def ivfQuery(s: SparkSession, d: String): DataFrame =
-    ivfTopKScaled(TextSim.spread(Tables.embeddings(s, d)), 1)
+  def ivfQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = TextSim.spread(Tables.embeddings(s, d))
+    val cells = requirePinned("e05",
+      numCellsFor(emb.select(col("vec_id")).count()), 8)
+    ivfTopK(emb, 1, cells)
+  }
 
   /** Exact maximum-inner-product top-k (MIPS) — retrieval where
     * magnitude matters (un-normalized embeddings: recommender scores,

@@ -65,18 +65,109 @@ class Hdf5LiteSpec extends AnyFunSuite {
     val mangled = bytes.clone()
     (btEnd until bytes.length).foreach(i => mangled(i) = 0x55)
     assert(readDims(mangled, "m").sameElements(dims))
+    // ... and the payload corruption must be VISIBLE to the data path:
+    // a decode that still returned the original values would mean
+    // readDataset isn't actually reading the chunks it claims to
+    val decodedMangled = try Some(readDataset(mangled, "m")) catch { case _: Throwable => None }
+    assert(decodedMangled.forall(d => !d.data.sameElements(data)),
+      "mangled chunk payload decoded back to the original values")
   }
 
-  test("filter pipeline with a name and a masked-out filter decodes per spec") {
-    // h5py writes filter NAMES ("deflate"); reader must skip name padding.
-    // Build a chunked file, then patch its pipeline message: give deflate
-    // a mask bit in one chunk's B-tree key and verify the chunk is then
-    // treated as stored-raw (we check via the error, since raw bytes are
-    // not valid deflate of the right length).
+  // --- helpers for the hand-patched filter-pipeline fixtures ---
+
+  /** Locate the single type-1 (raw-data-chunk) B-tree node; returns the
+    * byte offset of its first entry (size u32, mask u32, 3 offsets, child). */
+  private def chunkKeyOffset(bytes: Array[Byte]): Int = {
+    val sig = "TREE".getBytes
+    val hits = (0 until bytes.length - 6).filter(i =>
+      bytes(i) == sig(0) && bytes(i + 1) == sig(1) && bytes(i + 2) == sig(2) &&
+        bytes(i + 3) == sig(3) && bytes(i + 4) == 1)
+    assert(hits.size == 1, s"expected exactly one chunk B-tree node, found ${hits.size}")
+    hits.head + 24 // sig 4 + type 1 + level 1 + entries-used 2 + two sibling addrs 16
+  }
+
+  /** Locate the filter-pipeline message body (after its 8-byte header).
+    * writeChunked emits exactly one, with a 40-byte body. */
+  private def pipelineBodyOffset(bytes: Array[Byte]): Int = {
+    val pat = Array[Byte](0x0B, 0x00, 0x28, 0x00, 0, 0, 0, 0)
+    val hits = (0 until bytes.length - 8).filter(i => pat.indices.forall(j => bytes(i + j) == pat(j)))
+    assert(hits.size == 1, s"expected exactly one 40-byte pipeline message, found ${hits.size}")
+    hits.head + 8
+  }
+
+  /** Append `chunk` at EOF and point the (single) B-tree chunk key at it
+    * with the given stored size and per-chunk filter mask. */
+  private def swapChunk(bytes: Array[Byte], chunk: Array[Byte], mask: Int): Array[Byte] = {
+    val key = chunkKeyOffset(bytes) // locate BEFORE appending: the appended
+                                    // payload must not confuse the signature scan
+    val out = java.util.Arrays.copyOf(bytes, bytes.length + chunk.length)
+    System.arraycopy(chunk, 0, out, bytes.length, chunk.length)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(key, chunk.length)          // stored size
+    bb.putInt(key + 4, mask)              // filter mask
+    bb.putLong(key + 8 + 24, bytes.length.toLong) // child = appended chunk
+    out
+  }
+
+  private def shuffleBytes(plain: Array[Byte]): Array[Byte] = {
+    val n = plain.length / 8
+    val out = new Array[Byte](plain.length)
+    var p = 0
+    while (p < 8) { var i = 0; while (i < n) { out(p * n + i) = plain(i * 8 + p); i += 1 }; p += 1 }
+    out
+  }
+
+  private def deflateBytes(plain: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(); d.setInput(plain); d.finish()
+    val os = new java.io.ByteArrayOutputStream(); val tmp = new Array[Byte](1 << 16)
+    while (!d.finished()) os.write(tmp, 0, d.deflate(tmp))
+    d.end(); os.toByteArray
+  }
+
+  private def plainChunkBytes(data: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(data.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    data.foreach(v => bb.putLong(v.toLong))
+    bb.array()
+  }
+
+  test("filter NAME padding is skipped per spec (h5py writes 'deflate')") {
+    // h5py writes named filters; our writer doesn't. Patch the 40-byte
+    // pipeline body to a single NAMED deflate entry — [ver 1, nf 1,
+    // 6 reserved][id=1, nameLen=16, flags=0, nClient=1,
+    // "deflate\0"+8 pad NULs, cd=6, 4-byte pad] — exactly 40 bytes
+    // (nameLen is the padded length per spec). A reader that mis-skipped
+    // the name would read "defl" as the next field and fail. The chunk
+    // is re-staged as deflate-only (no shuffle) to match the pipeline.
     val dims = Array(6L, 6L)
-    val data = Array.tabulate(36)(_.toDouble)
+    val data = Array.tabulate(36)(k => ((k * 31 + 5) % 500).toDouble)
     val bytes = writeChunked(Seq(("m", dims, data)), asInt = true, chunk = (6L, 6L))
-    assert(readDataset(bytes, "m").data.sameElements(data))
+    val body = pipelineBodyOffset(bytes)
+    val patched = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(patched).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(body)
+    bb.put(1.toByte).put(1.toByte).put(new Array[Byte](6))  // ver, nf=1, reserved
+    bb.putShort(1).putShort(16).putShort(0).putShort(1)     // deflate, nameLen=16, flags, nClient=1
+    bb.put("deflate".getBytes).put(new Array[Byte](9))      // name + NUL + pad to 16
+    bb.putInt(6).putInt(0)                                  // cd=level 6, odd-count pad
+    val swapped = swapChunk(patched, deflateBytes(plainChunkBytes(data)), mask = 0)
+    assert(readDataset(swapped, "m").data.sameElements(data))
+  }
+
+  test("per-chunk filter MASK bit skips exactly that filter") {
+    // mask bit k set = pipeline filter k SKIPPED for this chunk (the
+    // spec's partially-filtered-chunk escape). Pipeline is [shuffle,
+    // deflate]; store the chunk shuffled-but-NOT-deflated and set bit 1:
+    // the reader must skip inflate but still de-shuffle.
+    val dims = Array(6L, 6L)
+    val data = Array.tabulate(36)(k => ((k * 17 + 3) % 800).toDouble)
+    val bytes = writeChunked(Seq(("m", dims, data)), asInt = true, chunk = (6L, 6L))
+    val swapped = swapChunk(bytes, shuffleBytes(plainChunkBytes(data)), mask = 2)
+    assert(readDataset(swapped, "m").data.sameElements(data))
+    // sanity: with mask 0 the same stored bytes are NOT valid deflate —
+    // the mask bit is load-bearing, not decorative
+    val unmasked = swapChunk(bytes, shuffleBytes(plainChunkBytes(data)), mask = 0)
+    val r = try Some(readDataset(unmasked, "m")) catch { case _: Throwable => None }
+    assert(r.forall(d => !d.data.sameElements(data)))
   }
 
   test("multi-leaf chunk B-tree: >128 chunks round-trip through the internal-node walk") {
