@@ -647,6 +647,56 @@ object FileFormats {
     graft.array.DMatrix.fromHdf5(s, tmp, "data", bs = 16).toCoords
   }
 
+  /** src18: ARROW IPC SHARD INGESTION — the reference's Arrow payload
+    * surface (`SS/wukong/protocol/arrow.py`, the pyarrow record-batch
+    * round-trip sibling of src15's h5py handler) and the modern
+    * landing-zone format for staged tabular shards. Five executor-staged
+    * IPC files (int64 + float64 + utf8 columns, 7-row record batches so
+    * every shard exercises the multi-batch walk) are ingested back
+    * through binaryFile → footer-only schema validation → per-shard
+    * columnar decode ([[ArrowLite]], the public Arrow columnar format
+    * via the Arrow Java library Spark already ships). Oracle = the LCG
+    * in closed form — exact integers, one exact dyadic double division,
+    * a derived string. */
+  def arrowIngest(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = scratch("arrow")
+    deleteTree(Paths.get(tmp))
+    Files.createDirectories(Paths.get(tmp))
+    val m = 83L; val stripe = 19L
+    val nStripes = ((m + stripe - 1) / stripe).toInt
+    s.range(nStripes).foreach { k =>
+      val r0 = k * stripe
+      val p = math.min(stripe, m - r0).toInt
+      val ids = Array.tabulate(p)(i => r0 + i)
+      val vs = ids.map(g => graft.array.DMatrix.lcg(g, 0, 1, 97L) % 100000L)
+      val bytes = ArrowLite.write(Seq(
+        ArrowLite.LongCol("id", ids),
+        ArrowLite.LongCol("v", vs),
+        ArrowLite.DoubleCol("x", vs.map(_.toDouble / 4.0)),
+        ArrowLite.StringCol("s", vs.map(v => "w" + (v % 7)))), batchRows = 7)
+      Files.write(Paths.get(tmp, f"part-$k%03d.arrow"), bytes)
+      ()
+    }
+    import s.implicits._
+    s.read.format("binaryFile").load(tmp)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        // footer-only probe first: a schema-drifted shard fails loudly
+        // before any batch body is mapped
+        val names = ArrowLite.schemaFields(bytes).map(_._1)
+        require(names == Seq("id", "v", "x", "s"),
+          s"arrow shard schema drift: ${names.mkString(",")}")
+        val cols = ArrowLite.read(bytes)
+        val ids = cols(0).asInstanceOf[ArrowLite.LongCol].values
+        val vs = cols(1).asInstanceOf[ArrowLite.LongCol].values
+        val xs = cols(2).asInstanceOf[ArrowLite.DoubleCol].values
+        val ss = cols(3).asInstanceOf[ArrowLite.StringCol].values
+        ids.indices.map(i => (ids(i), vs(i), xs(i), ss(i)))
+      }
+      .toDF("id", "v", "x", "s")
+  }
+
   /** src16: NETCDF SHARD INGESTION — the reference's netCDF4 payload
     * surface (`SS/wukong/protocol/netcdf4.py`, the sibling of src15's
     * h5py handler). Same self-describing stripe contract (`data` +
@@ -685,6 +735,7 @@ object FileFormats {
   }
 
   val queries: Map[String, Q] = Map(
+    "src18_arrow_ingest"    -> (arrowIngest _),
     "src17_hdf5_chunked"    -> (hdf5ChunkedIngest _),
     "src16_netcdf_ingest"   -> (netcdfIngest _),
     "src15_hdf5_ingest"     -> (hdf5Ingest _),
@@ -712,6 +763,14 @@ object FileFormats {
        FROM orders"""
 
   val oracles: Map[String, String] = Map(
+    // the shared LCG in closed form — the IPC round-trip moved data,
+    // never values; x is an exact dyadic division, s a derived string
+    "src18_arrow_ingest" ->
+      """WITH r AS (SELECT range AS id FROM range(83)),
+              v AS (SELECT id, (id*1103515245+97)%2147483647%100000 AS vv FROM r)
+         SELECT id, CAST(vv AS BIGINT) AS v, CAST(vv AS DOUBLE)/4.0 AS x,
+                'w' || CAST(vv%7 AS VARCHAR) AS s
+         FROM v""",
     // the shared LCG in closed form — decompress/reassemble moved data,
     // never values
     "src17_hdf5_chunked" ->

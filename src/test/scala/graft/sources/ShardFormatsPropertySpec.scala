@@ -37,6 +37,45 @@ class ShardFormatsPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: random Arrow IPC files round-trip exactly; footer probes match") {
+    import ArrowLite._
+    val rng = new scala.util.Random(2719)
+    for (trial <- 1 to 8) {
+      val n = rng.nextInt(50) // 0 rows legal: schema comes from the footer
+      val nCols = 1 + rng.nextInt(5)
+      val cols: Seq[Col] = (0 until nCols).map { k =>
+        rng.nextInt(3) match {
+          case 0 => LongCol(s"c$k", Array.fill(n)(rng.nextLong()))
+          case 1 => DoubleCol(s"c$k", Array.fill(n)(
+            java.lang.Double.longBitsToDouble(rng.nextLong()) match {
+              case d if d.isNaN => 0.25 // NaN != NaN would fail the compare below
+              case d => d
+            }))
+          case _ => StringCol(s"c$k", Array.fill(n)(
+            rng.alphanumeric.take(rng.nextInt(12)).mkString + "é✓")) // non-ASCII utf8
+        }
+      }
+      val batchRows = 1 + rng.nextInt(17)
+      val bytes = write(cols, batchRows)
+      // footer-only probes
+      assert(schemaFields(bytes).map(_._1) == cols.map(_.name), s"trial $trial schema")
+      assert(batchCount(bytes) == (n + batchRows - 1) / batchRows, s"trial $trial batches")
+      val back = read(bytes)
+      assert(back.size == cols.size)
+      cols.zip(back).foreach {
+        case (LongCol(nm, a), LongCol(nm2, b)) =>
+          assert(nm == nm2 && a.sameElements(b), s"trial $trial long $nm")
+        case (DoubleCol(nm, a), DoubleCol(nm2, b)) =>
+          assert(nm == nm2 && a.zip(b).forall { case (x, y) =>
+            java.lang.Double.doubleToRawLongBits(x) == java.lang.Double.doubleToRawLongBits(y) },
+            s"trial $trial double $nm")
+        case (StringCol(nm, a), StringCol(nm2, b)) =>
+          assert(nm == nm2 && a.sameElements(b), s"trial $trial string $nm")
+        case (c, r) => fail(s"trial $trial type drift: $c vs $r")
+      }
+    }
+  }
+
   test("property: random chunk grids + shuffle/deflate round-trip exactly (h5py's gzip shape)") {
     val rng = new scala.util.Random(3331)
     for (trial <- 1 to 8) {
