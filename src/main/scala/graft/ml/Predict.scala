@@ -697,7 +697,76 @@ object Predict {
       .orderBy(col("l_returnflag"))
   }
 
+  /** ml20: KERAS-LAYOUT HDF5 MODEL INGESTION — the reference's keras
+    * payload handler (`SS/wukong/protocol/keras.py`): a trained MLP's
+    * weight file arrives in the nested-group HDF5 layout keras writes
+    * (`model_weights/<layer>/<layer>/{kernel:0,bias:0}`) and must become
+    * a broadcast scorer. A 4→3 relu layer + 3→1 output layer with
+    * integer LCG weights is staged from an EXECUTOR via
+    * [[graft.sources.Hdf5Lite.writeTree]], ingested back through
+    * binaryFile → path-qualified dataset decode, broadcast, and scored
+    * map-side over the ml19 cent-domain lineitem features — forward
+    * pass entirely in exact integers (relu = greatest(0, ·)), so the
+    * oracle recomputes the weights in closed form. The artifact never
+    * rides a shuffle; the fact table never collects. */
+  def kerasModelScore(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.{FileFormats, Hdf5Lite}
+    import graft.sources.Hdf5Lite.{H5Ds, H5Group}
+    val tmp = FileFormats.scratch("keras")
+    FileFormats.deleteTree(Paths.get(tmp))
+    Files.createDirectories(Paths.get(tmp))
+    s.range(1).foreach { _ =>
+      def lcg(i: Long, j: Long, n: Long, seed: Long): Double =
+        (graft.array.DMatrix.lcg(i, j, n, seed) % 100L - 50L).toDouble
+      val tree = Seq(H5Group("model_weights", Seq(
+        H5Group("dense", Seq(H5Group("dense", Seq(
+          H5Ds("kernel:0", Array(4L, 3L), Array.tabulate(12)(k => lcg(k / 3, k % 3, 3, 41L))),
+          H5Ds("bias:0", Array(3L), Array.tabulate(3)(j => lcg(j, 0, 1, 43L))))))),
+        H5Group("dense_1", Seq(H5Group("dense_1", Seq(
+          H5Ds("kernel:0", Array(3L, 1L), Array.tabulate(3)(j => lcg(j, 0, 1, 47L))),
+          H5Ds("bias:0", Array(1L), Array(lcg(0, 0, 1, 53L))))))))))
+      Files.write(Paths.get(tmp, "weights.h5"), Hdf5Lite.writeTree(tree, asInt = true))
+      ()
+    }
+    val bytes = s.read.format("binaryFile").option("pathGlobFilter", "*.h5")
+      .load(tmp).select("content").head.getAs[Array[Byte]](0)
+    def tensor(path: String, dims: Array[Long]): Array[Long] = {
+      val t = Hdf5Lite.readDataset(bytes, path)
+      require(t.dims.sameElements(dims),
+        s"$path: shape ${t.dims.mkString("x")} != ${dims.mkString("x")}")
+      t.data.map(_.toLong)
+    }
+    val w1 = tensor("model_weights/dense/dense/kernel:0", Array(4L, 3L))
+    val b1 = tensor("model_weights/dense/dense/bias:0", Array(3L))
+    val w2 = tensor("model_weights/dense_1/dense_1/kernel:0", Array(3L, 1L))
+    val b2 = tensor("model_weights/dense_1/dense_1/bias:0", Array(1L))
+    val model = s.sparkContext.broadcast((w1, b1, w2, b2))
+    val feats = Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("f0"),
+      expr("cast(round(l_extendedprice * 100) as bigint) div 100").as("f1"),
+      expr("cast(round(l_discount * 100) as bigint)").as("f2"),
+      expr("cast(round(l_tax * 100) as bigint)").as("f3"))
+    val (mw1, mb1, mw2, mb2) = model.value
+    val fs = Seq(col("f0"), col("f1"), col("f2"), col("f3"))
+    val h = (0 until 3).map { j =>
+      greatest(lit(0L),
+        (0 until 4).map(i => lit(mw1(i * 3 + j)) * fs(i)).reduce(_ + _) + lit(mb1(j)))
+    }
+    val y = (0 until 3).map(j => h(j) * lit(mw2(j))).reduce(_ + _) + lit(mb2(0))
+    feats.select(col("l_returnflag"), y.as("y"),
+        (h(0) + h(1) + h(2)).as("act"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("y")).cast("long").as("score_sum"),
+           sum(when(col("y") > 0, 1L).otherwise(0L)).as("n_pos"),
+           sum(col("act")).cast("long").as("act_sum"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml20_keras_model"   -> (kerasModelScore _),
     "ml19_npy_model"     -> (npyModelScore _),
     "ml18_ks"            -> (ksTest _),
     "ml17_psi"           -> (psiDrift _),
@@ -751,7 +820,37 @@ object Predict {
     * form (i*4+j == k, so the LCG collapses to one term per k). */
   private def wSql(k: Int) = s"((CAST($k AS BIGINT)*1103515245+37)%2147483647%100)"
 
+  /** The staged keras weights in closed form: kernel1[i][j] over a
+    * 4×3 LCG grid, the rest 1-column grids — all shifted to [-50, 49]. */
+  private def kerasW(i: Int, j: Int, n: Int, seed: Int) =
+    s"((CAST(${i * n + j} AS BIGINT)*1103515245+$seed)%2147483647%100 - 50)"
+
   val oracles: Map[String, String] = Map(
+    // same cent-domain features, the staged nested-group weights in
+    // closed form, relu as greatest(0, ·) — pure BIGINT end to end
+    "ml20_keras_model" -> {
+      val hj = (0 until 3).map { j =>
+        val lin = (0 until 4).map(i => s"${kerasW(i, j, 3, 41)}*f$i").mkString(" + ")
+        s"GREATEST(CAST(0 AS BIGINT), $lin + ${kerasW(j, 0, 1, 43)}) AS h$j"
+      }.mkString(",\n                 ")
+      val y = (0 until 3).map(j => s"h$j*${kerasW(j, 0, 1, 47)}").mkString(" + ") +
+        s" + ${kerasW(0, 0, 1, 53)}"
+      s"""WITH f AS (SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS f0,
+                 CAST(round(l_extendedprice*100) AS BIGINT)//100 AS f1,
+                 CAST(round(l_discount*100) AS BIGINT) AS f2,
+                 CAST(round(l_tax*100) AS BIGINT) AS f3
+               FROM lineitem),
+          hid AS (SELECT l_returnflag,
+                 $hj
+               FROM f),
+          sc AS (SELECT l_returnflag, $y AS y, h0 + h1 + h2 AS act FROM hid)
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(y) AS BIGINT) AS score_sum,
+                 CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CAST(sum(act) AS BIGINT) AS act_sum
+          FROM sc GROUP BY 1 ORDER BY 1"""
+    },
     // integer cent-domain features, the staged weights in closed form —
     // the artifact moved a model, never values
     "ml19_npy_model" ->

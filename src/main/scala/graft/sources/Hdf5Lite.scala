@@ -202,19 +202,21 @@ object Hdf5Lite {
         (b.getLong, b.getLong)
       }
     val _ = rootLinkOff
-    // local heap data segment
-    val hb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    hb.position(heapAddr.toInt)
-    val heapSig = new Array[Byte](4); hb.get(heapSig)
-    require(new String(heapSig) == "HEAP", "bad local heap signature")
-    hb.position(heapAddr.toInt + 8 + 16)
-    val heapDataAddr = hb.getLong
-    def heapName(off: Long): String = {
-      var p = (heapDataAddr + off).toInt; val sb = new StringBuilder
-      while (bytes(p) != 0) { sb.append(bytes(p).toChar); p += 1 }
-      sb.toString
+    // local-heap name lookup, per GROUP (every group owns a heap)
+    def heapNamer(heapHdrAddr: Long): Long => String = {
+      val hb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      hb.position(heapHdrAddr.toInt)
+      val heapSig = new Array[Byte](4); hb.get(heapSig)
+      require(new String(heapSig) == "HEAP", "bad local heap signature")
+      hb.position(heapHdrAddr.toInt + 8 + 16)
+      val heapDataAddr = hb.getLong
+      (off: Long) => {
+        var p = (heapDataAddr + off).toInt; val sb = new StringBuilder
+        while (bytes(p) != 0) { sb.append(bytes(p).toChar); p += 1 }
+        sb.toString
+      }
     }
-    // walk the group B-tree to its SNOD leaves
+    // walk a group B-tree to its SNOD leaves
     def snodAddrs(addr: Long): Seq[Long] = {
       val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       b.position(addr.toInt)
@@ -230,19 +232,38 @@ object Hdf5Lite {
       if (level == 0) children
       else children.flatMap(snodAddrs)
     }
-    snodAddrs(btreeAddr).flatMap { sa =>
-      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      b.position(sa.toInt)
-      val s = new Array[Byte](4); b.get(s)
-      require(new String(s) == "SNOD", "bad SNOD signature")
-      b.get(); b.get()
-      val n = b.getShort
-      (0 until n).map { _ =>
-        val nameOff = b.getLong; val ohAddr = b.getLong
-        b.getInt; b.getInt; b.getLong; b.getLong
-        (heapName(nameOff), ohAddr)
+    // recurse through nested groups (keras-style model files nest layer
+    // groups two deep): an entry is a sub-GROUP if its SNOD cache says so
+    // (type 1 caches the child's btree+heap — what libhdf5 writes) or,
+    // uncached, if its object header carries a symbol-table message.
+    // Dataset names come back PATH-QUALIFIED ("model_weights/dense/kernel").
+    def walkGroup(btAddr: Long, heapHdrAddr: Long, prefix: String, depth: Int): Seq[(String, Long)] = {
+      require(depth <= 16, "group nesting deeper than 16 (cycle?)")
+      val heapName = heapNamer(heapHdrAddr)
+      snodAddrs(btAddr).flatMap { sa =>
+        val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        b.position(sa.toInt)
+        val s = new Array[Byte](4); b.get(s)
+        require(new String(s) == "SNOD", "bad SNOD signature")
+        b.get(); b.get()
+        val n = b.getShort
+        (0 until n).map { _ =>
+          val nameOff = b.getLong; val ohAddr = b.getLong
+          val cacheType = b.getInt; b.getInt
+          val scratch0 = b.getLong; val scratch1 = b.getLong
+          (heapName(nameOff), ohAddr, cacheType, scratch0, scratch1)
+        }
+      }.flatMap { case (name, ohAddr, cacheType, scratch0, scratch1) =>
+        if (cacheType == 1) walkGroup(scratch0, scratch1, prefix + name + "/", depth + 1)
+        else readMessages(bytes, ohAddr).find(_._1 == 0x0011) match {
+          case Some((_, st)) =>
+            val sb = ByteBuffer.wrap(st).order(ByteOrder.LITTLE_ENDIAN)
+            walkGroup(sb.getLong, sb.getLong, prefix + name + "/", depth + 1)
+          case None => Seq((prefix + name, ohAddr))
+        }
       }
     }
+    walkGroup(btreeAddr, heapAddr, "", 0)
   }
 
   private def entryFor(bytes: Array[Byte], name: String): (String, Long) = {
@@ -724,6 +745,152 @@ object Hdf5Lite {
         if (asInt) data.foreach(v => buf.putLong(v.toLong))
         else data.foreach(buf.putDouble)
       }
+    }
+    buf.array()
+  }
+
+  // ---------------------------------------------------- write (grouped)
+
+  /** A node of a grouped file: dataset leaf or nested group. */
+  sealed trait H5Node { def name: String }
+  final case class H5Ds(name: String, dims: Array[Long], data: Array[Double]) extends H5Node
+  final case class H5Group(name: String, children: Seq[H5Node]) extends H5Node
+
+  /** Write a NESTED-GROUP classic-format image — the shape keras emits
+    * for model/weight files (`model_weights/<layer>/<layer>/kernel:0`,
+    * nested symbol-table groups two deep). Every group gets its own
+    * local heap + group B-tree + SNOD; sub-group SNOD entries carry the
+    * cache-type-1 scratch (child btree + heap addresses) exactly as
+    * libhdf5 writes them. Datasets are contiguous, int64 or float64 —
+    * the [[write]] shapes. ≤8 children per group (single SNOD). */
+  def writeTree(rootChildren: Seq[H5Node], asInt: Boolean): Array[Byte] = {
+    val grpOhSz = 16L + 8 + 16
+    val heapHdrSz = 32L
+    val btreeSz = 24L + 9 * 8 + 8 * 8
+    val snodSz = 8L + 8 * 40
+    final case class GInfo(key: String, children: Seq[H5Node],
+                           heapBytes: Array[Byte], nameOff: Map[String, Long])
+    val gInfos = scala.collection.mutable.LinkedHashMap[String, GInfo]()
+    val dsList = scala.collection.mutable.ArrayBuffer[(String, H5Ds)]()
+    def visit(path: String, cs: Seq[H5Node]): Unit = {
+      require(cs.size <= 8, "single-SNOD writer supports at most 8 children per group")
+      require(cs.map(_.name).distinct.size == cs.size, s"duplicate names in group '$path'")
+      val sorted = cs.sortBy(_.name) // SNOD entries must sort by name
+      val heapData = new java.io.ByteArrayOutputStream()
+      heapData.write(new Array[Byte](8))
+      val offs = Map.newBuilder[String, Long]
+      sorted.foreach { c =>
+        offs += c.name -> heapData.size().toLong
+        heapData.write(c.name.getBytes("UTF-8")); heapData.write(0)
+        while (heapData.size() % 8 != 0) heapData.write(0)
+      }
+      gInfos(path) = GInfo(path, sorted, heapData.toByteArray, offs.result())
+      sorted.foreach {
+        case g: H5Group => visit(s"$path/${g.name}", g.children)
+        case d: H5Ds =>
+          require(d.dims.nonEmpty && d.dims.length <= 2, s"dataset '${d.name}': rank ≤ 2 only")
+          dsList += ((s"$path/${d.name}", d))
+      }
+    }
+    visit("", rootChildren)
+
+    // --- address plan: groups in pre-order, then dataset headers, then data
+    var cursor = 96L
+    val gAddr = scala.collection.mutable.Map[String, (Long, Long, Long, Long, Long)]()
+    gInfos.values.foreach { g =>
+      val oh = cursor; cursor += grpOhSz
+      val hh = cursor; cursor += heapHdrSz
+      val hd = cursor; cursor += g.heapBytes.length
+      val bt = cursor; cursor += btreeSz
+      val sn = cursor; cursor += snodSz
+      gAddr(g.key) = (oh, hh, hd, bt, sn)
+    }
+    def dsOhSize(d: H5Ds): Long = {
+      val spaceMsg = 8 + pad8(8 + 8 * d.dims.length)
+      val typeMsg = 8 + (if (asInt) 16 else 24)
+      16L + spaceMsg + typeMsg + (8 + 24)
+    }
+    val dsOh = scala.collection.mutable.Map[String, Long]()
+    val dsData = scala.collection.mutable.Map[String, Long]()
+    dsList.foreach { case (p, d) => dsOh(p) = cursor; cursor += dsOhSize(d) }
+    dsList.foreach { case (p, d) => dsData(p) = cursor; cursor += d.data.length * 8L }
+    val eof = cursor
+
+    val buf = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    // superblock v0 with the root group's btree/heap cached
+    val (rootOh, rootHh, _, rootBt, _) = gAddr("")
+    buf.put(Signature)
+    buf.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.put(0.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    buf.putShort(4).putShort(16)
+    buf.putInt(0)
+    buf.putLong(0L).putLong(Undef).putLong(eof).putLong(Undef)
+    buf.putLong(0L).putLong(rootOh).putInt(1).putInt(0)
+    buf.putLong(rootBt).putLong(rootHh)
+    // groups
+    gInfos.values.foreach { g =>
+      val (oh, hh, hd, bt, sn) = gAddr(g.key)
+      buf.position(oh.toInt)
+      putOhPrefix(buf, nMsgs = 1, dataSize = 8 + 16)
+      putMsgHeader(buf, 0x0011, 16)
+      buf.putLong(bt).putLong(hh)
+      buf.position(hh.toInt)
+      buf.put("HEAP".getBytes).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      buf.putLong(g.heapBytes.length.toLong).putLong(1L).putLong(hd)
+      buf.position(hd.toInt); buf.put(g.heapBytes)
+      buf.position(bt.toInt)
+      buf.put("TREE".getBytes).put(0.toByte).put(0.toByte)
+        .putShort(if (g.children.isEmpty) 0 else 1)
+      buf.putLong(Undef).putLong(Undef)
+      if (g.children.nonEmpty) {
+        buf.putLong(0L)
+        buf.putLong(sn)
+        buf.putLong(g.nameOff(g.children.last.name))
+      }
+      buf.position(sn.toInt)
+      buf.put("SNOD".getBytes).put(1.toByte).put(0.toByte).putShort(g.children.size.toShort)
+      g.children.foreach { c =>
+        buf.putLong(g.nameOff(c.name))
+        c match {
+          case sub: H5Group =>
+            val (subOh, subHh, _, subBt, _) = gAddr(s"${g.key}/${sub.name}")
+            buf.putLong(subOh).putInt(1).putInt(0)
+            buf.putLong(subBt).putLong(subHh) // cache-type-1 scratch
+          case d: H5Ds =>
+            buf.putLong(dsOh(s"${g.key}/${d.name}")).putInt(0).putInt(0)
+            buf.putLong(0L).putLong(0L)
+        }
+      }
+    }
+    // dataset headers + payloads (the write() message shapes)
+    dsList.foreach { case (p, d) =>
+      buf.position(dsOh(p).toInt)
+      val spaceData = 8 + 8 * d.dims.length
+      putOhPrefix(buf, nMsgs = 3,
+        dataSize = (8 + pad8(spaceData)) + (8 + (if (asInt) 16 else 24)) + (8 + 24))
+      putMsgHeader(buf, 0x0001, pad8(spaceData))
+      buf.put(1.toByte).put(d.dims.length.toByte).put(0.toByte).put(0.toByte).putInt(0)
+      d.dims.foreach(buf.putLong)
+      padTo8(buf, spaceData)
+      if (asInt) {
+        putMsgHeader(buf, 0x0003, 16)
+        buf.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(8)
+        buf.putShort(0).putShort(64)
+        padTo8(buf, 12)
+      } else {
+        putMsgHeader(buf, 0x0003, 24)
+        buf.put(0x11.toByte).put(0x20.toByte).put(0x3F.toByte).put(0.toByte).putInt(8)
+        buf.putShort(0).putShort(64)
+        buf.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023)
+        padTo8(buf, 20)
+      }
+      putMsgHeader(buf, 0x0008, 24)
+      buf.put(3.toByte).put(1.toByte)
+      buf.putLong(dsData(p)).putLong(d.data.length * 8L)
+      padTo8(buf, 18)
+      buf.position(dsData(p).toInt)
+      if (asInt) d.data.foreach(v => buf.putLong(v.toLong))
+      else d.data.foreach(buf.putDouble)
     }
     buf.array()
   }

@@ -194,6 +194,44 @@ class Hdf5LiteSpec extends AnyFunSuite {
     val _ = dl
   }
 
+  test("nested groups (keras layout) resolve path-qualified datasets") {
+    val kernel = Array.tabulate(12)(k => (k * 7 - 30).toDouble)
+    val tree = Seq(
+      H5Group("model_weights", Seq(
+        H5Group("dense", Seq(H5Group("dense", Seq(
+          H5Ds("kernel:0", Array(4L, 3L), kernel),
+          H5Ds("bias:0", Array(3L), Array(1.0, 2.0, 3.0)))))),
+        H5Group("dense_1", Seq(H5Group("dense_1", Seq(
+          H5Ds("kernel:0", Array(3L, 1L), Array(5.0, 6.0, 7.0)),
+          H5Ds("bias:0", Array(1L), Array(9.0)))))))),
+      H5Ds("top_level", Array(2L), Array(1.0, 4.0)))
+    val bytes = writeTree(tree, asInt = true)
+    assert(read(bytes).map(_.name).sorted == Seq(
+      "model_weights/dense/dense/bias:0", "model_weights/dense/dense/kernel:0",
+      "model_weights/dense_1/dense_1/bias:0", "model_weights/dense_1/dense_1/kernel:0",
+      "top_level"))
+    assert(readDataset(bytes, "model_weights/dense/dense/kernel:0").data.sameElements(kernel))
+    assert(readDims(bytes, "model_weights/dense_1/dense_1/kernel:0").sameElements(Array(3L, 1L)))
+    assert(readDataset(bytes, "top_level").data.sameElements(Array(1.0, 4.0)))
+  }
+
+  test("uncached group entries (SNOD cache type 0) resolve via the header's symbol-table message") {
+    // libhdf5 caches sub-group btree/heap in the SNOD scratch (type 1);
+    // the spec also allows uncached entries — zero the first group
+    // entry's cache and the reader must fall back to its object header
+    val tree = Seq(H5Group("g", Seq(H5Ds("d", Array(2L), Array(8.0, 6.0)))))
+    val bytes = writeTree(tree, asInt = true)
+    val snodAt = (0 until bytes.length - 4).find(i =>
+      bytes(i) == 'S' && bytes(i + 1) == 'N' && bytes(i + 2) == 'O' && bytes(i + 3) == 'D').get
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // entry 0 of the root SNOD: nameOff(8) ohAddr(8) cacheType(4) rsvd(4) scratch(16)
+    val e0 = snodAt + 8
+    assert(bb.getInt(e0 + 16) == 1, "fixture should start cached")
+    bb.putInt(e0 + 16, 0)
+    bb.putLong(e0 + 24, 0L); bb.putLong(e0 + 32, 0L)
+    assert(readDataset(bytes, "g/d").data.sameElements(Array(8.0, 6.0)))
+  }
+
   test("row-major rank-2 layout: cell (i,j) reads back from offset i*cols+j") {
     val dims = Array(3L, 4L)
     val data = Array.tabulate(12)(_.toDouble) // row-major: row i = [4i, 4i+3]
