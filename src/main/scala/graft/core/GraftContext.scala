@@ -185,8 +185,24 @@ object IterativeQueries {
            count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wedgeCnt = adj.agg(expr("sum(c * (c - 1)) div 2").as("n_wedges"))
+    // The attach-by-w exchange below is the ONE stage whose rows carry
+    // the O(√m)-bounded out-lists — Σc² array elements in aggregate
+    // (inherent: the wedge-join alternative ships the same volume as
+    // rows, plus an exchange and a sort — measured 40 s, see above).
+    // At a fixed 32-way fan-out those per-task sorts outgrow executor
+    // memory with the graph (round-12 probe: 34 GB spill, ~214 task-GC
+    // sec/rep at 16× sf0.1) — so size the stage's parallelism from the
+    // measured wedge volume instead: one metadata-scale aggregate over
+    // the cached adjacency picks partitions such that each task's array
+    // payload stays ~64 MB. Values are unchanged; only the exchange
+    // grain adapts (the same law a 1000-executor cluster needs anyway).
+    val volRow = adj.agg(sum(col("c") * col("c")).as("elems")).first()
+    val attachElems = if (volRow.isNullAt(0)) 0L else volRow.getLong(0)
+    val attachP = math.max(32, math.min(4096,
+      (attachElems * 16L / (64L << 20)).toInt + 1))
     val tri = oriented
       .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .repartition(attachP, col("w"))
       .join(adj.select(col("u").as("w"), col("nbrs").as("nw")), Seq("w"))
       .select(size(array_intersect(col("nu"), col("nw"))).as("t"))
       .agg(sum(col("t")).cast("long").as("n_triangles"))

@@ -143,19 +143,52 @@ object Cluster {
     * embeddings are mean-centered; max pairwise cos ≈ 0.46 — same
     * calibration note as e04). */
   def semanticDedup(emb: DataFrame, tau: Double = 0.3,
-                    k: Int = 8, iters: Int = 2): DataFrame = {
+                    k: Int = 8, iters: Int = 2,
+                    occupancyCap: Long = 4096L): DataFrame = {
     val assigned = assignDF(emb, k, iters)
-    val lhs = assigned.select(col("vec_id").as("va"), col("qv").as("qva"),
-      col("qn").as("qna"), col("cell"))
-    val rhs = assigned.select(col("vec_id").as("vb"), col("qv").as("qvb"),
-      col("qn").as("qnb"), col("cell"))
-    val pruned = lhs.join(rhs, Seq("cell"))
-      .filter(col("va") < col("vb"))
-      .withColumn("cos",
-        ArrayDotLong.dotLong(col("qva"), col("qvb")).cast("double")
-          / (sqrt(col("qna").cast("double")) * sqrt(col("qnb").cast("double"))))
-      .filter(col("cos") >= tau)
-      .select(col("vb")).distinct()
+    val cosOf = ArrayDotLong.dotLong(col("qva"), col("qvb")).cast("double") /
+      (sqrt(col("qna").cast("double")) * sqrt(col("qnb").cast("double")))
+    // within-cell pairwise scoring, vectors carried through the equi-join
+    def pairsExact(df: DataFrame): DataFrame =
+      df.select(col("vec_id").as("va"), col("qv").as("qva"),
+                col("qn").as("qna"), col("cell"))
+        .join(df.select(col("vec_id").as("vb"), col("qv").as("qvb"),
+                        col("qn").as("qnb"), col("cell")), Seq("cell"))
+        .filter(col("va") < col("vb"))
+        .withColumn("cos", cosOf).filter(col("cos") >= tau)
+        .select(col("vb"))
+    // cell-occupancy audit: ≤ k rows — the bounded-collect discipline.
+    // A dense directional core piles into one cell no matter how the
+    // occupancy law sizes k (the e04 failure shape); cells above the cap
+    // spill their pairs through the CONSERVATIVE PQ pre-verify
+    // ([[Similarity.pqPreVerify]] — no false negatives) so the wasted
+    // below-threshold candidates are pruned before any vector ships.
+    // Output is bit-identical at any cap.
+    val occs = assigned.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+      .collect().map(r => r.getAs[Long]("cell") -> r.getAs[Long]("occ")).toMap
+    val bigCells = occs.collect { case (c, n) if n > occupancyCap => c }.toSeq
+    val pruned =
+      (if (bigCells.isEmpty) pairsExact(assigned)
+       else {
+         val small = assigned.filter(!col("cell").isin(bigCells: _*))
+         val big = assigned.filter(col("cell").isin(bigCells: _*))
+         val summ = Similarity.pqSummaryOf(emb,
+           emb.join(big.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+         val candBig = big.select(col("cell"), col("vec_id").as("vec_a"))
+           .join(big.select(col("cell").as("cell2"), col("vec_id").as("vec_b")),
+                 col("cell") === col("cell2") && col("vec_a") < col("vec_b"))
+           .select(col("vec_a"), col("vec_b"))
+         val kept = Similarity.pqPreVerify(candBig, summ,
+           Similarity.pqCentDotTable(emb), tau)
+         val exactBig = kept   // survivors fetch vectors once per side
+           .join(assigned.select(col("vec_id").as("vec_a"), col("qv").as("qva"),
+                                 col("qn").as("qna")), "vec_a")
+           .join(assigned.select(col("vec_id").as("vec_b"), col("qv").as("qvb"),
+                                 col("qn").as("qnb")), "vec_b")
+           .withColumn("cos", cosOf).filter(col("cos") >= tau)
+           .select(col("vec_b").as("vb"))
+         pairsExact(small).unionByName(exactBig)
+       }).distinct()
     assigned.join(pruned, assigned("vec_id") === pruned("vb"), "left_anti")
       .select(col("vec_id"), col("cell"))
   }

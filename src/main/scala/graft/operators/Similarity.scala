@@ -80,10 +80,14 @@ object Similarity {
     * [-1000, 1000] — identical formula in the oracle SQL. Precomputed on
     * the driver into a LITERAL array per plane, so a plane dot is one
     * fused `array_dot_long` codegen loop over constants instead of
-    * per-element modular arithmetic re-evaluated for every row. */
-  private def planeWeightsLit(p: Int): Column =
-    lit(Array.tabulate(64)(d =>
-      ((p.toLong * 64L + d) * 1103515245L + 17L) % 2147483647L % 2001L - 1000L))
+    * per-element modular arithmetic re-evaluated for every row.
+    * Exposed package-private so the dense-core fixture generator can
+    * plant noise in the exact null space of these planes. */
+  private[graft] def planeWeights(p: Int): Array[Long] =
+    Array.tabulate(64)(d =>
+      ((p.toLong * 64L + d) * 1103515245L + 17L) % 2147483647L % 2001L - 1000L)
+
+  private def planeWeightsLit(p: Int): Column = lit(planeWeights(p))
 
   /** Sign-bit LSH bucket (0..2^numPlanes-1) for each vector: map-only. */
   def lshBuckets(emb: DataFrame, numPlanes: Int = DefaultPlanes): DataFrame = {
@@ -185,25 +189,98 @@ object Similarity {
     val bands = bandedLsh(emb, planesPerBand, numBands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.count()   // materialize both pins before the multi-branch joins
-    val cand = bands.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
+    val cand = bandPairs(bands).distinct()
+    val out = exactCosVerify(cand, withQ, minCos)
+      .localCheckpoint(true)   // small: the surviving near-dup pairs
+    withQ.unpersist(false)
+    bands.unpersist(false)
+    out
+  }
+
+  /** Same-(band, bucket) candidate pairs (vec_a < vec_b) from a banded
+    * LSH frame — the equi-join that replaces the all-pairs product. */
+  private def bandPairs(bands: DataFrame): DataFrame =
+    bands.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
       .join(bands.select(col("band").as("band2"), col("bucket").as("bucket2"),
                          col("vec_id").as("vec_b")),
             col("band") === col("band2") && col("bucket") === col("bucket2") &&
               col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
-      .distinct()
+
+  /** Exact quantized-cosine verification of id-pair candidates against
+    * the pinned (vec_id, qv, qn) frame: the vectors ship once per side,
+    * joined back on vec_id; survivors clear `cos >= minCos`. */
+  private def exactCosVerify(cand: DataFrame, withQ: DataFrame,
+                             minCos: Double): DataFrame = {
     val cos = dotInt(col("qa"), col("qb")).cast("double") /
       (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
-    val out = cand
+    cand
       .join(withQ.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
                          col("qn").as("na")), "vec_a")
       .join(withQ.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
                          col("qn").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"), cos.as("cos"))
       .filter(col("cos") >= minCos)
+  }
+
+  /** [[embedNearDups]] hardened against the DENSE DIRECTIONAL CORE —
+    * the one corpus shape the occupancy law cannot split (a mass of
+    * vectors sharing every band's sign pattern keeps colliding no
+    * matter how many planes are added; the round-12 probe measured the
+    * hottest bucket growing 260 → 686 → 1529 across 1×/4×/16× despite
+    * +3 planes). When intra-core similarity clears the threshold the
+    * quadratic candidate mass IS the answer; when it does NOT (the
+    * waste case), this variant bounds the per-candidate cost:
+    *
+    *  - per-(band, bucket) occupancy is audited first (one aggregate at
+    *    the bucket grain — metadata-scale);
+    *  - buckets at or under `occupancyCap` take the exact path verbatim;
+    *  - oversized buckets spill their candidates through
+    *    [[pqPreVerify]] — a PROVABLY CONSERVATIVE PQ/ADC distance bound
+    *    (no false negatives, see there), so each wasted candidate costs
+    *    an 11-long summary join + m table lookups instead of shipping
+    *    two 64-long vectors into the exact cosine (~6× fewer bytes,
+    *    and below-threshold cores are pruned before the vector fetch).
+    *
+    * Output is bit-identical to [[embedNearDups]] at ANY cap (the
+    * pre-verify admits every pair the exact verify would keep), which
+    * is what lets the e04 gate run this path against the same oracle.
+    * When no bucket exceeds the cap the candidate plan IS the exact
+    * path (the audit is the only extra work). */
+  def embedNearDupsCapped(emb: DataFrame, minCos: Double,
+                          planesPerBand: Int = 4, numBands: Int = 4,
+                          occupancyCap: Long = 4096L): DataFrame = {
+    require(minCos >= 0, "pre-verify bound is stated for non-negative thresholds")
+    val withQ = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", dotInt(col("qv"), col("qv")))   // norm once per vector
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandedLsh(emb, planesPerBand, numBands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bands.count()   // materialize both pins before the multi-branch joins
+    val sizes = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occRow = sizes.agg(max(col("occ"))).first()
+    val maxOcc = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
+    val cand =
+      if (maxOcc <= occupancyCap) bandPairs(bands).distinct()
+      else {
+        val sized = bands.join(sizes, Seq("band", "bucket"))
+        val small = sized.filter(col("occ") <= occupancyCap)
+        val big = sized.filter(col("occ") > occupancyCap)
+        // summaries only for members of oversized buckets — at scale the
+        // dense core is a small fraction of the corpus
+        val bigMembers = big.select(col("vec_id")).distinct()
+        val summ = pqSummaryOf(emb, emb.join(bigMembers, Seq("vec_id"), "left_semi"))
+        val kept = pqPreVerify(bandPairs(big).distinct(), summ,
+                               pqCentDotTable(emb), minCos)
+        bandPairs(small).unionByName(kept).distinct()
+      }
+    val out = exactCosVerify(cand, withQ, minCos)
       .localCheckpoint(true)   // small: the surviving near-dup pairs
     withQ.unpersist(false)
     bands.unpersist(false)
+    sizes.unpersist(false)
     out
   }
 
@@ -231,8 +308,9 @@ object Similarity {
     * 4-plane constant, so the e04 oracle covers both paths verbatim. */
   def embedNearDupsScaled(emb: DataFrame, minCos: Double, numBands: Int = 4,
                           targetOccupancy: Long = 256L): DataFrame =
-    embedNearDups(emb, minCos,
-      planesPerBandFor(emb.select(col("vec_id")).count(), targetOccupancy), numBands)
+    embedNearDupsCapped(emb, minCos,
+      planesPerBandFor(emb.select(col("vec_id")).count(), targetOccupancy), numBands,
+      occupancyCap = 16L * targetOccupancy)
 
   /** IVF coarse assignment: each vector goes to its nearest of `k`
     * centroids by exact squared L2 (integer domain). Centroids here are
@@ -387,7 +465,7 @@ object Similarity {
     val emb = TextSim.spread(Tables.embeddings(s, d))
     val ppb = requirePinned("e04",
       planesPerBandFor(emb.select(col("vec_id")).count()), 4)
-    embedNearDups(emb, 0.3, ppb)
+    embedNearDupsCapped(emb, 0.3, ppb)
   }
 
   /** e05: IVF-bucketed nearest same-cell neighbor (exact oracle). Runs
@@ -476,6 +554,96 @@ object Similarity {
   }
 
   def pqCodes(emb: DataFrame): DataFrame = pqCodesFrom(subVectors(emb))
+
+  /** Driver-collected centroid-pair dot table for the pre-verify bound:
+    * t[sub·k² + i·k + j] = ⟨cent_i^sub, cent_j^sub⟩ — PqM·PqK² = 2048
+    * exact integer entries (the bounded k-centroids collect discipline),
+    * broadcast as a literal so the per-pair approximate dot is m
+    * codegen'd array lookups. */
+  private[graft] def pqCentDotTable(emb: DataFrame): Array[Long] = {
+    val rows = centsFrom(subVectors(emb))
+      .select(col("csub"), col("cent_id"), col("cv")).collect()
+    val bySub = rows.map(r =>
+      ((r.getLong(0).toInt, r.getLong(1).toInt), r.getSeq[Long](2).toArray)).toMap
+    val t = new Array[Long](PqM * PqK * PqK)
+    for (((s, i), vi) <- bySub; ((s2, j), vj) <- bySub if s2 == s) {
+      var d = 0L; var x = 0
+      while (x < vi.length) { d += vi(x) * vj(x); x += 1 }
+      t(s * PqK * PqK + i * PqK + j) = d
+    }
+    t
+  }
+
+  /** Per-vector PQ pre-verify summary: (vec_id, qn exact norm²,
+    * codes[PqM], r2 residual norm²). The encode is the e08 packed
+    * argmin; the residual Σ_sub d²(sv, cent[code]) falls out of the
+    * same packed key (its high bits), so the summary costs one extra
+    * narrow aggregate over what encoding already pays. */
+  private[graft] def pqSummary(emb: DataFrame): DataFrame = pqSummaryOf(emb, emb)
+
+  /** [[pqSummary]] for a SUBSET of the corpus, encoded against the
+    * codebook trained on the FULL corpus — the codebook must be the
+    * same one [[pqCentDotTable]] collected, or the bound's adot indexes
+    * the wrong centroids. */
+  private[graft] def pqSummaryOf(corpus: DataFrame, subset: DataFrame): DataFrame = {
+    val cents = centsFrom(subVectors(corpus))
+    val emb = subset
+    val sv = subVectors(emb)
+    val d2 = col("sn") - lit(2L) * dotInt(col("sv"), col("cv")) + col("cn")
+    val enc = sv.join(broadcast(cents), col("sub") === col("csub"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(d2 * PqK + col("cent_id")).as("key"))
+      .select(col("vec_id"), col("sub"),
+              (col("key") % PqK).as("code"), expr(s"key div $PqK").as("d2min"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), s -> s.code)")
+             .as("codes"),
+           sum(col("d2min")).as("r2"))
+    emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), dotInt(col("qv"), col("qv")).as("qn"))
+      .join(enc, "vec_id")
+  }
+
+  /** CONSERVATIVE PQ pre-verify: keeps a candidate pair iff the provable
+    * upper bound on its exact dot clears τ·|a|·|b|:
+    *
+    *   ⟨a,b⟩ = ⟨â+rₐ, b̂+r_b⟩ ≤ ⟨â,b̂⟩ + |â||r_b| + |rₐ||b̂| + |rₐ||r_b|
+    *         ≤ adot + |a||r_b| + |rₐ||b| + 3|rₐ||r_b|
+    *
+    * (â the PQ reconstruction, r the residual, Cauchy–Schwarz per cross
+    * term with |â| ≤ |a|+|rₐ|; adot = Σ_sub table[cent_a, cent_b] is an
+    * EXACT integer). NO FALSE NEGATIVES: a dropped pair provably fails
+    * the exact verify, so composing this filter in front of
+    * [[exactCosVerify]] changes no output — only the work. The float
+    * tail (4 sqrts, 3 multiplies) is slacked by (1±1e-9) and +1, orders
+    * beyond its few-ulp error; slack only ever ADMITS extra pairs, and
+    * those still face the exact verify. Join shape: candidates attach an
+    * (PqM + 2)-long summary per side instead of the 64-long vector —
+    * ~6× fewer bytes per candidate, and a below-threshold dense core is
+    * pruned before any vector ships. */
+  private[graft] def pqPreVerify(cand: DataFrame, summ: DataFrame,
+                                 centDots: Array[Long], minCos: Double): DataFrame = {
+    require(minCos >= 0, "bound slack direction assumes a non-negative threshold")
+    val sa = summ.select(col("vec_id").as("vec_a"), col("qn").as("pna"),
+                         col("codes").as("pca"), col("r2").as("pra"))
+    val sb = summ.select(col("vec_id").as("vec_b"), col("qn").as("pnb"),
+                         col("codes").as("pcb"), col("r2").as("prb"))
+    val adot = expr(
+      s"""aggregate(
+            transform(zip_with(pca, pcb, (x, y) -> x * $PqK + y),
+                      (v, s) -> element_at(cdots, CAST(s * ${PqK * PqK} + v + 1 AS INT))),
+            CAST(0 AS BIGINT), (acc, e) -> acc + e)""")
+    val ub = col("adot").cast("double") +
+      sqrt(col("pna").cast("double")) * sqrt(col("prb").cast("double")) +
+      sqrt(col("pra").cast("double")) * sqrt(col("pnb").cast("double")) +
+      lit(3.0) * sqrt(col("pra").cast("double")) * sqrt(col("prb").cast("double"))
+    val rhs = lit(minCos) * sqrt(col("pna").cast("double")) * sqrt(col("pnb").cast("double"))
+    cand.join(sa, "vec_a").join(sb, "vec_b")
+      .withColumn("cdots", lit(centDots))
+      .withColumn("adot", adot)
+      .filter(ub * lit(1 + 1e-9) + lit(1.0) >= rhs * lit(1 - 1e-9))
+      .select(col("vec_a"), col("vec_b"))
+  }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query keeps its
     * exact subvectors; each corpus vector is represented by its codes.

@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.array.{DMatrix, LinAlg}
+import java.nio.file.{Files, Paths}
+
+/** Linalg-flagship scaling probe (round-13 directive #2): the array
+  * side's 100 TB story was plan-shape-only — this measures it.
+  *
+  *  - GEMM (the a13 kernel, chunks 1,000²) across n ∈ {10k, 20k, 40k}:
+  *    INPUT VOLUME grows n² but WORK grows n³, so against volume the
+  *    expected time exponent is 1.5 (ln t ratios over ln(volume)
+  *    ratios, volume ratio = 4 per doubling). Anything materially above
+  *    1.5 means the block algebra adds super-cubic overhead (shuffle of
+  *    partial products, replication) as grids deepen.
+  *  - Tall-skinny SVD (the a15 kernel, 1,000 cols, chunks 2,000) across
+  *    rows ∈ {200k, 400k, 800k}: TSQR tree + driver SVD of R — work is
+  *    linear in rows, expected exponent 1.0 (the R-factor stage is
+  *    constant-size).
+  *
+  * Streaming input-rate scaling is covered by ScaleProbe's
+  * st02_sessions entry over the key-offset replicated events table.
+  *
+  * Output: one JSON line to scale_probe_linalg.json with per-point
+  * seconds + A19 breakdowns (shuffle, GC, spill) and pairwise/OLS
+  * exponents measured AGAINST VOLUME — the BENCH_NOTES evidence
+  * artifact. Reps default 1 (the 40k point is ~64× the flagship's
+  * work); set SPARK_GRAFT_SCALE_REPS to tighten.
+  */
+object LinalgScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val gemmSizes = sys.env.getOrElse("SPARK_GRAFT_GEMM_SIZES", "10000,20000,40000")
+      .split(",").map(_.trim.toInt).toSeq
+    val svdRows = sys.env.getOrElse("SPARK_GRAFT_SVD_ROWS", "200000,400000,800000")
+      .split(",").map(_.trim.toInt).toSeq
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt.max(1)
+    val spark = graft.core.GraftSession.local()
+    val metrics = new graft.core.EntryMetrics()
+    spark.sparkContext.addSparkListener(metrics)
+
+    def gemm(n: Int): Double = {
+      val a = DMatrix.randInt(spark, n, n, 1000, 51L, mod = 100L)
+      val b = DMatrix.randInt(spark, n, n, 1000, 53L, mod = 100L)
+      a.multiply(b).sum
+    }
+    def svd(rows: Int): Double = {
+      val a = DMatrix.randInt(spark, rows, 1000, 2000, 71L, mod = 10L)
+      val (_, sv, _) = LinAlg.svdTallSkinny(a)
+      sv.toArray.map(x => x * x).sum
+    }
+
+    // warmup at the smallest points: absorb JIT/codegen
+    gemm(2000); svd(50000)
+
+    case class Pt(kernel: String, size: Long, volume: Double, sec: Double)
+    def run(kernel: String, size: Int, volume: Double)(f: => Double): Pt = {
+      val times = (1 to reps).map { _ =>
+        System.gc()
+        val w0 = System.currentTimeMillis()
+        val t0 = System.nanoTime()
+        val r = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        metrics.window(s"$kernel@$size", w0, System.currentTimeMillis())
+        if (r.isNaN) System.err.println("nan checksum")
+        dt
+      }
+      System.err.println(f"[linalg] $kernel n=$size: min ${times.min}%.2f s")
+      Pt(kernel, size, volume, times.min)
+    }
+
+    val pts =
+      gemmSizes.map(n => run("gemm", n, n.toDouble * n)(gemm(n))) ++
+      svdRows.map(r => run("svd", r, r.toDouble * 1000)(svd(r)))
+    metrics.drain(spark)
+    val bd = metrics.breakdowns
+
+    def jstr(s: String) = "\"" + s + "\""
+    val byKernel = pts.groupBy(_.kernel)
+    val kernelJson = Seq("gemm", "svd").filter(byKernel.contains).map { kname =>
+      val ps = byKernel(kname).sortBy(_.size)
+      val lnPts = ps.map(p => (math.log(p.volume), math.log(p.sec)))
+      val n = lnPts.size
+      val (sx, sy) = (lnPts.map(_._1).sum, lnPts.map(_._2).sum)
+      val sxy = lnPts.map(p => p._1 * p._2).sum
+      val sxx = lnPts.map(p => p._1 * p._1).sum
+      val slope = if (n >= 2) (n * sxy - sx * sy) / (n * sxx - sx * sx) else 0.0
+      val pair = ps.sliding(2).collect { case Seq(a, b) =>
+        f""""${a.size}->${b.size}":${math.log(b.sec / a.sec) / math.log(b.volume / a.volume)}%.3f"""
+      }.mkString(",")
+      val perSize = ps.map { p =>
+        val extra = bd.get(s"$kname@${p.size}")
+          .map(x => f""","shuffle_mb":${x.shuffleReadBytes / 1e6 / reps}%.1f,"gc_sec":${x.gcMs / 1e3 / reps}%.2f,"spill_mb":${(x.spillMemBytes + x.spillDiskBytes) / 1e6 / reps}%.1f""")
+          .getOrElse("")
+        f""""${p.size}":{"sec":${p.sec}%.3f$extra}"""
+      }.mkString(",")
+      f"""${jstr(kname)}:{"vs":"volume","ols_exponent":$slope%.3f,$pair,$perSize}"""
+    }.mkString(",")
+    val note = sys.env.get("SPARK_GRAFT_SCALE_NOTE")
+      .map(n => s""","note":${jstr(n)}""").getOrElse("")
+    val line = s"""{"reps":$reps$note,"kernels":{$kernelJson}}"""
+    println(line)
+    Files.writeString(Paths.get("scale_probe_linalg.json"), line)
+    spark.stop()
+  }
+}

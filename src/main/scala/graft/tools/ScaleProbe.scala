@@ -42,7 +42,8 @@ object ScaleProbe {
     "q37_global_rank",    // two-pass salted global rank
     "t20_pack_sequences", // distributed prefix-scan packing
     "e04_embed_neardup",  // sign-bit banded LSH embedding dedup
-    "i03_triangles"       // degree-oriented triangle counting
+    "i03_triangles",      // degree-oriented triangle counting
+    "st02_sessions"       // stateful stream: flatMapGroupsWithState sessions
   )
 
   private def gen(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
@@ -84,6 +85,18 @@ object ScaleProbe {
       .drop("r")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // events: event/user keys offset per replica — each user's event
+    // stream (its session gaps and counts) is what sf0.1 planted, so the
+    // stateful-stream KEY CARDINALITY scales with volume while per-key
+    // state stays constant, which is how a production event firehose
+    // grows
+    spark.read.parquet(s"$srcDir/events.parquet")
+      .select(col("*"), reps)
+      .withColumn("event_id", col("event_id") + col("r").cast("long") * 1000000000L)
+      .withColumn("user_id", col("user_id") + col("r").cast("long") * 1000000000L)
+      .drop("r")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     // embeddings: per-replica deterministic sign-flip pattern — an
     // orthogonal transform, so every intra-replica cosine (and hence
     // e04's near-dup pair structure) is EXACTLY preserved per replica
@@ -164,7 +177,75 @@ object ScaleProbe {
       }.mkString(",")
       f"""${jstr(name)}:{"ols_exponent":$slope%.3f,$pair,$perScale}"""
     }.mkString(",")
-    val line = s"""{"src":${jstr(srcDir)},"scales":[${scales.mkString(",")}],"reps":$reps,"entries":{$entryJson}}"""
+    // ---- dense-directional-core study (round-13 directive #1 proof) ----
+    // A planted core that every band hashes into ONE bucket (DenseCore):
+    // the occupancy law cannot split it (hottest bucket grows with the
+    // core despite law-added planes), so the occupancy cap routes its
+    // candidates through the conservative PQ pre-verify. Per scale:
+    // candidate mass among core ids, pre-verify survivors (≈ the true
+    // within-template pairs — the bounded exact-stage work), output
+    // pairs, and wall time capped vs uncapped (outputs asserted equal).
+    val denseJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_DENSECORE", "1") == "0") ""
+      else {
+        import graft.operators.Similarity
+        val tau = 0.5; val cap = 96L
+        val stats = scales.map { k =>
+          val nCore = 150 * k; val nBg = 50 * k
+          val emb = DenseCore.corpus(spark, nCore, nBg, kTemplates = 8, seed = 42L)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          emb.count()
+          val ppb = Similarity.planesPerBandFor(nCore.toLong + nBg)
+          val bl = Similarity.bandedLsh(emb, ppb, 4)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val hottest = bl.groupBy("band", "bucket").count()
+            .agg(max("count")).first().getLong(0)
+          val candCore = bl.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
+            .join(bl.select(col("band").as("b2"), col("bucket").as("k2"),
+                            col("vec_id").as("vec_b")),
+                  col("band") === col("b2") && col("bucket") === col("k2") &&
+                    col("vec_a") < col("vec_b"))
+            .select(col("vec_a"), col("vec_b")).distinct()
+            .filter(col("vec_a") < nCore && col("vec_b") < nCore)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nCand = candCore.count()
+          val summ = Similarity.pqSummaryOf(emb, emb.filter(col("vec_id") < nCore))
+          val nKept = Similarity.pqPreVerify(candCore, summ,
+            Similarity.pqCentDotTable(emb), tau).count()
+          def timed(f: => Long): (Double, Long) = {
+            System.gc()
+            val t0 = System.nanoTime()
+            val n = f
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          val w0 = System.currentTimeMillis()
+          val (secCap, outCap) = timed(
+            Similarity.embedNearDupsCapped(emb, tau, ppb, 4, cap).count())
+          metrics.window(s"densecore_capped@x$k", w0, System.currentTimeMillis())
+          val w1 = System.currentTimeMillis()
+          val (secUncap, outUncap) = timed(
+            Similarity.embedNearDups(emb, tau, ppb, 4).count())
+          metrics.window(s"densecore_uncapped@x$k", w1, System.currentTimeMillis())
+          require(outCap == outUncap,
+            s"dense-core x$k: capped output $outCap != uncapped $outUncap")
+          emb.unpersist(false); bl.unpersist(false); candCore.unpersist(false)
+          System.err.println(f"[scale] dense_core x$k: cand=$nCand kept=$nKept " +
+            f"out=$outCap capped=$secCap%.2f s uncapped=$secUncap%.2f s hottest=$hottest")
+          (k, nCore, nBg, ppb, hottest, nCand, nKept, outCap, secCap, secUncap)
+        }
+        metrics.drain(spark)
+        val dbd = metrics.breakdowns
+        val parts = stats.map { case (k, nCore, nBg, ppb, hottest, nCand, nKept, out, sc, su) =>
+          def sh(w: String) = dbd.get(s"densecore_$w@x$k")
+            .map(x => f""","${w}_shuffle_mb":${x.shuffleReadBytes / 1e6}%.1f,"${w}_spill_mb":${(x.spillMemBytes + x.spillDiskBytes) / 1e6}%.1f""")
+            .getOrElse("")
+          f""""x$k":{"n_core":$nCore,"n_bg":$nBg,"ppb":$ppb,"hottest":$hottest,"cand_core":$nCand,"pre_kept":$nKept,"out_pairs":$out,"sec_capped":$sc%.3f,"sec_uncapped":$su%.3f${sh("capped")}${sh("uncapped")}}"""
+        }
+        s""","dense_core":{"tau":0.5,"cap":96,${parts.mkString(",")}}"""
+      }
+    val note = sys.env.get("SPARK_GRAFT_SCALE_NOTE")
+      .map(n => s""","note":${jstr(n)}""").getOrElse("")
+    val line = s"""{"src":${jstr(srcDir)},"scales":[${scales.mkString(",")}],"reps":$reps$note,"entries":{$entryJson}$denseJson}"""
     println(line)
     Files.writeString(Paths.get("scale_probe.json"), line)
     spark.stop()
