@@ -189,20 +189,21 @@ object IterativeQueries {
     // the O(√m)-bounded out-lists — Σc² array elements in aggregate
     // (inherent: the wedge-join alternative ships the same volume as
     // rows, plus an exchange and a sort — measured 40 s, see above).
-    // At a fixed 32-way fan-out those per-task sorts outgrow executor
-    // memory with the graph (round-12 probe: 34 GB spill, ~214 task-GC
-    // sec/rep at 16× sf0.1) — so size the stage's parallelism from the
-    // measured wedge volume instead: one metadata-scale aggregate over
-    // the cached adjacency picks partitions such that each task's array
-    // payload stays ~64 MB. Values are unchanged; only the exchange
-    // grain adapts (the same law a 1000-executor cluster needs anyway).
-    val volRow = adj.agg(sum(col("c") * col("c")).as("elems")).first()
-    val attachElems = if (volRow.isNullAt(0)) 0L else volRow.getLong(0)
-    val attachP = math.max(32, math.min(4096,
-      (attachElems * 16L / (64L << 20)).toInt + 1))
+    // Its 16×-probe sort spill (34 GB, round 12) was attacked with both
+    // named levers and MEASURED at x16 sf0.1 (round 13): explicit
+    // repartition(volume-sized, w) → 64 s (AQE's skew rule only
+    // rewrites ENSURE_REQUIREMENTS exchanges, so pinning the grain
+    // trades spill for hub stragglers); volume-sized BASE
+    // shuffle.partitions + AQE coalesce/skew-split → 131 s (every
+    // stage over the cached frames inherits the grain — task-count
+    // overhead swamps the savings on local[32]). The plain 32-partition
+    // plan wins at 36 s: the "spill" lands on tmpfs scratch (RAM-speed,
+    // see GraftSession.scratchDir), and at cluster shapes executor
+    // memory scales with the graph while AQE handles the skew — so the
+    // spill is inherent to the array payload on a single 24 GB JVM and
+    // harmless, not a plan defect.
     val tri = oriented
       .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
-      .repartition(attachP, col("w"))
       .join(adj.select(col("u").as("w"), col("nbrs").as("nw")), Seq("w"))
       .select(size(array_intersect(col("nu"), col("nw"))).as("t"))
       .agg(sum(col("t")).cast("long").as("n_triangles"))

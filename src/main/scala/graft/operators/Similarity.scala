@@ -628,11 +628,11 @@ object Similarity {
                          col("codes").as("pca"), col("r2").as("pra"))
     val sb = summ.select(col("vec_id").as("vec_b"), col("qn").as("pnb"),
                          col("codes").as("pcb"), col("r2").as("prb"))
-    val adot = expr(
-      s"""aggregate(
-            transform(zip_with(pca, pcb, (x, y) -> x * $PqK + y),
-                      (v, s) -> element_at(cdots, CAST(s * ${PqK * PqK} + v + 1 AS INT))),
-            CAST(0 AS BIGINT), (acc, e) -> acc + e)""")
+    // fused codegen'd gather-sum (one loop, no allocation) — the
+    // composable aggregate/transform/zip_with form pays three
+    // interpreted lambdas per candidate on a quadratic stream
+    val adot = graft.functions.PqLutSumLong.lutSum(
+      col("cdots"), col("pca"), col("pcb"), PqK)
     val ub = col("adot").cast("double") +
       sqrt(col("pna").cast("double")) * sqrt(col("prb").cast("double")) +
       sqrt(col("pra").cast("double")) * sqrt(col("pnb").cast("double")) +

@@ -7,12 +7,20 @@ import java.nio.file.{Files, Paths}
 /** Linalg-flagship scaling probe (round-13 directive #2): the array
   * side's 100 TB story was plan-shape-only — this measures it.
   *
-  *  - GEMM (the a13 kernel, chunks 1,000²) across n ∈ {10k, 20k, 40k}:
-  *    INPUT VOLUME grows n² but WORK grows n³, so against volume the
-  *    expected time exponent is 1.5 (ln t ratios over ln(volume)
-  *    ratios, volume ratio = 4 per doubling). Anything materially above
-  *    1.5 means the block algebra adds super-cubic overhead (shuffle of
-  *    partial products, replication) as grids deepen.
+  *  - GEMM across n ∈ {10k, 20k} with the BLOCK GRID HELD at the
+  *    flagship's 10×10 (chunks n/10 — so the 10k point IS a13's exact
+  *    shape): stripe replication moves 2·10·|M| bytes — LINEAR in the
+  *    matrix — while work grows n³, so against volume the expected time
+  *    exponent is 1.5 (ln t ratios over ln(volume), volume ratio 4 per
+  *    doubling). Holding the grid is the production scaling shape
+  *    (SUMMA: grid ~ √P, replication √P-bounded). The alternative —
+  *    FIXED 1k chunks at growing n — was measured and is the WRONG
+  *    deployment shape: replication grows as n/bs, so 20k moves 128 GB
+  *    (vs 16 GB at 10k); on this host that overran the tmpfs scratch
+  *    against the JVM heap (659 s measured — memory thrash, not
+  *    compute) and 40k (512 GB) OOM'd. 40k at the held grid still needs
+  *    ~256 GB of scratch — beyond this 126 GB-shm / 80 GB-disk box, so
+  *    it is documented (the replication law above), not measured.
   *  - Tall-skinny SVD (the a15 kernel, 1,000 cols, chunks 2,000) across
   *    rows ∈ {200k, 400k, 800k}: TSQR tree + driver SVD of R — work is
   *    linear in rows, expected exponent 1.0 (the R-factor stage is
@@ -24,13 +32,13 @@ import java.nio.file.{Files, Paths}
   * Output: one JSON line to scale_probe_linalg.json with per-point
   * seconds + A19 breakdowns (shuffle, GC, spill) and pairwise/OLS
   * exponents measured AGAINST VOLUME — the BENCH_NOTES evidence
-  * artifact. Reps default 1 (the 40k point is ~64× the flagship's
+  * artifact. Reps default 1 (the 20k point is ~8× the flagship's
   * work); set SPARK_GRAFT_SCALE_REPS to tighten.
   */
 object LinalgScaleProbe {
 
   def main(args: Array[String]): Unit = {
-    val gemmSizes = sys.env.getOrElse("SPARK_GRAFT_GEMM_SIZES", "10000,20000,40000")
+    val gemmSizes = sys.env.getOrElse("SPARK_GRAFT_GEMM_SIZES", "10000,20000")
       .split(",").map(_.trim.toInt).toSeq
     val svdRows = sys.env.getOrElse("SPARK_GRAFT_SVD_ROWS", "200000,400000,800000")
       .split(",").map(_.trim.toInt).toSeq
@@ -40,8 +48,9 @@ object LinalgScaleProbe {
     spark.sparkContext.addSparkListener(metrics)
 
     def gemm(n: Int): Double = {
-      val a = DMatrix.randInt(spark, n, n, 1000, 51L, mod = 100L)
-      val b = DMatrix.randInt(spark, n, n, 1000, 53L, mod = 100L)
+      val bs = n / 10   // grid held at the flagship's 10×10 — see scaladoc
+      val a = DMatrix.randInt(spark, n, n, bs, 51L, mod = 100L)
+      val b = DMatrix.randInt(spark, n, n, bs, 53L, mod = 100L)
       a.multiply(b).sum
     }
     def svd(rows: Int): Double = {

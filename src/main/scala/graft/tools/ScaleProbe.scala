@@ -89,14 +89,25 @@ object ScaleProbe {
     // stream (its session gaps and counts) is what sf0.1 planted, so the
     // stateful-stream KEY CARDINALITY scales with volume while per-key
     // state stays constant, which is how a production event firehose
-    // grows
+    // grows. Written as a SINGLE FILE named events.parquet (the testdata
+    // layout): the streaming entries discover it via
+    // pathGlobFilter=events.parquet, which matches file names, not
+    // directory names.
+    val evTmp = s"$outDir/_events_tmp"
     spark.read.parquet(s"$srcDir/events.parquet")
       .select(col("*"), reps)
       .withColumn("event_id", col("event_id") + col("r").cast("long") * 1000000000L)
       .withColumn("user_id", col("user_id") + col("r").cast("long") * 1000000000L)
       .drop("r")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      .repartition(1)
+      .write.mode("overwrite").parquet(evTmp)
+    val evPart = new java.io.File(evTmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $evTmp"))
+    Files.move(evPart.toPath, Paths.get(s"$outDir/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(evTmp).listFiles().foreach(_.delete())
+    Files.deleteIfExists(Paths.get(evTmp))
     // embeddings: per-replica deterministic sign-flip pattern — an
     // orthogonal transform, so every intra-replica cosine (and hence
     // e04's near-dup pair structure) is EXACTLY preserved per replica
@@ -126,7 +137,15 @@ object ScaleProbe {
     val spark = graft.core.GraftSession.local()
     val metrics = new graft.core.EntryMetrics()
     spark.sparkContext.addSparkListener(metrics)
-    val qs = graft.SparkEntry.queries
+    // e04's GATE entry now requirePins the law to the oracle constant
+    // (it fails loudly when a fixture outgrows the floor — by design);
+    // the probe corpora outgrow it on purpose, so probe the production
+    // SCALED path directly — the same function the gate covers at
+    // fixture sizes.
+    val qs = graft.SparkEntry.queries ++ Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "e04_embed_neardup" -> ((s, d) =>
+        graft.operators.Similarity.embedNearDupsScaled(
+          graft.operators.TextSim.spread(graft.core.Tables.embeddings(s, d)), 0.3)))
 
     scales.foreach { k =>
       System.err.println(s"[scale] generating x$k corpus")

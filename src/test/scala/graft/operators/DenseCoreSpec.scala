@@ -99,6 +99,26 @@ class DenseCoreSpec extends SparkSpec {
     assert(nKept >= 1520L, s"pre-verify must keep every true pair, kept $nKept < 1520")
   }
 
+  test("pq_lut_sum_long: fused kernel matches the composable HOF form") {
+    val rnd = new scala.util.Random(5)
+    val k = Similarity.PqK
+    val table = Array.fill(Similarity.PqM * k * k)(rnd.nextLong() % 1000000L)
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+       Array.fill(Similarity.PqM)(rnd.nextInt(k).toLong),
+       Array.fill(Similarity.PqM)(rnd.nextInt(k).toLong))
+    }.toDF("id", "pca", "pcb").withColumn("cdots", lit(table))
+    val both = rows.select(col("id"),
+      graft.functions.PqLutSumLong.lutSum(col("cdots"), col("pca"), col("pcb"), k).as("fused"),
+      expr(s"""aggregate(
+                 transform(zip_with(pca, pcb, (x, y) -> x * $k + y),
+                           (v, s) -> element_at(cdots, CAST(s * ${k * k} + v + 1 AS INT))),
+                 CAST(0 AS BIGINT), (acc, e) -> acc + e)""").as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"id=${r.getLong(0)}: fused ${r.getLong(1)} != hof ${r.getLong(2)}"))
+  }
+
   test("semanticDedup: capped == exact path on the dense core") {
     val viaExact = graft.ml.Cluster.semanticDedup(core, Tau, k = 8, iters = 2,
       occupancyCap = Long.MaxValue)
