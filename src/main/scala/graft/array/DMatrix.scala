@@ -721,57 +721,95 @@ class DMatrix(
         // Shallow inner dimension (square flagship grids: e.g. 10k² at
         // chunks 1k² has only 10 inner keys): the inner join would cap
         // parallelism at nInner tasks and then shuffle every partial
-        // product. Instead replicate row-stripes of A (×nbc) and
-        // col-stripes of B (×nbr) onto (i,j) output keys — nbr·nbc-way
-        // parallel — and stream each group through an accumulating
-        // dgemm (β=1) into the single C block: no Iterable buffering
-        // (a cogroup here held ~2·nInner blocks live per key and
-        // spilled; measured 85% GC time), no partial-product
-        // allocation, and partial products never touch the shuffle.
+        // product. Instead assign C blocks to t×t OUTPUT TILES (the
+        // SUMMA/2.5D replication law): A row-stripes replicate onto the
+        // ⌈nbc/t⌉ tile columns and B col-stripes onto the ⌈nbr/t⌉ tile
+        // rows, so replication — and with it both shuffle bytes and the
+        // receive-side deserialization garbage, the two GC drivers the
+        // r13 metrics attribute ~28% of a13 task time to — falls as 1/t.
+        // Thread utilization is wave-quantized (tasks / ⌈tasks/P⌉·P), so
+        // t grows only while the tile grid still fills ≥¾ of one wave's
+        // slots: the 10×10 flagship picks t=2 (25 tasks in one 78%-full
+        // wave — the same utilization as t=1's 100 tasks in 3.1 waves,
+        // at HALF the bytes); a 20×20 grid picks t=4 (replication ×5,
+        // not ×20) — the grid-held deployment shape BENCH_NOTES
+        // documents. Partial products never exist as allocations and
+        // never touch the shuffle: each arriving block dgemm(β=1)s into
+        // the tile's C accumulators against its already-arrived
+        // k-partners, and a side's retained blocks are freed the moment
+        // the opposite side's arrival count completes. (Buffering whole
+        // groups instead — cogroup, or the shuffle sorter — held ~5 GB
+        // live across 32 tasks and cost ~25 s of promotion GC per
+        // flagship pass.) Fold order follows fetch order; exact for the
+        // integer-domain oracle fixtures, and within normal float
+        // roundoff variance otherwise (same contract as tsqr's tree
+        // combine).
         val nbr = nbRows; val nbc = other.nbCols
+        val minTasks = math.max(1, (parts * 3) / 4)
+        // SPARK_GRAFT_GEMM_TILE pins t for A/B probes (BENCH_NOTES r14)
+        val tile = sys.env.get("SPARK_GRAFT_GEMM_TILE").map(_.toInt).getOrElse(
+          Seq(8, 4, 2, 1).find { t =>
+            ((nbr + t - 1) / t).toLong * ((nbc + t - 1) / t) >= minTasks
+          }.getOrElse(1))
+        val gr = (nbr + tile - 1) / tile
+        val gc = (nbc + tile - 1) / tile
         val keyed = blocks.rdd
-          .flatMap(b => (0 until nbc).map(j => ((b.bi, j, b.bj, 0), b))) ++
+          .flatMap(b => (0 until gc).map(jt => ((b.bi / tile, jt, b.bj, 0), b))) ++
           other.blocks.rdd
-            .flatMap(b => (0 until nbr).map(i => ((i, b.bj, b.bi, 1), b)))
-        // One C-block group per partition (the partitioner is injective
-        // at parts = nbr·nbc), consumed STRAIGHT OFF the shuffle fetch
-        // iterator: pair each arriving block with its k-partner via a
-        // small hash map and dgemm(β=1) immediately, so both blocks are
-        // garbage the moment the product is folded in. Buffering the
-        // group instead (cogroup, or the shuffle sorter) held ~5 GB of
-        // blocks live across 32 tasks — overflowing survivor space and
-        // costing ~25 s of promotion GC per 10k² flagship pass. Fold
-        // order follows fetch order; exact for the integer-domain oracle
-        // fixtures, and within normal float roundoff variance otherwise
-        // (same contract as tsqr's tree combine).
+            .flatMap(b => (0 until gr).map(it => ((it, b.bj / tile, b.bi, 1), b)))
         keyed
-          .partitionBy(new StripePartitioner(nbc, nbr * nbc))
-          .mapPartitions { it =>
-            if (it.isEmpty) Iterator.empty
+          .partitionBy(new StripePartitioner(gc, gr * gc))
+          .mapPartitions { it0 =>
+            if (it0.isEmpty) Iterator.empty
             else {
               val blas = dev.ludovic.netlib.blas.BLAS.getInstance
-              val pend = new java.util.HashMap[Long, Block]()
-              var bi = -1; var bj = -1
-              var acc: Array[Double] = null
-              it.foreach { case ((i, j, k, side), blk) =>
-                bi = i; bj = j
-                val partner = pend.remove(k.toLong * 2 + (1 - side))
-                if (partner == null) pend.put(k.toLong * 2 + side, blk)
-                else {
-                  val (ab, bb) = if (side == 0) (blk, partner) else (partner, blk)
-                  if (acc == null) acc = new Array[Double](ab.rows * bb.cols)
-                  blas.dgemm("N", "N", ab.rows, bb.cols, ab.cols, 1.0,
-                    ab.data, ab.rows, bb.data, bb.rows, 1.0, acc, ab.rows)
+              // per-C-block accumulators for the tile (≤ t² buffers) and
+              // per-k pairing slots; blocks retained only while partners
+              // can still arrive
+              val accs = new java.util.HashMap[Long, Array[Double]]()
+              final class Slot {
+                var as: List[Block] = Nil; var bs: List[Block] = Nil
+                var nA = 0; var nB = 0
+              }
+              val slots = new java.util.HashMap[Int, Slot]()
+              var tileRows = -1; var tileCols = -1
+              def fold(a: Block, b: Block): Unit = {
+                val key = (a.bi.toLong << 32) | b.bj.toLong
+                var acc = accs.get(key)
+                if (acc == null) {
+                  acc = new Array[Double](a.rows * b.cols); accs.put(key, acc)
+                }
+                blas.dgemm("N", "N", a.rows, b.cols, a.cols, 1.0,
+                  a.data, a.rows, b.data, b.rows, 1.0, acc, a.rows)
+              }
+              it0.foreach { case ((itr, jtr, k, side), blk) =>
+                if (tileRows < 0) {
+                  tileRows = math.min(tile, nbr - itr * tile)
+                  tileCols = math.min(tile, nbc - jtr * tile)
+                }
+                var slot = slots.get(k)
+                if (slot == null) { slot = new Slot; slots.put(k, slot) }
+                if (side == 0) {
+                  slot.nA += 1
+                  slot.bs.foreach(b => fold(blk, b))
+                  if (slot.nB < tileCols) slot.as ::= blk
+                  if (slot.nA == tileRows) slot.bs = Nil
+                } else {
+                  slot.nB += 1
+                  slot.as.foreach(a => fold(a, blk))
+                  if (slot.nA < tileRows) slot.bs ::= blk
+                  if (slot.nB == tileCols) slot.as = Nil
                 }
               }
-              // A partition that paired nothing (all arrivals from one
-              // side — possible on sparse block grids like tril/cholesky
-              // output, where an absent block means zero) contributes a
-              // zero C block, which is OMITTED — same absent-means-zero
-              // convention as the join path above, which never emits such
-              // keys either. Emitting (key, null) here was an NPE bomb.
-              if (acc == null) Iterator.empty
-              else Iterator.single(((bi, bj), acc))
+              // Tiles where nothing paired (all arrivals one-sided —
+              // possible on sparse block grids like tril/cholesky output,
+              // where an absent block means zero) contribute no C blocks:
+              // same absent-means-zero convention as the join path above.
+              import scala.jdk.CollectionConverters._
+              accs.entrySet().iterator().asScala.map { e =>
+                val key: Long = e.getKey
+                (((key >> 32).toInt, key.toInt), e.getValue)
+              }
             }
           }
       }

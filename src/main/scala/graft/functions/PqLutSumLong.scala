@@ -20,10 +20,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * intermediate arrays per candidate pair; on a quadratic candidate
   * stream that interpretation cost dominates the whole pre-verify. This
   * is the fused kernel (one loop, no allocation), the [[ArrayDotLong]]
-  * discipline applied to the LUT gather. Out-of-range gathers contribute
-  * 0 (a code can only be out of range if table and codes disagree on k —
-  * fail-soft keeps the bound conservative-safe since the exact verify
-  * still runs downstream).
+  * discipline applied to the LUT gather. An out-of-range gather (only
+  * possible when table and codes disagree on k — a caller bug) FAILS
+  * LOUDLY: zeroing a positive centroid-dot term would LOWER the upper
+  * bound the pre-verify relies on, i.e. the fail-soft direction would
+  * be false negatives (silently dropped true pairs), the one thing the
+  * consumer's contract forbids.
   */
 case class PqLutSumLong(first: Expression, second: Expression,
                         third: Expression, fourth: Expression)
@@ -54,7 +56,11 @@ case class PqLutSumLong(first: Expression, second: Expression,
     var i = 0
     while (i < n) {
       val idx = i.toLong * k * k + x.getLong(i) * k + y.getLong(i)
-      if (idx >= 0 && idx < tn) acc += table.getLong(idx.toInt)
+      if (idx < 0 || idx >= tn)
+        throw new IllegalArgumentException(
+          s"pq_lut_sum_long: gather index $idx out of table range [0, $tn) " +
+            s"at sub $i (k=$k) — table and codes disagree on the codebook")
+      acc += table.getLong(idx.toInt)
       i += 1
     }
     acc
@@ -72,9 +78,12 @@ case class PqLutSumLong(first: Expression, second: Expression,
          |long ${ev.value}Acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $idx = (long) $i * $kv * $kv + $a.getLong($i) * $kv + $b.getLong($i);
-         |  if ($idx >= 0 && $idx < $tn) {
-         |    ${ev.value}Acc += $t.getLong((int) $idx);
+         |  if ($idx < 0 || $idx >= $tn) {
+         |    throw new IllegalArgumentException(
+         |      "pq_lut_sum_long: gather index " + $idx + " out of table range [0, " +
+         |      $tn + ") at sub " + $i + " (k=" + $kv + "): table and codes disagree on the codebook");
          |  }
+         |  ${ev.value}Acc += $t.getLong((int) $idx);
          |}
          |${ev.value} = ${ev.value}Acc;
        """.stripMargin

@@ -246,11 +246,21 @@ object Similarity {
     * pre-verify admits every pair the exact verify would keep), which
     * is what lets the e04 gate run this path against the same oracle.
     * When no bucket exceeds the cap the candidate plan IS the exact
-    * path (the audit is the only extra work). */
+    * path (the audit is the only extra work).
+    *
+    * Two fall-backs keep the bit-identical contract unconditional:
+    * a negative `minCos` (the pre-verify bound is only stated for
+    * non-negative thresholds) routes to the uncapped [[embedNearDups]]
+    * verbatim — the cap is an optimization, never a semantics change;
+    * and a corpus whose codebook cannot be built (no vec_ids below
+    * [[PqK]], so [[pqSummaryOf]]'s inner joins would silently drop
+    * every big-bucket candidate) takes the exact path for the big
+    * buckets too, paying the uncapped cost rather than losing pairs. */
   def embedNearDupsCapped(emb: DataFrame, minCos: Double,
                           planesPerBand: Int = 4, numBands: Int = 4,
                           occupancyCap: Long = 4096L): DataFrame = {
-    require(minCos >= 0, "pre-verify bound is stated for non-negative thresholds")
+    if (minCos < 0)
+      return embedNearDups(emb, minCos, planesPerBand, numBands)
     val withQ = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("qn", dotInt(col("qv"), col("qv")))   // norm once per vector
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -262,8 +272,15 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val occRow = sizes.agg(max(col("occ"))).first()
     val maxOcc = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
+    // The PQ codebook is the subvectors of the corpus vectors with
+    // vec_id < PqK; a corpus whose ids all start above PqK has no
+    // codebook, and the pre-verify's inner joins would silently drop
+    // every big-bucket candidate — detect that ONCE (a pushed-down
+    // id-range count, metadata-scale) and fall back to the exact path.
+    lazy val codebookBuildable =
+      emb.filter(col("vec_id") < PqK).limit(1).count() > 0
     val cand =
-      if (maxOcc <= occupancyCap) bandPairs(bands).distinct()
+      if (maxOcc <= occupancyCap || !codebookBuildable) bandPairs(bands).distinct()
       else {
         val sized = bands.join(sizes, Seq("band", "bucket"))
         val small = sized.filter(col("occ") <= occupancyCap)
@@ -563,6 +580,17 @@ object Similarity {
   private[graft] def pqCentDotTable(emb: DataFrame): Array[Long] = {
     val rows = centsFrom(subVectors(emb))
       .select(col("csub"), col("cent_id"), col("cv")).collect()
+    // An empty codebook (no corpus vec_id below PqK) would make every
+    // downstream inner join against codes/summaries silently drop rows —
+    // the consumer's no-false-negatives contract depends on this table
+    // and the summaries being built from the SAME nonempty codebook, so
+    // fail loudly here instead. (Fewer than PqK centroids is fine: codes
+    // only ever reference centroids that exist, and this table covers
+    // exactly those ids.)
+    require(rows.nonEmpty,
+      s"PQ codebook is empty: no corpus vec_id < $PqK — PQ paths need the " +
+        "deterministic codebook vectors present (or callers must fall back " +
+        "to an exact path, as embedNearDupsCapped does)")
     val bySub = rows.map(r =>
       ((r.getLong(0).toInt, r.getLong(1).toInt), r.getSeq[Long](2).toArray)).toMap
     val t = new Array[Long](PqM * PqK * PqK)

@@ -453,6 +453,71 @@ object TextOps {
       .filter(col("rank") <= 50)
   }
 
+  /** t57: FULL BPE MERGE LOOP — k sequential merge rounds with the
+    * vocabulary state carried forward: the §3.3 iterative-session shape
+    * (reference: iterative jobs, `TE/function.py:258-382`) applied to
+    * the pipeline's tokenizer-training step; [[bpePairs]] (t39) is this
+    * loop's single representative round.
+    *
+    * Scale shape: the corpus is scanned ONCE into a cached (word, freq)
+    * vocabulary — classic BPE trains on word frequencies, so every
+    * round's state is |V|-sized, never corpus-sized. Per round:
+    * weighted adjacent-pair counts over the symbol sequences (map-only
+    * generator, partial-aggregated; the global top-1 plans as
+    * TakeOrderedAndProject), ONE winning merge row crosses to the
+    * driver (count desc, then (left, right) tie-break — one row per
+    * round is the only driver traffic), and the merge is applied
+    * MAP-SIDE as a literal-string `replace` over the wrapped
+    * `|a||b||c|` symbol encoding. Literal (non-regex) replace scans
+    * left-to-right and resumes after each replacement in both engines —
+    * exactly BPE's non-overlapping merge semantics ("aaa" with merge
+    * (a,a) becomes [aa, a]) — and the wrapped encoding makes a pair
+    * pattern `|l||r|` unable to match across symbol boundaries. Tokens
+    * are [a-z]-only so the separator never collides with content.
+    * Output: the merge table (round, left, right, pair count). */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rounds = 5
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var vocab = Tables.documents(s, d)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .select(regexp_replace(col("tok"), "(.)", "|$1|").as("seq"), col("n"))
+      .persist(lvl)
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val topRow = vocab
+        .select(col("n"), split(trim(col("seq"), "|"), "\\|\\|").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+             i -> named_struct('l', element_at(syms, i),
+                               'r', element_at(syms, i + 1)))""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      topRow.headOption.foreach { row =>
+        val (l, rt, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((r.toLong, l, rt, c))
+        // symbols are [a-z]+ by construction, so the interpolation is a
+        // fixed literal pattern, never an injection surface
+        val next = vocab
+          .select(expr(s"replace(seq, '|$l||$rt|', '|$l$rt|')").as("seq"), col("n"))
+          .persist(lvl)
+        next.count()
+        vocab.unpersist(false)
+        vocab = next
+      }
+    }
+    vocab.unpersist(false)
+    s.createDataset(merges.toSeq)
+      .toDF("round", "left_sym", "right_sym", "pair_n")
+      .orderBy(col("round"))
+  }
+
   /** Fixed-window sequence chunking — sharding long documents into
     * 512-char windows before tokenization (the map-only precursor of
     * LLM context packing). The chunk count derives from `length(text)`
@@ -1436,11 +1501,49 @@ object TextOps {
     "t32_surprisal"    -> (surprisalScore _),
     "t33_substring_dedup" -> (substringDedup _),
     "t39_bpe_pairs"    -> (bpePairs _),
+    "t57_bpe_train"    -> (bpeTrain _),
   )
+
+  /** t57's oracle: the 5-round merge loop UNROLLED into chained CTEs —
+    * each round is (pair counts over the previous vocabulary) → (top-1
+    * merge by count desc, (l, r) asc) → (vocabulary with the literal
+    * replace applied). DuckDB's parallel unnest zips the two symbol
+    * lists; literal `replace` has the same left-to-right non-overlapping
+    * scan as Spark's. sum(n) is cast back to BIGINT (DuckDB widens
+    * BIGINT sums to HUGEINT). */
+  private val bpeTrainOracle: String = {
+    val roundCtes = (1 to 5).map { r =>
+      s"""p$r AS (
+            SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+              SELECT unnest([syms[i] for i in generate_series(1, len(syms)-1)]) AS l,
+                     unnest([syms[i+1] for i in generate_series(1, len(syms)-1)]) AS r,
+                     n
+              FROM (SELECT string_split(trim(seq, '|'), '||') AS syms, n FROM v${r - 1})
+              WHERE len(syms) >= 2
+            ) GROUP BY 1, 2),
+          m$r AS (SELECT CAST($r AS BIGINT) AS round, l, r, cnt FROM p$r
+                  ORDER BY cnt DESC, l, r LIMIT 1),
+          v$r AS (SELECT replace(seq, '|' || l || '||' || r || '|',
+                                 '|' || l || r || '|') AS seq, n
+                  FROM v${r - 1}, m$r)"""
+    }.mkString(",\n")
+    s"""WITH v0 AS (
+          SELECT regexp_replace(tok, '(.)', '|\\1|', 'g') AS seq, count(*) AS n
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+                FROM documents)
+          WHERE length(tok) >= 2 GROUP BY 1),
+        $roundCtes
+        SELECT round, l AS left_sym, r AS right_sym, cnt AS pair_n
+        FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL
+              SELECT * FROM m3 UNION ALL SELECT * FROM m4 UNION ALL
+              SELECT * FROM m5)
+        ORDER BY round"""
+  }
 
   // DuckDB equivalents. Note: DuckDB regexp_replace needs the 'g' flag to
   // replace all matches (Spark replaces all by default).
   val oracles: Map[String, String] = Map(
+    "t57_bpe_train" -> bpeTrainOracle,
     // same top-100 vocabulary (count desc, token tie-break), same
     // floor-micro logs, same int64 power sums, one mirrored division
     "t56_zipf" ->

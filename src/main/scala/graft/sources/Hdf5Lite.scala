@@ -182,6 +182,7 @@ object Hdf5Lite {
     * the others: the fromStripes metadata pass reads three longs per
     * multi-GB shard through [[readDims]], never the data. */
   private def entries(bytes: Array[Byte]): Seq[(String, Long)] = {
+    NpyLite.rejectTorchArtifact(bytes)   // zip-of-pickles: loud refusal, see there
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sig = new Array[Byte](8); buf.get(sig)
     require(sig.sameElements(Signature), "not an HDF5 file (bad signature)")

@@ -28,6 +28,25 @@ object NpyLite {
   private val Magic: Array[Byte] =
     Array(0x93.toByte) ++ "NUMPY".getBytes(StandardCharsets.US_ASCII)
 
+  /** EXECUTABLE out-of-scope stance for torch checkpoint containers
+    * (reference handler: `SS/wukong/protocol/torch.py`): `torch.save`
+    * output is a zip archive of Python pickles, and deserializing
+    * untrusted pickle streams executes arbitrary code — a security
+    * anti-pattern this engine refuses by design rather than by prose.
+    * Both model-artifact readers sniff the zip local-file-header magic
+    * (`PK\x03\x04` — torch's container, and what a user who points the
+    * ingestion at a `.pt`/`.pth` file actually feeds us) and reject it
+    * loudly, pointing at the supported safe interchange forms: raw NPY
+    * tensors (ml19) and keras-layout HDF5 weight trees (ml20). */
+  def rejectTorchArtifact(bytes: Array[Byte]): Unit =
+    if (bytes.length >= 4 && bytes(0) == 'P'.toByte && bytes(1) == 'K'.toByte &&
+        bytes(2) == 0x03.toByte && bytes(3) == 0x04.toByte)
+      throw new IllegalArgumentException(
+        "torch checkpoint container detected (zip-of-pickles, the torch.save " +
+          "layout): unpickling untrusted model artifacts executes arbitrary " +
+          "code and is out of scope by design — export the tensors as NPY " +
+          "(NpyLite) or keras-layout HDF5 (Hdf5Lite) instead")
+
   // ---------------------------------------------------------------- write
 
   /** One C-order array as NPY v1.0 bytes; `<i8` when `asInt` else `<f8`. */
@@ -53,6 +72,7 @@ object NpyLite {
   // ----------------------------------------------------------------- read
 
   def read(bytes: Array[Byte]): NpyArray = {
+    rejectTorchArtifact(bytes)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val magic = new Array[Byte](6); buf.get(magic)
     require(magic.sameElements(Magic), "not an NPY file (bad magic)")

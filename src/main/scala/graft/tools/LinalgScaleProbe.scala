@@ -93,17 +93,23 @@ object LinalgScaleProbe {
       val (sx, sy) = (lnPts.map(_._1).sum, lnPts.map(_._2).sum)
       val sxy = lnPts.map(p => p._1 * p._2).sum
       val sxx = lnPts.map(p => p._1 * p._1).sum
-      val slope = if (n >= 2) (n * sxy - sx * sy) / (n * sxx - sx * sx) else 0.0
-      val pair = ps.sliding(2).collect { case Seq(a, b) =>
+      // single-point runs (size list overridden to one value) have no
+      // pairwise exponents and no meaningful OLS slope — build the field
+      // list from non-empty fragments so the JSON stays valid either way
+      val slope = if (n >= 2)
+        Some(f""""ols_exponent":${(n * sxy - sx * sy) / (n * sxx - sx * sx)}%.3f""")
+      else None
+      val pairs = ps.sliding(2).collect { case Seq(a, b) =>
         f""""${a.size}->${b.size}":${math.log(b.sec / a.sec) / math.log(b.volume / a.volume)}%.3f"""
-      }.mkString(",")
+      }.toSeq
       val perSize = ps.map { p =>
         val extra = bd.get(s"$kname@${p.size}")
           .map(x => f""","shuffle_mb":${x.shuffleReadBytes / 1e6 / reps}%.1f,"gc_sec":${x.gcMs / 1e3 / reps}%.2f,"spill_mb":${(x.spillMemBytes + x.spillDiskBytes) / 1e6 / reps}%.1f""")
           .getOrElse("")
         f""""${p.size}":{"sec":${p.sec}%.3f$extra}"""
-      }.mkString(",")
-      f"""${jstr(kname)}:{"vs":"volume","ols_exponent":$slope%.3f,$pair,$perSize}"""
+      }
+      val fields = Seq(Some(s""""vs":"volume""""), slope).flatten ++ pairs ++ perSize
+      s"""${jstr(kname)}:{${fields.mkString(",")}}"""
     }.mkString(",")
     val note = sys.env.get("SPARK_GRAFT_SCALE_NOTE")
       .map(n => s""","note":${jstr(n)}""").getOrElse("")

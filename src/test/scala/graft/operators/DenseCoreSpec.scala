@@ -119,6 +119,55 @@ class DenseCoreSpec extends SparkSpec {
       s"id=${r.getLong(0)}: fused ${r.getLong(1)} != hof ${r.getLong(2)}"))
   }
 
+  test("pq_lut_sum_long: out-of-range gather fails loudly (never silently lowers the bound)") {
+    // zeroing a positive centroid-dot term would LOWER the pre-verify's
+    // upper bound — i.e. silent false negatives. The kernel must throw.
+    val k = Similarity.PqK
+    val table = Array.fill(Similarity.PqM * k * k)(1L)
+    val bad = Seq((0L, Array.fill(Similarity.PqM)(k.toLong),   // code == k: out of range
+                        Array.fill(Similarity.PqM)(0L)))
+      .toDF("id", "pca", "pcb").withColumn("cdots", lit(table))
+    val ex = intercept[Exception] {
+      bad.select(graft.functions.PqLutSumLong.lutSum(
+        col("cdots"), col("pca"), col("pcb"), k)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+             c.getMessage.contains("pq_lut_sum_long")),
+      s"expected the loud pq_lut_sum_long range error, got $ex")
+  }
+
+  test("codebook-less corpus (ids above PqK): capped falls back to exact, drops nothing; table builder fails loudly") {
+    // the ADVICE scenario: every vec_id >= PqK, so centsFrom yields an
+    // empty codebook — pqSummaryOf's inner joins would silently drop
+    // every big-bucket candidate. The capped operator must detect this
+    // and take the exact path (bit-identical output); the table builder
+    // must refuse rather than hand back an all-zero table.
+    val shifted = core.withColumn("vec_id", col("vec_id") + 1000L).cache()
+    val uncapped = Similarity.embedNearDups(shifted, Tau, 4, 4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val capped = Similarity.embedNearDupsCapped(shifted, Tau, 4, 4, occupancyCap = 64L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.nonEmpty, "fixture must still produce near-dup pairs after the id shift")
+    assert(capped == uncapped, s"codebook-less fallback changed the output: " +
+      s"${(capped -- uncapped).size} extra, ${(uncapped -- capped).size} missing")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqCentDotTable(shifted)
+    }
+    assert(ex.getMessage.contains("codebook is empty"))
+  }
+
+  test("negative minCos routes to the uncapped path (cap is an optimization, not an API change)") {
+    val uncapped = Similarity.embedNearDups(core, -0.5, 4, 4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val capped = Similarity.embedNearDupsCapped(core, -0.5, 4, 4, occupancyCap = 64L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped,
+      s"negative-threshold fallback diverged: ${(capped -- uncapped).size} extra, " +
+        s"${(uncapped -- capped).size} missing")
+  }
+
   test("semanticDedup: capped == exact path on the dense core") {
     val viaExact = graft.ml.Cluster.semanticDedup(core, Tau, k = 8, iters = 2,
       occupancyCap = Long.MaxValue)

@@ -242,6 +242,41 @@ class PlanAuditSpec extends SparkSpec {
       s"the argmin must combine map-side:\n$plan")
   }
 
+  test("e13 exact-kNN baseline: the BNLJ build side is the tiny broadcast query set, never the corpus") {
+    // e13's BroadcastNestedLoopJoin is deliberate (exact-kNN reference
+    // baseline; the ANN family is the scale path and e12 measures recall
+    // against this). What nothing previously prevented: a fixture change
+    // silently turning it into a distributed cartesian with the CORPUS
+    // on the build side. Pin both halves of the design: (a) the build
+    // side is the broadcast 1-in-50 query sample, (b) the sample stays
+    // broadcast-sized relative to the corpus.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.functions.col
+    val df = run("e13_knn_classify")
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan
+    val fin = p match { case a: AdaptiveSparkPlanExec => a.executedPlan; case o => o }
+    val bnljs = fin.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnljs.nonEmpty, s"e13 must plan its kNN baseline as a BNLJ:\n$fin")
+    bnljs.foreach { j =>
+      assert(j.buildSide == BuildLeft,
+        s"build side must be the query set (left), got ${j.buildSide}:\n$j")
+      val build = j.left.toString
+      assert(build.contains("% 50") && build.contains("Broadcast"),
+        s"the broadcast build subtree must be the 1-in-50 query sample:\n$build")
+    }
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val (nCorpus, nQueries) =
+      (emb.count(), emb.filter(col("vec_id") % 50 === 0).count())
+    assert(nQueries > 0 && nQueries * 40 <= nCorpus,
+      s"query sample must stay ~1/50 of the corpus: $nQueries of $nCorpus")
+    // ~300 B/row (id + 64 floats): the sample must sit far below the
+    // 10 MB autoBroadcastJoinThreshold at ANY gate fixture scale
+    assert(nQueries * 300 < (10L << 20),
+      s"query sample too big to broadcast: $nQueries rows")
+  }
+
   test("AQE skew-join safety net: a hot-key shuffle join gets its skewed partition split") {
     // t27 eliminates join skew by key construction; this pins the OTHER
     // mechanism the 100 TB story leans on — when a skewed shuffle join

@@ -59,6 +59,21 @@ class NpyLiteSpec extends AnyFunSuite {
     assert(a.dims.sameElements(Array(5L)) && a.data.sameElements(data))
   }
 
+  test("torch checkpoint container (zip-of-pickles) is rejected loudly by BOTH model readers") {
+    // a minimal zip local-file-header prefix — what the first bytes of a
+    // torch.save artifact look like; the refusal must name the rationale
+    // (untrusted pickle) and the supported safe forms.
+    val torchLike = Array[Byte]('P', 'K', 0x03, 0x04) ++ Array.fill[Byte](32)(0)
+    val e1 = intercept[IllegalArgumentException](read(torchLike))
+    assert(e1.getMessage.contains("torch checkpoint container") &&
+           e1.getMessage.contains("arbitrary") &&
+           e1.getMessage.contains("NPY") && e1.getMessage.contains("HDF5"),
+      s"rejection must cite the pickle rationale and the safe forms: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException](
+      graft.sources.Hdf5Lite.readDataset(torchLike, "w"))
+    assert(e2.getMessage.contains("torch checkpoint container"))
+  }
+
   test("non-NPY bytes and unsupported descr fail with explicit messages") {
     val e1 = intercept[IllegalArgumentException](read("not an npy".getBytes))
     assert(e1.getMessage.contains("magic"))
