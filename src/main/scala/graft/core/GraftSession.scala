@@ -50,7 +50,7 @@ object GraftSession {
     * actually has room for the flagship shuffles (containers commonly cap
     * it at 64 MB, where a multi-GB shuffle would ENOSPC with no
     * fallback); SPARK_GRAFT_NO_TMPFS=1 opts out regardless. */
-  private[core] def scratchDir: String = {
+  private[graft] def scratchDir: String = {
     val shm = new java.io.File("/dev/shm")
     val minBytes = 8L << 30 // 8 GiB headroom: ~2 GB/pass compressed shuffle + spill + crash debris
     if (sys.env.contains("SPARK_GRAFT_NO_TMPFS") || !shm.isDirectory ||
