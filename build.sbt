@@ -38,6 +38,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // arrays, and growing the heap from the 1 GB default under that
   // pressure spent 3× longer in GC than the steady state.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // NOTE: -XX:+AlwaysPreTouch was tried here (to move first-touch page
+  // zeroing out of the first timed stage) and REJECTED by measurement:
+  // with a 48 g heap + ParallelGC adaptive generation resizing it put the
+  // JVM into a kernel page-zeroing storm (~10,000 CPU-s of system time,
+  // first stage stalled for minutes, jstack attach unresponsive). The
+  // first-rep outlier it targeted is seconds, the cure was minutes.
   // Throughput collector: the block-matrix paths allocate tens of GB/min
   // of short-lived 8-32 MB double[]s (G1 "humongous" churn — measured 85%
   // GC time on the flagship GEMM's first pass); ParallelGC compacts young
@@ -48,4 +54,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // small enough that a cold run promotes them all (then pays major
   // collections for objects that were about to die).
   "-XX:NewRatio=1",
-)
+  // Pin generation sizes: with Xms=Xmx and NewRatio set, ParallelGC's
+  // adaptive size policy has nothing useful left to decide, and on this
+  // virtualized host its uncommit/recommit cycles are actively harmful —
+  // measured on the 20k² GEMM probe: RES oscillating 30 GB → 18 GB
+  // mid-collection with 23 GC threads pinned in kernel page management
+  // and a young pause logged at 186 s (fresh-page faults on this VM run
+  // ~170 MB/s under co-tenant load, so every uncommitted-then-reused
+  // page is re-zeroed at that rate). Fixed sizes fault each page once.
+  "-XX:-UseAdaptiveSizePolicy",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))
+// SPARK_GRAFT_JVM_OPTS: extra per-run JVM flags (GC logging, NewRatio
+// overrides) for probes — appended last so they win.

@@ -714,8 +714,10 @@ class DMatrix(
         val aByInner = blocks.rdd.map(b => (b.bj, b))
         val bByInner = other.blocks.rdd.map(b => (b.bi, b))
         aByInner.join(bByInner, parts).map { case (_, (a, b)) =>
-          val c = a.toBreeze * b.toBreeze
-          ((a.bi, b.bj), c.data)
+          // paneled dgemm: the JVM-fallback BLAS collapses ~8× on
+          // monolithic >1024-dim calls (Gemm scaladoc) — big blocks are
+          // the at-scale case here (grid-held SUMMA grows bs with n)
+          ((a.bi, b.bj), Gemm.multiply(a.data, a.rows, a.cols, b.data, b.cols))
         }.reduceByKey(addInto _, parts)
       } else {
         // Shallow inner dimension (square flagship grids: e.g. 10k² at
@@ -762,7 +764,6 @@ class DMatrix(
           .mapPartitions { it0 =>
             if (it0.isEmpty) Iterator.empty
             else {
-              val blas = dev.ludovic.netlib.blas.BLAS.getInstance
               // per-C-block accumulators for the tile (≤ t² buffers) and
               // per-k pairing slots; blocks retained only while partners
               // can still arrive
@@ -779,8 +780,11 @@ class DMatrix(
                 if (acc == null) {
                   acc = new Array[Double](a.rows * b.cols); accs.put(key, acc)
                 }
-                blas.dgemm("N", "N", a.rows, b.cols, a.cols, 1.0,
-                  a.data, a.rows, b.data, b.rows, 1.0, acc, a.rows)
+                // paneled: monolithic >1024-dim JVM dgemm calls run ~8×
+                // slower (Gemm scaladoc) — exactly the big-block regime
+                // the grid-held flagship hits at n ≥ 20k (2000² blocks)
+                Gemm.dgemm(a.rows, b.cols, a.cols, 1.0,
+                  a.data, 0, a.rows, b.data, 0, b.rows, 1.0, acc, 0, a.rows)
               }
               it0.foreach { case ((itr, jtr, k, side), blk) =>
                 if (tileRows < 0) {

@@ -237,7 +237,7 @@ object LinAlg {
     val rInv = inv(r)
     import a.blocks.sparkSession.implicits._
     val qBlocks = a.blocks.map { b =>
-      val q = b.toBreeze * rInv
+      val q = Gemm.multiplyBDM(b.toBreeze, rInv)  // paneled: blocks are taller than the fast-dgemm regime
       b.copy(data = q.data)
     }
     (new DMatrix(qBlocks, a.nRows, a.nCols, a.blockSize), r)
@@ -286,7 +286,7 @@ object LinAlg {
     }
     import a.blocks.sparkSession.implicits._
     val uBlocks = a.blocks.map { b =>
-      val u = b.toBreeze * vs
+      val u = Gemm.multiplyBDM(b.toBreeze, vs)
       b.copy(data = u.data)
     }
     (new DMatrix(uBlocks, a.nRows, a.nCols, a.blockSize), s, v)
@@ -366,7 +366,7 @@ object LinAlg {
     val uBk = uB(::, 0 until k).copy              // l × k, broadcast in closure
     import spark.implicits._
     val uBlocks = q.blocks.map { b =>
-      val u = b.toBreeze * uBk
+      val u = Gemm.multiplyBDM(b.toBreeze, uBk)
       Block(b.bi, 0, b.rows, k, u.data)
     }
     // Eager localCheckpoint cuts U's lineage free of Q so EVERY pinned
@@ -697,7 +697,7 @@ object LinAlg {
       val contribs = colRdd.values
         .filter(blk => if (lower) blk.bi > k else blk.bi < k)
         .map { blk =>
-          val c = blk.toBreeze * new BDM(xkRows, xkCols, xkData)
+          val c = Gemm.multiplyBDM(blk.toBreeze, new BDM(xkRows, xkCols, xkData))
           (blk.bi, c.data)
         }
         .partitionBy(part)

@@ -20,8 +20,11 @@ object GemmStageProbe {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val m = si.taskMetrics
+        val wall = (for (a <- si.submissionTime; z <- si.completionTime)
+          yield (z - a) / 1000.0).getOrElse(-1.0)
         System.err.println(
           f"[stage] ${si.stageId}%3d ${si.name.take(40)}%-40s tasks=${si.numTasks}%4d " +
+          f"wall=$wall%7.1fs " +
           f"run=${m.executorRunTime / 1000.0}%8.1fs gc=${m.jvmGCTime / 1000.0}%7.1fs " +
           f"deser=${m.executorDeserializeTime / 1000.0}%6.1fs " +
           f"serRes=${m.resultSerializationTime / 1000.0}%5.1fs " +
@@ -32,10 +35,12 @@ object GemmStageProbe {
           f"spillMem=${m.memoryBytesSpilled / 1e9}%6.2fGB spillDisk=${m.diskBytesSpilled / 1e9}%6.2fGB")
       }
     })
-    val a = DMatrix.randInt(s, 10000, 10000, bs, 51L, mod = 100L)
-    val b = DMatrix.randInt(s, 10000, 10000, bs, 53L, mod = 100L)
-    time(s"multiply bs=$bs + sum") { println("checksum " + a.multiply(b).sum) }
-    time(s"multiply bs=$bs + sum (2nd)") { println("checksum " + a.multiply(b).sum) }
+    val n = if (args.length > 1) args(1).toInt else 10000
+    val a = DMatrix.randInt(s, n, n, bs, 51L, mod = 100L)
+    val b = DMatrix.randInt(s, n, n, bs, 53L, mod = 100L)
+    time(s"multiply n=$n bs=$bs + sum") { println("checksum " + a.multiply(b).sum) }
+    if (!sys.env.contains("SPARK_GRAFT_PROBE_ONCE"))
+      time(s"multiply n=$n bs=$bs + sum (2nd)") { println("checksum " + a.multiply(b).sum) }
     s.stop()
   }
 }
