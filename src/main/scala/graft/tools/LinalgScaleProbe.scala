@@ -62,20 +62,24 @@ object LinalgScaleProbe {
     // warmup at the smallest points: absorb JIT/codegen
     gemm(2000); svd(50000)
 
-    case class Pt(kernel: String, size: Long, volume: Double, sec: Double)
+    case class Pt(kernel: String, size: Long, volume: Double, sec: Double, bdKey: String)
     def run(kernel: String, size: Int, volume: Double)(f: => Double): Pt = {
-      val times = (1 to reps).map { _ =>
+      // window each rep separately and attribute the breakdown of the
+      // MIN rep only: on this host rep 1 pays the cold-JVM page-fault
+      // tax (BENCH_NOTES r14), and summing its GC into the recorded
+      // min-of point would misstate the steady-state shape
+      val times = (1 to reps).map { rep =>
         System.gc()
         val w0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
         val r = f
         val dt = (System.nanoTime() - t0) / 1e9
-        metrics.window(s"$kernel@$size", w0, System.currentTimeMillis())
+        metrics.window(s"$kernel@$size#$rep", w0, System.currentTimeMillis())
         if (r.isNaN) System.err.println("nan checksum")
         dt
       }
       System.err.println(f"[linalg] $kernel n=$size: min ${times.min}%.2f s")
-      Pt(kernel, size, volume, times.min)
+      Pt(kernel, size, volume, times.min, s"$kernel@$size#${times.indexOf(times.min) + 1}")
     }
 
     val pts =
@@ -103,8 +107,8 @@ object LinalgScaleProbe {
         f""""${a.size}->${b.size}":${math.log(b.sec / a.sec) / math.log(b.volume / a.volume)}%.3f"""
       }.toSeq
       val perSize = ps.map { p =>
-        val extra = bd.get(s"$kname@${p.size}")
-          .map(x => f""","shuffle_mb":${x.shuffleReadBytes / 1e6 / reps}%.1f,"gc_sec":${x.gcMs / 1e3 / reps}%.2f,"spill_mb":${(x.spillMemBytes + x.spillDiskBytes) / 1e6 / reps}%.1f""")
+        val extra = bd.get(p.bdKey)   // the min rep's window — no rep averaging
+          .map(x => f""","shuffle_mb":${x.shuffleReadBytes / 1e6}%.1f,"gc_sec":${x.gcMs / 1e3}%.2f,"spill_mb":${(x.spillMemBytes + x.spillDiskBytes) / 1e6}%.1f""")
           .getOrElse("")
         f""""${p.size}":{"sec":${p.sec}%.3f$extra}"""
       }
