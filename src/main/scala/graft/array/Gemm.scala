@@ -39,6 +39,19 @@ object Gemm {
     if (m <= Panel && n <= Panel && k <= Panel) {
       blas.dgemm("N", "N", m, n, k, alpha, a, offA, lda, b, offB, ldb,
         beta, c, offC, ldc)
+    } else if (k == 0) {
+      // BLAS contract: k == 0 means C := β·C (the kk-loop below would
+      // never run and β would silently not apply — ADVICE r14).
+      var j = 0
+      while (j < n) {
+        var i = 0
+        while (i < m) {
+          val idx = offC + j * ldc + i
+          c(idx) = if (beta == 0.0) 0.0 else beta * c(idx)
+          i += 1
+        }
+        j += 1
+      }
     } else {
       var j = 0
       while (j < n) {

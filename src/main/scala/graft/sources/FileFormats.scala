@@ -49,7 +49,14 @@ object FileFormats {
     try java.nio.file.Files.createDirectories(base)
     catch { case _: Throwable => () }
     val p = base.resolve(s"graft_scratch_${ProcessHandle.current().pid()}")
-    sweepStale(base, "graft_scratch_(\\d+)".r)
+    // Sweep BOTH candidate roots, not just the one this run chose: the
+    // chooser re-evaluates /dev/shm headroom per process, so a crashed
+    // run may have left its pid-dir under the root the current run did
+    // NOT pick — that debris would otherwise accumulate forever (ADVICE
+    // r14). The dead-pid check makes sweeping a foreign root safe.
+    Seq(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        java.nio.file.Paths.get("/dev/shm/graft-scratch"))
+      .foreach(sweepStale(_, "graft_scratch_(\\d+)".r))
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try deleteTree(p) catch { case _: Throwable => () }))
     p

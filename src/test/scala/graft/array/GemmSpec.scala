@@ -45,6 +45,22 @@ class GemmSpec extends AnyFunSuite {
     assert(acc == (a * b) * 2.0)
   }
 
+  test("k=0 paneled call applies beta (C := beta*C), matching the BLAS contract") {
+    // ADVICE r14: the kk-loop never runs at k=0, so beta needs explicit
+    // handling in the paneled branch (m or n > panel) to match the
+    // monolithic path.
+    val m = 1100; val n = 40
+    val c0 = randM(m, n, 13)
+    val halved = c0.copy
+    Gemm.dgemm(m, n, 0, 1.0, Array.empty[Double], 0, m,
+      Array.empty[Double], 0, 1, 0.5, halved.data, 0, m)
+    assert(halved == c0 * 0.5)
+    val zeroed = c0.copy
+    Gemm.dgemm(m, n, 0, 1.0, Array.empty[Double], 0, m,
+      Array.empty[Double], 0, 1, 0.0, zeroed.data, 0, m)
+    assert(zeroed == BDM.zeros[Double](m, n))
+  }
+
   test("(offset, ld) addressing multiplies an interior sub-matrix in place") {
     val host = randM(200, 200, 11)
     val a = host.copy; val b = randM(80, 60, 12)
