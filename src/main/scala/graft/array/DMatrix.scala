@@ -689,10 +689,22 @@ class DMatrix(
   }
 
   /** Blocked GEMM (reference flagship: `da.matmul`, 10k×10k blocks 1k —
-    * README.md:265-270). Join A-blocks and B-blocks on the inner block
-    * index, per-pair Breeze GEMM, then reduceByKey-sum partial products
-    * into C(i,j) — partial aggregation happens map-side, so the shuffle
-    * carries at most one partial block per (i,j) per map partition. */
+    * README.md:265-270). Three physical regimes, dispatched by
+    * [[DMatrix.multiplyPathFor]] (spec-pinned): broadcast-skinny when
+    * one operand is a single block-column/row within the broadcast
+    * budget (the big side never shuffles); otherwise an inner-index
+    * join with map-side-combined partial reduction, or t×t-tiled SUMMA
+    * streaming for shallow square grids.
+    *
+    * Deployment note (100 TB): a skinny factor that OUTGROWS the 64 MB
+    * budget (m ≳ 5·10⁵ rows at l = 15) silently falls back to the join
+    * path, which re-shuffles the fat side — at that scale raise
+    * SPARK_GRAFT_BC_GEMM_BYTES instead: TorrentBroadcast distributes
+    * peer-to-peer in O(log P) rounds, so a few hundred MB broadcast to
+    * 1,000 executors is far cheaper than one full pass of an 80 TB
+    * operand through an exchange (let alone rSVD's six). The budget is
+    * deliberately conservative for the single-JVM drive, where every
+    * "executor" copy shares one heap. */
   def multiply(other: DMatrix): DMatrix = {
     require(nCols == other.nRows, s"dim mismatch: $nCols vs ${other.nRows}")
     require(blockSize == other.blockSize, "chunk mismatch")
