@@ -60,7 +60,12 @@ object Bench {
     val dirty = Process(Seq("git", "status", "--porcelain", "--", "src", "build.sbt")).!!(devNull).trim.nonEmpty
     val env = Seq(
       sys.env.get("SPARK_GRAFT_CPUS").map("cpus=" + _),
-      sys.env.get("SPARK_GRAFT_NO_TMPFS").map(_ => "notmpfs")).flatten
+      sys.env.get("SPARK_GRAFT_NO_TMPFS").map(_ => "notmpfs"),
+      // plan-shape overrides: a sample probed at a pinned SUMMA tile or
+      // a different broadcast-GEMM budget measures a different plan
+      sys.env.get("SPARK_GRAFT_GEMM_TILE").map("tile=" + _),
+      sys.env.get("SPARK_GRAFT_BC_GEMM_BYTES").map("bcgemm=" + _),
+      sys.env.get("SPARK_GRAFT_CONF").map(c => "conf=" + c.hashCode.toHexString)).flatten
     head + (if (dirty) "+dirty" else "") +
       (if (env.isEmpty) "" else env.mkString("@", ",", ""))
   } catch { case _: Throwable => s"unknown-${System.nanoTime()}" }
