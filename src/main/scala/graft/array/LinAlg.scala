@@ -392,56 +392,119 @@ object LinAlg {
     * examples.rst:84-100): nb sequential panel steps — inherently
     * iterative, exactly as the reference ran it (deep DAG). Per step:
     * local chol of the bs×bs diagonal block, distributed panel solve,
-    * distributed rank-bs trailing update via two keyed joins (never a
-    * broadcast of the panel — panels are m×bs and would not fit at
-    * scale). Lineage is truncated with localCheckpoint every few steps
-    * (SURVEY §7.5 known-hard #5). Returns the lower factor L. */
-  def choleskyLower(a: DMatrix, checkpointEvery: Int = 6): DMatrix = {
+    * distributed rank-bs trailing update. Lineage is truncated with
+    * localCheckpoint every few steps (SURVEY §7.5 known-hard #5).
+    * Returns the lower factor L.
+    *
+    * Scale shape (r15 rewrite; CholeskyProbe measured the old two-join
+    * update moving nb³·bs²-law bytes — 148 MB for a 34 MB matrix at
+    * nb=8, ×7.7 for ×4 data at nb=16): the state matrix now lives on a
+    * FIXED block→tile partitioner and NEVER crosses an exchange after
+    * the single entry shuffle — panel solve and L_kk replacement are
+    * mapValues, the trailing update is a zipPartitions against
+    * tile-keyed PANEL COPIES (only the panel moves, one copy per t-wide
+    * tile instead of per block — the SUMMA replication law, ÷t), and
+    * the per-step diagonal pull is a partitioner-routed single-partition
+    * `lookup`, not an nb-task filter scan. Never a broadcast of the
+    * panel — panels are m×bs and would not fit at scale. */
+  def choleskyLower(a: DMatrix, checkpointEvery: Int = 6,
+                    tileOverride: Option[Int] = None): DMatrix = {
     require(a.nRows == a.nCols, "cholesky needs a square matrix")
     val spark = a.blocks.sparkSession
     val bs = a.blockSize
     val nb = a.nbRows
-    val nParts = math.max(2, math.min(spark.sparkContext.defaultParallelism, nb * nb))
-    // keep only the lower triangle; key by (bi, bj)
-    var state = a.blocks.rdd.filter(b => b.bi >= b.bj).map(b => ((b.bi, b.bj), b)).cache()
+    val slots = spark.sparkContext.defaultParallelism
+    // Tile width: largest t whose step-0 trailing tile grid still fills
+    // ≥¾ of a wave (same rule as the GEMM tiles). Panel traffic per
+    // step is (nb−k)²·bs²·8/t bytes; small grids keep t=1 (parallelism
+    // over traffic — the whole factorization is sub-second there),
+    // production-depth grids (nb ≳ 16) get t ≥ 2.
+    val tile = tileOverride
+      .orElse(sys.env.get("SPARK_GRAFT_CHOL_TILE").map(_.toInt)).getOrElse {
+      Seq(4, 2, 1).find { tt =>
+        val g = (nb + tt - 1) / tt
+        g.toLong * (g + 1) / 2 >= math.max(1, (slots * 3) / 4)
+      }.getOrElse(1)
+    }
+    val gT = (nb + tile - 1) / tile
+    val nParts = math.max(2, math.min(slots, gT * (gT + 1) / 2))
+    // One partitioner for both sides: state keys are block coords, panel
+    // copies are keyed by their target tile's REPRESENTATIVE block
+    // (it·t, jt·t) — the same ÷tile landing spot.
+    val part = new org.apache.spark.Partitioner {
+      def numPartitions: Int = nParts
+      def getPartition(key: Any): Int = key match {
+        case (i: Int, j: Int) =>
+          java.lang.Math.floorMod((i / tile) * 131071 + (j / tile), nParts)
+      }
+    }
+    // keep only the lower triangle; key by (bi, bj); ONE entry shuffle
+    // onto the fixed partitioner — the state never moves again.
+    var state = a.blocks.rdd.filter(b => b.bi >= b.bj)
+      .map(b => ((b.bi, b.bj), b)).partitionBy(part).cache()
     var prev = state
     for (k <- 0 until nb) {
-      val diag = state.filter(_._1 == (k, k)).values.first()
+      val diag = state.lookup((k, k)).head      // single-partition job
       val lkk = bchol(new BDM(diag.rows, diag.cols, diag.data))
       val invLkkT = inv(lkk.t)     // bs×bs-small, shipped in closures
-      val updated = state.flatMap { case ((bi, bj), b) =>
-        if (bj == k && bi == k) None                             // replaced by local L_kk below
-        else if (bj == k && bi > k) {                            // panel solve
-          val lik = b.toBreeze * invLkkT
-          Some(((bi, bj), b.copy(data = lik.data)))
-        } else Some(((bi, bj), b))                               // finalized (bj<k) or trailing (bj>k)
+      val lkkData = lkk.data
+      val updated = state.mapValues { b =>
+        if (b.bi == k && b.bj == k) b.copy(data = lkkData)
+        else if (b.bj == k && b.bi > k) b.copy(data = (b.toBreeze * invLkkT).data)
+        else b                                   // finalized (bj<k) or trailing (bj>k)
       }
-      // split: finalized (col <= k) vs trailing (col > k)
-      val panel = updated.filter { case ((bi, bj), _) => bj == k && bi > k }
-        .map { case ((bi, _), b) => (bi, b) }
-      val doneOrPanel = updated.filter { case ((_, bj), _) => bj <= k }
-      val trailing = updated.filter { case ((_, bj), _) => bj > k }
-      // A_ij -= L_ik · L_jkᵀ  for i >= j > k : join on i then on j
-      val newTrailing = trailing
-        .map { case ((bi, bj), b) => (bi, (bj, b)) }
-        .leftOuterJoin(panel, nParts)
-        .map { case (bi, ((bj, b), likOpt)) => (bj, (bi, b, likOpt)) }
-        .leftOuterJoin(panel, nParts)
-        .map { case (bj, ((bi, b, likOpt), ljkOpt)) =>
-          (likOpt, ljkOpt) match {
-            case (Some(lik), Some(ljk)) =>
-              val upd = b.toBreeze - lik.toBreeze * ljk.toBreeze.t
-              ((bi, bj), b.copy(data = upd.data))
-            case _ => ((bi, bj), b)
+      // Panel copies, tile-keyed: L_ik serves every trailing block of
+      // row i (one copy per tile COLUMN it meets), L_jk every block of
+      // column j (one copy per tile ROW). role 0 = left factor (keyed
+      // by the serving row i), 1 = right (keyed by column j).
+      val contribs = updated.filter { case ((_, bj), b) => bj == k && b.bi > k }
+        .values.flatMap { p =>
+          val leftTiles = ((k + 1) / tile to p.bi / tile).iterator
+            .map(jt => (((p.bi / tile) * tile, jt * tile), (0, p)))
+          val rightTiles = (p.bi / tile to (nb - 1) / tile).iterator
+            .map(it => ((it * tile, (p.bi / tile) * tile), (1, p)))
+          leftTiles ++ rightTiles
+        }.partitionBy(part)
+      // A_ij -= L_ik · L_jkᵀ for i ≥ j > k: narrow on the state side —
+      // both inputs share `part`, so only the panel copies shuffled.
+      val newTrailing = updated.zipPartitions(contribs, preservesPartitioning = true) {
+        (stateIt, contribIt) =>
+          val left = new java.util.HashMap[Long, Block]()   // (jt<<32)|i → L_ik
+          val right = new java.util.HashMap[Long, Block]()  // (it<<32)|j → L_jk
+          contribIt.foreach { case ((ri, rj), (role, p)) =>
+            if (role == 0) left.put(((rj / tile).toLong << 32) | p.bi, p): Unit
+            else right.put(((ri / tile).toLong << 32) | p.bi, p): Unit
           }
-        }
-      val kk = ((k, k), diag.copy(data = lkk.data))
-      // coalesce: unions accumulate partitions every iteration (three
-      // parents each step) — unchecked, a 32-step factorization schedules
-      // thousands of near-empty tasks per job.
-      var next = doneOrPanel.union(newTrailing)
-        .union(spark.sparkContext.parallelize(Seq(kk), 1))
-        .coalesce(nParts)
+          stateIt.map { case (key, b) =>
+            if (b.bj <= k) (key, b)
+            else {
+              val lik = left.get(((b.bj / tile).toLong << 32) | b.bi)
+              val ljk = right.get(((b.bi / tile).toLong << 32) | b.bj)
+              if (lik == null || ljk == null) (key, b)
+              else {
+                // out = b − lik·ljkᵀ, paneled dgemm (α=−1, β=1) with an
+                // explicit small transpose of ljk — breeze's implicit-T
+                // multiply would hit the >1024 JVM-dgemm cliff at
+                // production block sizes (Gemm scaladoc)
+                val ck = lik.cols
+                val ljkT = new Array[Double](ljk.rows * ck)
+                var c = 0
+                while (c < ck) {
+                  var r = 0
+                  while (r < ljk.rows) {
+                    ljkT(c + r * ck) = ljk.data(r + c * ljk.rows); r += 1
+                  }
+                  c += 1
+                }
+                val out = b.data.clone()
+                Gemm.dgemm(b.rows, b.cols, ck, -1.0, lik.data, 0, lik.rows,
+                  ljkT, 0, ck, 1.0, out, 0, b.rows)
+                (key, b.copy(data = out))
+              }
+            }
+          }
+      }
+      var next = newTrailing
       if ((k + 1) % checkpointEvery == 0) next.localCheckpoint()
       next = next.cache()
       next.count()                 // materialize before dropping the parent

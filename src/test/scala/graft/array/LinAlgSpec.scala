@@ -123,6 +123,20 @@ class LinAlgSpec extends SparkSpec {
     assert(maxAbs(l - bchol(spd.toLocal)) < 1e-6)
   }
 
+  test("cholesky trailing-update tile width never changes the factor (t = 1, 2, 4)") {
+    // r15: the tile-keyed panel-shipping update must be bit-stable in
+    // PLAN SHAPE only — every tile width yields the same L (each block's
+    // update consumes exactly one (L_ik, L_jk) pair regardless of which
+    // tile delivered it).
+    val b0 = DMatrix.randInt(spark, 160, 160, 16, 29L, mod = 10L)   // 10×10 block grid
+    val spd = b0.transpose.multiply(b0) + (DMatrix.eye(spark, 160, 16) * 1600.0)
+    val want = bchol(spd.toLocal)
+    for (t <- Seq(1, 2, 4)) {
+      val l = LinAlg.choleskyLower(spd, checkpointEvery = 3, tileOverride = Some(t)).toLocal
+      assert(maxAbs(l - want) < 1e-6, s"tile=$t drifted from Breeze cholesky")
+    }
+  }
+
   test("blocked cholesky at 2048² chunks 256: 8 panels, checkpoint cadence crossed") {
     // 20× the reference's published 100×100/chunks-25 toy (examples.rst:89-100):
     // 8 panel steps exercise the keyed-join trailing update repeatedly AND
