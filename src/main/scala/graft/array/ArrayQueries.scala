@@ -120,7 +120,7 @@ object ArrayQueries {
 
   /** Gram matrix via transpose + matmul: G = Aᵀ·A (48×48). */
   def gram(s: SparkSession, d: String): DataFrame =
-    matA(s).transpose.multiply(matA(s)).toCoords
+    matA(s).gramian.toCoords
 
   /** Lower-triangular mask of square S: above-diagonal blocks dropped,
     * diagonal blocks masked in place (coords of kept blocks emitted). */
@@ -164,7 +164,7 @@ object ArrayQueries {
     val a = DMatrix.randInt(s, 2048, 64, 128, 29L)
     val (u, sv, _) = LinAlg.svdTallSkinny(a)
     val frob = math.round(sv.toArray.map(x => x * x).sum)
-    val uu = u.transpose.multiply(u).toCoords
+    val uu = u.gramian.toCoords
       .select(col("i"), col("j"), round(col("v")).cast("long").as("v"))
     uu.union(Seq((-1L, -1L, frob)).toDF("i", "j", "v"))
   }
@@ -199,9 +199,9 @@ object ArrayQueries {
     * The L factor itself stays exactness-checked in LinAlgSpec. */
   def choleskyRecon(s: SparkSession, d: String): DataFrame = {
     val base = DMatrix.randInt(s, 96, 96, 32, 37L, mod = 10L)
-    val spd = base.transpose.multiply(base) + (DMatrix.eye(s, 96, 32) * 960.0)
+    val spd = base.gramian + (DMatrix.eye(s, 96, 32) * 960.0)
     val l = LinAlg.choleskyLower(spd)
-    l.multiply(l.transpose).toCoords
+    l.transpose.gramian.toCoords
       .select(col("i"), col("j"), round(col("v")).cast("long").as("v"))
   }
 
@@ -400,9 +400,9 @@ object ArrayQueries {
     import s.implicits._
     val n = 2048; val bs = 256
     val base = DMatrix.randInt(s, n, n, bs, 97L, mod = 10L)
-    val spd = base.transpose.multiply(base) + (DMatrix.eye(s, n, bs) * (10.0 * n))
+    val spd = base.gramian + (DMatrix.eye(s, n, bs) * (10.0 * n))
     val l = LinAlg.choleskyLower(spd)
-    val checksum = l.multiply(l.transpose).blocks.rdd.map { b =>
+    val checksum = l.transpose.gramian.blocks.rdd.map { b =>
       var acc = 0L
       var i = 0
       while (i < b.data.length) { acc += math.round(b.data(i)); i += 1 }
@@ -448,7 +448,7 @@ object ArrayQueries {
     // bs=128 with identical results; a18 covers the many-panel shape.
     val n = 1024L; val bs = 256
     val base = DMatrix.randInt(s, n, n, bs, 109L, mod = 10L)
-    val a = base.transpose.multiply(base) + (DMatrix.eye(s, n, bs) * (10.0 * n))
+    val a = base.gramian + (DMatrix.eye(s, n, bs) * (10.0 * n))
     val x0 = DMatrix.tabulate(s, n, 1, bs)((i, _) =>
       (DMatrix.lcg(7654L * n + i, 0, 1, 89L) % 100L).toDouble)
     val b = a.multiply(x0)
@@ -602,7 +602,7 @@ object ArrayQueries {
     val a = DMatrix.randInt(s, 64, 2048, 128, 261L)
     val (_, sv, v) = LinAlg.svdShortFat(a)
     val frob = math.round(sv.toArray.map(x => x * x).sum)
-    val vv = v.transpose.multiply(v).toCoords
+    val vv = v.gramian.toCoords
       .select(col("i"), col("j"), round(col("v")).cast("long").as("v"))
     vv.union(Seq((-1L, -1L, frob)).toDF("i", "j", "v"))
   }
@@ -631,7 +631,7 @@ object ArrayQueries {
     * shuffle, never cells. */
   def covEntry(s: SparkSession, d: String): DataFrame = {
     val a = matA(s)                                    // 64×48, integer LCG
-    val g = a.transpose.multiply(a).toCoords           // G[j,k] = Σ_i x_ij·x_ik
+    val g = a.gramian.toCoords                         // G[j,k] = Σ_i x_ij·x_ik
     val cs = a.sumAxis0                                // (j, col_sum)
     g.join(cs.select(col("j").as("i"), col("col_sum").as("si")), "i")
       .join(cs.select(col("j"), col("col_sum").as("sj")), "j")

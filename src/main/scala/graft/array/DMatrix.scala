@@ -874,6 +874,129 @@ class DMatrix(
     new DMatrix(spark.createDataset(out), m, n, bs)
   }
 
+  /** Gram product G = AᵀA — the SYRK shape (r15). The full
+    * `transpose.multiply(this)` computes ALL nbc² output blocks and
+    * replicates BOTH operand copies onto the full output-tile grid; but
+    * G is symmetric, so only the nbc(nbc+1)/2 LOWER blocks carry
+    * information. This kernel runs the tiled-SUMMA stream over the
+    * lower output tiles only and mirrors (i,j)→(j,i) in a narrow
+    * flatMap afterwards: roughly HALF the input replication (each source
+    * block ships (it+1)+(gT−jt) ≈ gT+1 tile copies instead of 2·gT),
+    * half the dgemm flops, half the output bytes — and the result is
+    * exactly symmetric by construction (the mirror IS the transpose of
+    * the computed block; the full product's independently-folded (j,i)
+    * only matched to roundoff). A single-block-column operand (the
+    * tall-skinny QᵀQ / VᵀV shape) never shuffles at all: per-block local
+    * syrk partials reduce into the one output block. Absent blocks mean
+    * zero (same convention as [[multiply]]), so a triangular factor's
+    * L·Lᵀ = (Lᵀ)ᵀ·(Lᵀ) runs as `l.transpose.gramian` with the transpose
+    * staying a pure narrow map. Fold order follows fetch order — exact
+    * for the integer-domain oracle fixtures, normal roundoff variance
+    * otherwise (the [[multiply]] contract). */
+  def gramian: DMatrix = {
+    import blocks.sparkSession.implicits._
+    val q = nbCols; val bs = blockSize; val g = nCols
+    val parts = math.max(1, blocks.rdd.getNumPartitions)
+    def localT(b: Block): Block = {
+      val out = new Array[Double](b.data.length)
+      var j = 0
+      while (j < b.cols) {
+        var i = 0
+        while (i < b.rows) { out(j + i * b.cols) = b.data(i + j * b.rows); i += 1 }
+        j += 1
+      }
+      Block(b.bj, b.bi, b.cols, b.rows, out)
+    }
+    val lower: RDD[((Int, Int), Array[Double])] =
+      if (q == 1) {
+        // tall-skinny: G fits one block; map-side per-block syrk, one
+        // single-partition reduce — zero data-sized shuffle.
+        blocks.rdd.map { b =>
+          val t = localT(b)
+          ((0, 0), Gemm.multiply(t.data, t.rows, t.cols, b.data, b.cols))
+        }.reduceByKey(DMatrix.addInto _, 1)
+      } else {
+        // Triangular tiled SUMMA: same stream-fold as multiply's tiled
+        // path, restricted to lower output tiles (it ≥ jt). Tile width
+        // follows the same ≥¾-wave + accumulator-cap rule, counted over
+        // the TRIANGULAR grid (SPARK_GRAFT_GEMM_TILE pins it for probes
+        // — already part of the bench merge fingerprint).
+        val tile = sys.env.get("SPARK_GRAFT_GEMM_TILE").map(_.toInt).getOrElse {
+          val slots = math.max(1, spark.sparkContext.defaultParallelism)
+          val accCap = Runtime.getRuntime.maxMemory / (4L * slots)
+          DMatrix.gramTileFor(q, bs, parts, accCap)
+        }
+        val gT = (q + tile - 1) / tile
+        val nPartsT = gT * (gT + 1) / 2
+        // left = Aᵀ stripes (one narrow transpose per source block, the
+        // serializer copies per target tile); right = A stripes.
+        val keyed = blocks.rdd.map(localT).flatMap { at =>          // at = (i, k)
+            val it = at.bi / tile
+            (0 to it).iterator.map(jt => ((it, jt, at.bj, 0), at))
+          } ++
+          blocks.rdd.flatMap { b =>                                 // b = (k, j)
+            val jt = b.bj / tile
+            (jt until gT).iterator.map(it => ((it, jt, b.bi, 1), b))
+          }
+        keyed
+          .partitionBy(new TriTilePartitioner(nPartsT))
+          .mapPartitions { it0 =>
+            if (it0.isEmpty) Iterator.empty
+            else {
+              val accs = new java.util.HashMap[Long, Array[Double]]()
+              final class Slot {
+                var as: List[Block] = Nil; var bs: List[Block] = Nil
+                var nA = 0; var nB = 0
+              }
+              val slots = new java.util.HashMap[Int, Slot]()
+              var tileRows = -1; var tileCols = -1
+              def fold(a: Block, b: Block): Unit = {
+                if (a.bi >= b.bj) {           // diagonal tiles: skip upper blocks
+                  val key = (a.bi.toLong << 32) | b.bj.toLong
+                  var acc = accs.get(key)
+                  if (acc == null) {
+                    acc = new Array[Double](a.rows * b.cols); accs.put(key, acc)
+                  }
+                  Gemm.dgemm(a.rows, b.cols, a.cols, 1.0,
+                    a.data, 0, a.rows, b.data, 0, b.rows, 1.0, acc, 0, a.rows)
+                }
+              }
+              it0.foreach { case ((itr, jtr, k, side), blk) =>
+                if (tileRows < 0) {
+                  tileRows = math.min(tile, q - itr * tile)
+                  tileCols = math.min(tile, q - jtr * tile)
+                }
+                var slot = slots.get(k)
+                if (slot == null) { slot = new Slot; slots.put(k, slot) }
+                if (side == 0) {
+                  slot.nA += 1
+                  slot.bs.foreach(b => fold(blk, b))
+                  if (slot.nB < tileCols) slot.as ::= blk
+                  if (slot.nA == tileRows) slot.bs = Nil
+                } else {
+                  slot.nB += 1
+                  slot.as.foreach(a => fold(a, blk))
+                  if (slot.nA < tileRows) slot.bs ::= blk
+                  if (slot.nB == tileCols) slot.as = Nil
+                }
+              }
+              import scala.jdk.CollectionConverters._
+              accs.entrySet().iterator().asScala.map { e =>
+                val key: Long = e.getKey
+                (((key >> 32).toInt, key.toInt), e.getValue)
+              }
+            }
+          }
+      }
+    val full = lower.flatMap { case ((i, j), data) =>
+      val rows = DMatrix.blockDim(g, bs, i)
+      val cols = DMatrix.blockDim(g, bs, j)
+      val blk = Block(i, j, rows, cols, data)
+      if (i == j) Iterator(blk) else Iterator(blk, localT(blk))
+    }
+    new DMatrix(spark.createDataset(full), g, g, bs)
+  }
+
   /** Lower-triangular mask (reference `da.tril(A)`, examples.rst:92):
     * blocks strictly above the diagonal are dropped entirely (no compute,
     * no shuffle); diagonal blocks are masked in place. */
@@ -1572,6 +1695,17 @@ private class StripePartitioner(nbc: Int, parts: Int)
   }
 }
 
+/** One partition per LOWER output tile (it ≥ jt) for [[DMatrix.gramian]]:
+  * triangular row-major index it(it+1)/2 + jt. */
+private class TriTilePartitioner(parts: Int)
+    extends org.apache.spark.Partitioner {
+  def numPartitions: Int = parts
+  def getPartition(key: Any): Int = key match {
+    case (it: Int, jt: Int, _, _) => ((it.toLong * (it + 1) / 2 + jt) % parts).toInt
+    case other => throw new IllegalArgumentException(s"unexpected key $other")
+  }
+}
+
 object DMatrix {
   def nBlocks(dim: Long, bs: Int): Int = ((dim + bs - 1) / bs).toInt
   def blockDim(dim: Long, bs: Int, bIdx: Int): Int =
@@ -1630,6 +1764,19 @@ object DMatrix {
     val minTasks = math.max(1, (parts * 3) / 4)
     Seq(8, 4, 2, 1).find { t =>
       ((nbr + t - 1) / t).toLong * ((nbc + t - 1) / t) >= minTasks &&
+        t.toLong * t * bs * bs * 8 <= accCapBytes
+    }.getOrElse(1)
+  }
+
+  /** Tile width for [[DMatrix.gramian]]'s triangular SUMMA: the same
+    * ≥¾-wave + accumulator-cap rule as [[summaTileFor]], with the task
+    * count taken over the LOWER tile grid (gT(gT+1)/2 tiles). */
+  private[graft] def gramTileFor(q: Int, bs: Int, parts: Int,
+                                 accCapBytes: Long): Int = {
+    val minTasks = math.max(1, (parts * 3) / 4)
+    Seq(8, 4, 2, 1).find { t =>
+      val gT = ((q + t - 1) / t).toLong
+      gT * (gT + 1) / 2 >= minTasks &&
         t.toLong * t * bs * bs * 8 <= accCapBytes
     }.getOrElse(1)
   }

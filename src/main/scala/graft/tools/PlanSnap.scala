@@ -25,7 +25,8 @@ object PlanSnap {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
     // stage profile, keyed by job group
-    case class StageRow(id: Int, name: String, tasks: Int, readMb: Double, writeMb: Double)
+    case class StageRow(id: Int, name: String, tasks: Int, readMb: Double, writeMb: Double,
+                        wallMs: Long, runMs: Long, gcMs: Long)
     val stagesByGroup = new java.util.concurrent.ConcurrentHashMap[String, java.util.List[StageRow]]()
     val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     sc.addSparkListener(new SparkListener {
@@ -41,7 +42,10 @@ object PlanSnap {
             .computeIfAbsent(g, _ => java.util.Collections.synchronizedList(new java.util.ArrayList[StageRow]()))
             .add(StageRow(s.stageInfo.stageId, s.stageInfo.name, s.stageInfo.numTasks,
               m.shuffleReadMetrics.totalBytesRead / 1e6,
-              m.shuffleWriteMetrics.bytesWritten / 1e6)): Unit
+              m.shuffleWriteMetrics.bytesWritten / 1e6,
+              (for { a <- s.stageInfo.submissionTime; b <- s.stageInfo.completionTime }
+                 yield b - a).getOrElse(-1L),
+              m.executorRunTime, m.jvmGCTime)): Unit
         }
       }
     })
@@ -61,7 +65,7 @@ object PlanSnap {
       val totalR = rows.map(_.readMb).sum
       val totalW = rows.map(_.writeMb).sum
       val profile = rows.map(r =>
-        f"  stage ${r.id}%4d  tasks=${r.tasks}%-5d shuffleRead=${r.readMb}%9.2f MB  shuffleWrite=${r.writeMb}%9.2f MB  ${r.name}")
+        f"  stage ${r.id}%4d  tasks=${r.tasks}%-5d shuffleRead=${r.readMb}%9.2f MB  shuffleWrite=${r.writeMb}%9.2f MB  wall=${r.wallMs}%6d ms run=${r.runMs}%7d ms gc=${r.gcMs}%5d ms  ${r.name}")
         .mkString("\n")
       val body =
         s"""== $n (formatted explain, post-execution) ==
