@@ -250,17 +250,19 @@ object Bench {
     val sJson = merged.map { case (k, _, lo, hi) => s"${jstr(k)}:[$lo,$hi]" }.mkString("{", ",", "}")
     val eJson = errors.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = merged.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"spread":$sJson,"reps":$reps,"heavy_reps":$heavyReps,"samples":$samples,"code":${jstr(code)},"errors":$eJson,"flags":$fJson,"sf":${jstr(sfDir)}}"""
-    println(line)
+    // ONE complete line, printed exactly once as the very LAST stdout
+    // line (r15 VERDICT #1): rounds 11-15 printed the per-query line
+    // first and a compact queries-less summary last, and the driver —
+    // which parses the FINAL line — recorded `parsed: null` every round,
+    // leaving PERF_r*.per_query and the scaling block empty. The summary
+    // fields (entries/nflags/nerrors) are folded in here instead of
+    // printed separately; bench_out.json carries the identical line as
+    // the mangled-stdout fallback.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"spread":$sJson,"reps":$reps,"heavy_reps":$heavyReps,"samples":$samples,"entries":${merged.size},"nflags":${flags.size},"nerrors":${errors.size},"code":${jstr(code)},"errors":$eJson,"flags":$fJson,"sf":${jstr(sfDir)}}"""
     Files.writeString(outPath, line)
-    // Compact machine-readable summary, re-printed as the very LAST
-    // stdout line (after the metrics dump below, right before exit): the
-    // full line above is ~20 KB and a tail-capture of stdout can truncate
-    // it mid-JSON (BENCH_r12 was recorded unparseable that way). The
-    // per-entry detail stays in bench_out.json either way.
-    def summaryLine = s"""{"metric":"total","value":$total,"unit":"sec","entries":${merged.size},"nflags":${flags.size},"nerrors":${errors.size},"samples":$samples,"code":${jstr(code)},"sf":${jstr(sfDir)}}"""
-    // A19 breakdown file: raw per-entry sums over this pass's reps (no
-    // best-of merge — a breakdown only explains the pass it measured).
+    // A19 breakdown file: each entry's BEST rep of this pass (no
+    // best-of merge across passes — a breakdown only explains the pass
+    // it measured; see EntryMetrics.breakdowns for the per-rep rule).
     try {
       val mPath = if (args.isEmpty) "bench_metrics.json" else "bench_metrics_partial.json"
       Files.writeString(Paths.get(mPath),
@@ -270,6 +272,6 @@ object Bench {
       System.err.println(s"[bench] metrics dump failed (bench_out.json unaffected): $e")
     }
     spark.stop()
-    println(summaryLine)
+    println(line)
   }
 }

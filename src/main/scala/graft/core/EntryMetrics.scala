@@ -80,15 +80,29 @@ final class EntryMetrics extends SparkListener {
 
   /** Join stages to windows by submission time and aggregate. Stages
     * outside every window (session setup, the drain marker, warmup) land
-    * under "_other". Reps of the same entry sum — divide by the rep
-    * count in bench_out.json to read per-rep averages. */
+    * under "_other" (summed). Per entry, the reported breakdown is the
+    * BEST rep's — the window with the smallest wall duration — not a sum
+    * across reps: summing made gc_sec accumulate every loaded rep and
+    * outlier re-run (r15 VERDICT #4: a16 gc_sec read 100.3 s while its
+    * wall fell), and since every rep executes the identical plan, byte
+    * metrics are per-rep quantities anyway. The best rep is the one the
+    * recorded wall time comes closest to, so attribution and timing
+    * describe the same execution. */
   def breakdowns: Map[String, Breakdown] = {
     import scala.jdk.CollectionConverters._
     val ws = windows.asScala.toVector.sortBy(_._2)
-    stages.asScala.toVector.groupBy { rec =>
+    val byWindow = stages.asScala.toVector.groupBy { rec =>
       ws.find(w => rec.submittedMs >= w._2 && rec.submittedMs < w._3)
-        .map(_._1).getOrElse("_other")
-    }.map { case (k, recs) => k -> recs.map(_.b).reduce(_ + _) }
+    }
+    val other = byWindow.collect { case (None, recs) =>
+      "_other" -> recs.map(_.b).reduce(_ + _)
+    }
+    val perEntry = byWindow.collect { case (Some(w), recs) =>
+      (w, recs.map(_.b).reduce(_ + _))
+    }.groupBy(_._1._1).map { case (name, reps) =>
+      name -> reps.minBy { case ((_, s, e), _) => e - s }._2
+    }
+    perEntry ++ other
   }
 
   /** One JSON object per entry, seconds/MB units, sorted by key — the

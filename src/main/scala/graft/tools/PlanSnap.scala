@@ -50,13 +50,33 @@ object PlanSnap {
       }
     })
 
+    // Deterministic listener drain (r15 ADVICE #2 — a fixed sleep
+    // silently drops stage events that arrive late under load, so the
+    // shuffle totals written as plan evidence could under-report): run a
+    // marker job under its own group and poll until ITS stage event has
+    // been captured — per-queue event ordering then guarantees every
+    // earlier stage event has been delivered too (same proof as
+    // EntryMetrics.drain).
+    var markerSeq = 0
+    def drain(timeoutMs: Long = 15000L): Unit = {
+      markerSeq += 1
+      val mg = s"plansnap-marker-$markerSeq"
+      sc.setJobGroup(mg, mg)
+      sc.parallelize(1 to 2, 1).count(): Unit
+      sc.clearJobGroup()
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (System.currentTimeMillis() < deadline && !stagesByGroup.containsKey(mg))
+        Thread.sleep(25)
+      stagesByGroup.remove(mg): Unit
+    }
+
     for (n <- args.drop(2)) {
       val group = s"plansnap-$n"
       sc.setJobGroup(group, n)
       val df = graft.SparkEntry.queries(n)(spark, d)
       df.collect(): Unit   // execute so AQE's final plan is what we print
       sc.clearJobGroup()
-      Thread.sleep(1200)   // settle the async listener bus
+      drain()              // all of this entry's stage events delivered
       val qe = df.queryExecution
       val formatted = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
       val rows = Option(stagesByGroup.get(group))

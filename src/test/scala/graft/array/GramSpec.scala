@@ -42,9 +42,11 @@ class GramSpec extends SparkSpec {
   }
 
   test("triangular tile rule: ≥¾-wave over the LOWER grid, accumulator cap respected") {
-    // 4 slots in tests → minTasks 3. q=10,t=4 → gT=3 → 6 lower tiles ≥ 3 ✓
-    assert(DMatrix.gramTileFor(10, 8, 4, Long.MaxValue) == 8 ||
-           DMatrix.gramTileFor(10, 8, 4, Long.MaxValue) == 4)
+    // 4 slots in tests → minTasks 3. The chooser is deterministic and
+    // prefers the largest admissible t: t=8 → gT=2 → 3 lower tiles ≥ 3 ✓,
+    // so exactly 8 (r15 ADVICE #3 — a slack `|| 4` arm would mask a
+    // change to the preference order).
+    assert(DMatrix.gramTileFor(10, 8, 4, Long.MaxValue) == 8)
     // cap forces t down: t=2 needs 2·2·8·8·8 = 2048 B; cap it below that
     assert(DMatrix.gramTileFor(10, 8, 4, 1024L) == 1)
     // big parts force t=1: 32 slots → 24 tasks; q=8 t=2 → 10 lower tiles < 24
