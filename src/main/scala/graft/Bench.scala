@@ -65,6 +65,8 @@ object Bench {
       // a different broadcast-GEMM budget measures a different plan
       sys.env.get("SPARK_GRAFT_GEMM_TILE").map("tile=" + _),
       sys.env.get("SPARK_GRAFT_BC_GEMM_BYTES").map("bcgemm=" + _),
+      sys.env.get("SPARK_GRAFT_CHOL_TILE").map("choltile=" + _),
+      sys.env.get("SPARK_GRAFT_CHOL_BC_BYTES").map("bcchol=" + _),
       sys.env.get("SPARK_GRAFT_CONF").map(c => "conf=" + c.hashCode.toHexString)).flatten
     head + (if (dirty) "+dirty" else "") +
       (if (env.isEmpty) "" else env.mkString("@", ",", ""))

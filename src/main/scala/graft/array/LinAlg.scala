@@ -405,10 +405,56 @@ object LinAlg {
     * tile-keyed PANEL COPIES (only the panel moves, one copy per t-wide
     * tile instead of per block — the SUMMA replication law, ÷t), and
     * the per-step diagonal pull is a partitioner-routed single-partition
-    * `lookup`, not an nb-task filter scan. Never a broadcast of the
-    * panel — panels are m×bs and would not fit at scale. */
+    * `lookup`, not an nb-task filter scan.
+    *
+    * Panel broadcast within budget (r16, guide §3.1 — the r15 VERDICT
+    * directive #2): a step whose REMAINING panel column ((nb−k)·bs²·8 B)
+    * fits `SPARK_GRAFT_CHOL_BC_BYTES` (default 64 MB, the same
+    * autoBroadcastJoinThreshold-style contract as the broadcast-GEMM
+    * budget) broadcasts the SOLVED panel instead of shuffling tile-keyed
+    * copies: the trailing update becomes a single narrow `mapValues`
+    * (zero shuffle, and the per-step diagonal lookup job disappears —
+    * the panel collect carries the diagonal block). Above the budget the
+    * tile path runs unchanged, so a production factorization starts on
+    * tile shuffles and flips to broadcast as the trailing panel shrinks
+    * under the budget. Both paths drive the same dgemm with the same
+    * explicit small transpose, so the factor is BIT-IDENTICAL across
+    * paths (LinAlgSpec pins budget∈{0,∞} ≡ Breeze); the dispatch rule is
+    * the pure function [[LinAlg.cholStepPathFor]]. */
+  /** Which path step k of an nb-step blocked factorization takes, as a
+    * pure function of the grid (unit-testable — LinAlgSpec pins the
+    * bench shape to broadcast throughout and the production shape to a
+    * tile→broadcast flip, so a budget tweak cannot silently change a
+    * plan; same discipline as [[DMatrix.multiplyPathFor]]). The panel
+    * column at step k is (nb−k) blocks of bs²·8 bytes. */
+  private[graft] def cholStepPathFor(nb: Int, k: Int, bs: Int, budget: Long): String =
+    if ((nb - k).toLong * bs * bs * 8 <= budget) "broadcast" else "tile-shuffle"
+
+  /** out = b − lik·ljkᵀ — the trailing-update dgemm (α=−1, β=1) with an
+    * explicit small transpose of ljk (breeze's implicit-T multiply would
+    * hit the >1024 JVM-dgemm cliff at production block sizes — Gemm
+    * scaladoc). ONE body shared by the tile-shuffle and broadcast paths
+    * so the factor is bit-identical whichever path delivered the panel. */
+  private def cholTrailingBlock(b: Block, lik: Block, ljk: Block): Block = {
+    val ck = lik.cols
+    val ljkT = new Array[Double](ljk.rows * ck)
+    var c = 0
+    while (c < ck) {
+      var r = 0
+      while (r < ljk.rows) {
+        ljkT(c + r * ck) = ljk.data(r + c * ljk.rows); r += 1
+      }
+      c += 1
+    }
+    val out = b.data.clone()
+    Gemm.dgemm(b.rows, b.cols, ck, -1.0, lik.data, 0, lik.rows,
+      ljkT, 0, ck, 1.0, out, 0, b.rows)
+    b.copy(data = out)
+  }
+
   def choleskyLower(a: DMatrix, checkpointEvery: Int = 6,
-                    tileOverride: Option[Int] = None): DMatrix = {
+                    tileOverride: Option[Int] = None,
+                    bcBudgetOverride: Option[Long] = None): DMatrix = {
     require(a.nRows == a.nCols, "cholesky needs a square matrix")
     val spark = a.blocks.sparkSession
     val bs = a.blockSize
@@ -443,71 +489,108 @@ object LinAlg {
     var state = a.blocks.rdd.filter(b => b.bi >= b.bj)
       .map(b => ((b.bi, b.bj), b)).partitionBy(part).cache()
     var prev = state
+    val bcBudget = bcBudgetOverride
+      .orElse(sys.env.get("SPARK_GRAFT_CHOL_BC_BYTES").map(_.toLong))
+      .getOrElse(64L << 20)
+    def stepPath(k: Int): String = cholStepPathFor(nb, k, bs, bcBudget)
+    // Column-(k) panel collected by the PREVIOUS step's materialization
+    // job when that step already knew step k would broadcast — one
+    // driver round trip per step instead of lookup + count.
+    var panelNext: Map[Int, Block] = null
     for (k <- 0 until nb) {
-      val diag = state.lookup((k, k)).head      // single-partition job
-      val lkk = bchol(new BDM(diag.rows, diag.cols, diag.data))
-      val invLkkT = inv(lkk.t)     // bs×bs-small, shipped in closures
-      val lkkData = lkk.data
-      val updated = state.mapValues { b =>
-        if (b.bi == k && b.bj == k) b.copy(data = lkkData)
-        else if (b.bj == k && b.bi > k) b.copy(data = (b.toBreeze * invLkkT).data)
-        else b                                   // finalized (bj<k) or trailing (bj>k)
-      }
-      // Panel copies, tile-keyed: L_ik serves every trailing block of
-      // row i (one copy per tile COLUMN it meets), L_jk every block of
-      // column j (one copy per tile ROW). role 0 = left factor (keyed
-      // by the serving row i), 1 = right (keyed by column j).
-      val contribs = updated.filter { case ((_, bj), b) => bj == k && b.bi > k }
-        .values.flatMap { p =>
-          val leftTiles = ((k + 1) / tile to p.bi / tile).iterator
-            .map(jt => (((p.bi / tile) * tile, jt * tile), (0, p)))
-          val rightTiles = (p.bi / tile to (nb - 1) / tile).iterator
-            .map(it => ((it * tile, (p.bi / tile) * tile), (1, p)))
-          leftTiles ++ rightTiles
-        }.partitionBy(part)
-      // A_ij -= L_ik · L_jkᵀ for i ≥ j > k: narrow on the state side —
-      // both inputs share `part`, so only the panel copies shuffled.
-      val newTrailing = updated.zipPartitions(contribs, preservesPartitioning = true) {
-        (stateIt, contribIt) =>
-          val left = new java.util.HashMap[Long, Block]()   // (jt<<32)|i → L_ik
-          val right = new java.util.HashMap[Long, Block]()  // (it<<32)|j → L_jk
-          contribIt.foreach { case ((ri, rj), (role, p)) =>
-            if (role == 0) left.put(((rj / tile).toLong << 32) | p.bi, p): Unit
-            else right.put(((ri / tile).toLong << 32) | p.bi, p): Unit
-          }
-          stateIt.map { case (key, b) =>
-            if (b.bj <= k) (key, b)
+      var bcRelease: org.apache.spark.broadcast.Broadcast[_] = null
+      val next0 =
+        if (stepPath(k) == "broadcast") {
+          // ---- broadcast path: zero shuffle this step ----
+          val panel: Map[Int, Block] =
+            if (panelNext != null) panelNext
             else {
-              val lik = left.get(((b.bj / tile).toLong << 32) | b.bi)
-              val ljk = right.get(((b.bi / tile).toLong << 32) | b.bj)
-              if (lik == null || ljk == null) (key, b)
-              else {
-                // out = b − lik·ljkᵀ, paneled dgemm (α=−1, β=1) with an
-                // explicit small transpose of ljk — breeze's implicit-T
-                // multiply would hit the >1024 JVM-dgemm cliff at
-                // production block sizes (Gemm scaladoc)
-                val ck = lik.cols
-                val ljkT = new Array[Double](ljk.rows * ck)
-                var c = 0
-                while (c < ck) {
-                  var r = 0
-                  while (r < ljk.rows) {
-                    ljkT(c + r * ck) = ljk.data(r + c * ljk.rows); r += 1
-                  }
-                  c += 1
-                }
-                val out = b.data.clone()
-                Gemm.dgemm(b.rows, b.cols, ck, -1.0, lik.data, 0, lik.rows,
-                  ljkT, 0, ck, 1.0, out, 0, b.rows)
-                (key, b.copy(data = out))
-              }
+              // entering broadcast mode (k=0 or a tile→broadcast flip):
+              // read only the ≤gT partitions that can hold column k
+              val colParts = (k until nb).map(i => part.getPartition((i, k))).toSet
+              org.apache.spark.rdd.PartitionPruningRDD.create(state, colParts.contains)
+                .flatMap { case ((i, j), b) =>
+                  if (j == k && i >= k) Iterator(b) else Iterator.empty }
+                .collect().map(b => b.bi -> b).toMap
             }
+          val diag = panel(k)
+          val lkk = bchol(new BDM(diag.rows, diag.cols, diag.data))
+          val invLkkT = inv(lkk.t)
+          // driver-side panel solve — the SAME breeze product the tile
+          // path's executor-side solve computes, so bits are identical
+          val solved: Map[Int, Block] = panel.map { case (i, b) =>
+            if (i == k) i -> b.copy(data = lkk.data)
+            else i -> b.copy(data = (b.toBreeze * invLkkT).data)
           }
-      }
-      var next = newTrailing
+          val bcPanel = spark.sparkContext.broadcast(solved)
+          bcRelease = bcPanel
+          val kk = k
+          state.mapValues { b =>
+            if (b.bj == kk) bcPanel.value(b.bi)
+            else if (b.bj > kk)
+              cholTrailingBlock(b, bcPanel.value(b.bi), bcPanel.value(b.bj))
+            else b                               // finalized (bj < k)
+          }
+        } else {
+          // ---- tile-shuffle path: only panel copies cross an exchange ----
+          val diag = state.lookup((k, k)).head   // single-partition job
+          val lkk = bchol(new BDM(diag.rows, diag.cols, diag.data))
+          val invLkkT = inv(lkk.t)   // bs×bs-small, shipped in closures
+          val lkkData = lkk.data
+          val updated = state.mapValues { b =>
+            if (b.bi == k && b.bj == k) b.copy(data = lkkData)
+            else if (b.bj == k && b.bi > k) b.copy(data = (b.toBreeze * invLkkT).data)
+            else b                               // finalized (bj<k) or trailing (bj>k)
+          }
+          // Panel copies, tile-keyed: L_ik serves every trailing block of
+          // row i (one copy per tile COLUMN it meets), L_jk every block of
+          // column j (one copy per tile ROW). role 0 = left factor (keyed
+          // by the serving row i), 1 = right (keyed by column j).
+          val contribs = updated.filter { case ((_, bj), b) => bj == k && b.bi > k }
+            .values.flatMap { p =>
+              val leftTiles = ((k + 1) / tile to p.bi / tile).iterator
+                .map(jt => (((p.bi / tile) * tile, jt * tile), (0, p)))
+              val rightTiles = (p.bi / tile to (nb - 1) / tile).iterator
+                .map(it => ((it * tile, (p.bi / tile) * tile), (1, p)))
+              leftTiles ++ rightTiles
+            }.partitionBy(part)
+          // A_ij -= L_ik · L_jkᵀ for i ≥ j > k: narrow on the state side —
+          // both inputs share `part`, so only the panel copies shuffled.
+          updated.zipPartitions(contribs, preservesPartitioning = true) {
+            (stateIt, contribIt) =>
+              val left = new java.util.HashMap[Long, Block]()   // (jt<<32)|i → L_ik
+              val right = new java.util.HashMap[Long, Block]()  // (it<<32)|j → L_jk
+              contribIt.foreach { case ((ri, rj), (role, p)) =>
+                if (role == 0) left.put(((rj / tile).toLong << 32) | p.bi, p): Unit
+                else right.put(((ri / tile).toLong << 32) | p.bi, p): Unit
+              }
+              stateIt.map { case (key, b) =>
+                if (b.bj <= k) (key, b)
+                else {
+                  val lik = left.get(((b.bj / tile).toLong << 32) | b.bi)
+                  val ljk = right.get(((b.bi / tile).toLong << 32) | b.bj)
+                  if (lik == null || ljk == null) (key, b)
+                  else (key, cholTrailingBlock(b, lik, ljk))
+                }
+              }
+          }
+        }
+      var next = next0
       if ((k + 1) % checkpointEvery == 0) next.localCheckpoint()
       next = next.cache()
-      next.count()                 // materialize before dropping the parent
+      // Materialize before dropping the parent; when the NEXT step
+      // broadcasts, the same job also collects its panel column (fused
+      // count+collect — saves one driver round trip per step).
+      if (k + 1 < nb && stepPath(k + 1) == "broadcast") {
+        val kn = k + 1
+        panelNext = next.flatMap { case ((i, j), b) =>
+          if (j == kn && i >= kn) Iterator(b) else Iterator.empty
+        }.collect().map(b => b.bi -> b).toMap
+      } else { panelNext = null; next.count() }
+      // executor copies released now that `next` is materialized; the
+      // driver keeps the value, so a cache-evicted partition can still
+      // recompute (unpersist, never destroy)
+      if (bcRelease != null) bcRelease.unpersist(false)
       prev.unpersist(false)
       prev = next
       state = next

@@ -127,14 +127,54 @@ class LinAlgSpec extends SparkSpec {
     // r15: the tile-keyed panel-shipping update must be bit-stable in
     // PLAN SHAPE only — every tile width yields the same L (each block's
     // update consumes exactly one (L_ik, L_jk) pair regardless of which
-    // tile delivered it).
+    // tile delivered it). bcBudgetOverride = 0 forces the tile path for
+    // every step (r16: small fixtures would otherwise broadcast and
+    // never exercise the tiles this test pins).
     val b0 = DMatrix.randInt(spark, 160, 160, 16, 29L, mod = 10L)   // 10×10 block grid
     val spd = b0.transpose.multiply(b0) + (DMatrix.eye(spark, 160, 16) * 1600.0)
     val want = bchol(spd.toLocal)
     for (t <- Seq(1, 2, 4)) {
-      val l = LinAlg.choleskyLower(spd, checkpointEvery = 3, tileOverride = Some(t)).toLocal
+      val l = LinAlg.choleskyLower(spd, checkpointEvery = 3, tileOverride = Some(t),
+                                   bcBudgetOverride = Some(0L)).toLocal
       assert(maxAbs(l - want) < 1e-6, s"tile=$t drifted from Breeze cholesky")
     }
+  }
+
+  test("cholesky panel-broadcast budget selects a plan, never a result (0 / flip / ∞)") {
+    // r16 guide §3.1: below the byte budget the solved panel broadcasts
+    // and the trailing update is a narrow mapValues; above it, tile-keyed
+    // panel copies shuffle. Both paths drive the same dgemm with the same
+    // explicit transpose, so the factor must be BIT-identical — budget 0
+    // (all tile-shuffle), ∞ (all broadcast), and a mid value that flips
+    // tile→broadcast at k=6 (exercising the pruned panel collect at the
+    // flip) all produce the same doubles.
+    val b0 = DMatrix.randInt(spark, 160, 160, 16, 29L, mod = 10L)   // nb=10, bs=16
+    val spd = b0.transpose.multiply(b0) + (DMatrix.eye(spark, 160, 16) * 1600.0)
+    val lTile = LinAlg.choleskyLower(spd, checkpointEvery = 3,
+                                     bcBudgetOverride = Some(0L)).toLocal
+    val lBc = LinAlg.choleskyLower(spd, checkpointEvery = 3,
+                                   bcBudgetOverride = Some(Long.MaxValue)).toLocal
+    // (10−k)·16²·8 ≤ 8192 ⇔ nb−k ≤ 4 ⇔ broadcast from k = 6
+    val lFlip = LinAlg.choleskyLower(spd, checkpointEvery = 3,
+                                     bcBudgetOverride = Some(8192L)).toLocal
+    assert(lTile.data.sameElements(lBc.data), "broadcast path drifted from tile path")
+    assert(lTile.data.sameElements(lFlip.data), "mixed-path run drifted from tile path")
+    assert(maxAbs(lTile - bchol(spd.toLocal)) < 1e-6)
+  }
+
+  test("cholStepPathFor: bench shape broadcasts throughout; production flips at the budget") {
+    val mb64 = 64L << 20
+    // a18's shape (nb=8, bs=256): whole panel column is 4 MB — broadcast
+    // from step 0 (the r16 plan: ONE shuffle per factorization, the
+    // entry partitionBy)
+    for (k <- 0 until 8)
+      assert(LinAlg.cholStepPathFor(8, k, 256, mb64) == "broadcast")
+    // production grid (nb=32, bs=2000, 32 MB blocks): tile shuffles
+    // until the trailing panel shrinks under the budget at k=30
+    assert(LinAlg.cholStepPathFor(32, 29, 2000, mb64) == "tile-shuffle")
+    assert(LinAlg.cholStepPathFor(32, 30, 2000, mb64) == "broadcast")
+    // budget 0 pins the tile path everywhere (the invariance-sweep knob)
+    assert(LinAlg.cholStepPathFor(8, 7, 256, 0L) == "tile-shuffle")
   }
 
   test("blocked cholesky at 2048² chunks 256: 8 panels, checkpoint cadence crossed") {
