@@ -893,10 +893,23 @@ class DMatrix(
     * staying a pure narrow map. Fold order follows fetch order — exact
     * for the integer-domain oracle fixtures, normal roundoff variance
     * otherwise (the [[multiply]] contract). */
-  def gramian: DMatrix = {
+  def gramian: DMatrix = gramian(None)
+
+  /** As [[gramian]] with the broadcast budget pinned (tests sweep the
+    * dispatch: budget 0 forces the tiled stream, ∞ the broadcast path). */
+  def gramian(bcOverride: Option[Long]): DMatrix = {
     import blocks.sparkSession.implicits._
     val q = nbCols; val bs = blockSize; val g = nCols
     val parts = math.max(1, blocks.rdd.getNumPartitions)
+    val slots = math.max(1, spark.sparkContext.defaultParallelism)
+    val path = DMatrix.gramPathFor(q, 8L * nRows * nCols, slots,
+      bcOverride.getOrElse(DMatrix.bcGemmBytes))
+    // Degenerate triangular grid (r15 ADVICE #1): very few block-columns
+    // over a matrix too big to broadcast would funnel the whole product
+    // through q(q+1)/2 ≪ slots serial stripe-streaming tasks; the deep
+    // join gets `parts`-way parallelism instead. No benchmarked shape
+    // hits this (their grids fill a wave or they broadcast).
+    if (path == "deep-fallback") return transpose.multiply(this)
     def localT(b: Block): Block = {
       val out = new Array[Double](b.data.length)
       var j = 0
@@ -915,6 +928,39 @@ class DMatrix(
           val t = localT(b)
           ((0, 0), Gemm.multiply(t.data, t.rows, t.cols, b.data, b.cols))
         }.reduceByKey(DMatrix.addInto _, 1)
+      } else if (path == "broadcast") {
+        // Whole-operand broadcast (r16, guide §3.1 — the same budgeted
+        // broadcast-join law as [[multiply]]'s skinny regimes and the
+        // cholesky panel): a matrix within SPARK_GRAFT_BC_GEMM_BYTES
+        // ships ONCE to every executor and each lower output block
+        // G_ij = Σ_k A(k,i)ᵀ·A(k,j) is computed map-side with ZERO
+        // shuffle — at a18's recon the tiled path moved 151 MB through
+        // an exchange for a 34 MB operand. The k-fold is ascending, so
+        // the sum order is deterministic (integer-domain oracles are
+        // exact either way — the GramSpec contract). Above the budget
+        // the tiled stream below runs unchanged.
+        val bcAll = spark.sparkContext.broadcast(
+          blocks.rdd.collect().map(b => (b.bi, b.bj) -> b).toMap)
+        val nbr = nbRows
+        val pairsIdx = for { i <- 0 until q; j <- 0 to i } yield (i, j)
+        spark.sparkContext
+          .parallelize(pairsIdx, math.min(pairsIdx.size, slots))
+          .flatMap { case (i, j) =>
+            var acc: Array[Double] = null
+            var k = 0
+            while (k < nbr) {
+              val a0 = bcAll.value.getOrElse((k, i), null)
+              val b0 = bcAll.value.getOrElse((k, j), null)
+              if (a0 != null && b0 != null) {
+                val at = localT(a0)
+                if (acc == null) acc = new Array[Double](at.rows * b0.cols)
+                Gemm.dgemm(at.rows, b0.cols, at.cols, 1.0,
+                  at.data, 0, at.rows, b0.data, 0, b0.rows, 1.0, acc, 0, at.rows)
+              }
+              k += 1
+            }
+            if (acc == null) Iterator.empty else Iterator(((i, j), acc))
+          }
       } else {
         // Triangular tiled SUMMA: same stream-fold as multiply's tiled
         // path, restricted to lower output tiles (it ≥ jt). Tile width
@@ -1768,9 +1814,30 @@ object DMatrix {
     }.getOrElse(1)
   }
 
+  /** Which physical plan [[DMatrix.gramian]] takes, as a pure function of
+    * the operand shape (unit-testable — GramSpec pins the canonical
+    * shapes, the [[multiplyPathFor]] discipline):
+    *  - `single-column`: q = 1 — per-block map-side syrk partials reduce
+    *    into the one output block, zero data-sized shuffle;
+    *  - `broadcast`: the whole operand fits the broadcast budget
+    *    (`SPARK_GRAFT_BC_GEMM_BYTES`, dense upper bound) — ships once,
+    *    every lower block computes map-side, zero shuffle;
+    *  - `tri-summa`: the triangular tiled stream (one partition per
+    *    lower tile);
+    *  - `deep-fallback`: too big to broadcast AND too few block-columns
+    *    for the triangular grid to fill ¾ of a wave even at t = 1 — run
+    *    `transpose.multiply` (deep join, `parts`-way parallel) instead
+    *    of ≤q(q+1)/2 serial stripe streams (r15 ADVICE #1). */
+  private[graft] def gramPathFor(q: Int, denseBytes: Long, slots: Int,
+                                 bcLimit: Long = bcGemmBytes): String =
+    if (q == 1) "single-column"
+    else if (denseBytes <= bcLimit) "broadcast"
+    else if (q.toLong * (q + 1) / 2 >= math.max(1, (slots * 3) / 4)) "tri-summa"
+    else "deep-fallback"
+
   /** Tile width for [[DMatrix.gramian]]'s triangular SUMMA: the same
     * ≥¾-wave + accumulator-cap rule as [[summaTileFor]], with the task
-    * count taken over the LOWER tile grid (gT(gT+1)/2 tiles). */
+    * count taken over the TRIANGULAR grid (gT(gT+1)/2 tiles). */
   private[graft] def gramTileFor(q: Int, bs: Int, parts: Int,
                                  accCapBytes: Long): Int = {
     val minTasks = math.max(1, (parts * 3) / 4)

@@ -18,6 +18,37 @@ class GramSpec extends SparkSpec {
     assert(got == want, "integer-domain gramian must be exact")
   }
 
+  test("gramian broadcast budget selects a plan, never a result (0 = tiled, ∞ = broadcast)") {
+    // r16 guide §3.1: an operand within SPARK_GRAFT_BC_GEMM_BYTES ships
+    // once as a broadcast and every lower block computes map-side with
+    // zero shuffle; above the budget the triangular tiled stream runs.
+    // On the integer fixture both must be EXACT, so equal.
+    val a = DMatrix.randInt(spark, 37, 23, 8, 3L, mod = 10L)
+    val tiled = a.gramian(Some(0L)).toLocal
+    val bcast = a.gramian(Some(Long.MaxValue)).toLocal
+    val want = a.transpose.multiply(a).toLocal
+    assert(tiled == want, "tiled path drifted")
+    assert(bcast == want, "broadcast path drifted")
+    // sparse lower factor through the broadcast path: absent means zero
+    val l = DMatrix.randInt(spark, 48, 48, 8, 17L, mod = 10L).tril
+    assert(l.transpose.gramian(Some(Long.MaxValue)).toLocal == l.toLocal * l.toLocal.t)
+    assert(l.transpose.gramian(Some(0L)).toLocal == l.toLocal * l.toLocal.t)
+  }
+
+  test("gramPathFor: q=1, budget, wave-fill and the deep fallback pin the dispatch") {
+    val mb64 = 64L << 20
+    assert(DMatrix.gramPathFor(1, 8L * 200000 * 8, 32, mb64) == "single-column")
+    // a18's SPD build and L·Lᵀ recon (2048² = 33.6 MB dense) broadcast
+    assert(DMatrix.gramPathFor(8, 8L * 2048 * 2048, 32, mb64) == "broadcast")
+    // budget 0 pins the tiled stream (the invariance-sweep knob)
+    assert(DMatrix.gramPathFor(8, 8L * 2048 * 2048, 32, 0L) == "tri-summa")
+    // production grid: 80k² = 51 GB, q=40 → 820 lower tiles ≥ 24 → tiled
+    assert(DMatrix.gramPathFor(40, 8L * 80000 * 80000, 32, mb64) == "tri-summa")
+    // the r15 ADVICE shape: q=3 over a too-big-to-broadcast tall matrix
+    // would serialize into 6 stripe tasks — falls back to the deep join
+    assert(DMatrix.gramPathFor(3, 8L * 4000000 * 24, 32, mb64) == "deep-fallback")
+  }
+
   test("gramian on a single-block-column (tall-skinny QᵀQ shape): local-syrk path") {
     val a = DMatrix.randInt(spark, 64, 6, 8, 11L, mod = 10L)   // 8×1 blocks
     assert(a.nbCols == 1)
