@@ -36,6 +36,33 @@ object Streams {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Skips the trailing no-data micro-batch for a drive whose DECLARED
+    * ROW SET cannot depend on it. A no-data batch exists to let the
+    * advanced watermark evict state and EMIT watermark-gated rows; an
+    * append-mode watermarked INNER interval join (st07) emits complete
+    * results from data batches alone, so its trailing batch is pure
+    * trigger latency — StProbe measured it at ~0.9-1.3 s, and the paired
+    * subset bench confirms −0.7..−1.3 s on st07 with identical rows.
+    * Everything else keeps the engine default, each for a measured
+    * reason (r16): st03/st09 EMIT from the no-data batch (session flush,
+    * outer-join null extension); the complete-mode drives (st01/st06/
+    * st12) and un-watermarked drives measured FLAT — they never schedule
+    * one; the staged maxFilesPerTrigger drives (st05/st08/st10/st11)
+    * measured SLOWER with the flag off. On an unbounded production
+    * stream this knob is irrelevant — there is always a next data batch;
+    * it only exists for finite AvailableNow drains. */
+  private def withoutNoDataBatch[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** Fixture-drive wrapper for the input-driven-emission entries: reduced
+    * state partitions + no trailing no-data batch. */
+  private def withFixtureDrive[T](s: SparkSession, n: Int)(body: => T): T =
+    withStatePartitions(s, n)(withoutNoDataBatch(s)(body))
+
   /** Tumbling-window per-type counts with an event-time watermark: late
     * events beyond `watermarkDelay` are dropped, state for closed
     * windows is evicted — bounded state at any stream length. */
@@ -442,7 +469,7 @@ object Streams {
     * Inner join, so the finite AvailableNow drain emits the complete
     * pair set regardless of watermark timing; the oracle is the plain
     * batch self-join. */
-  def streamedAttribution(s: SparkSession, d: String): DataFrame = withStatePartitions(s, 4) {
+  def streamedAttribution(s: SparkSession, d: String): DataFrame = withFixtureDrive(s, 4) {
     val raw = s.read.parquet(s"$d/events.parquet")
     def src(): DataFrame = graft.core.Tables.normalizeTs(
       s.readStream.schema(raw.schema)
