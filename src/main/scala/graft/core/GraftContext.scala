@@ -116,13 +116,26 @@ object IterativeQueries {
             col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"),
               (col("l_suppkey") + 10000000L).as("supp"))
-    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-    // ONE pinned frame carries everything the loop reads (edges joined
-    // with out-degrees); a separate edges persist would materialize the
-    // same 2|pairs| rows twice for a single construction-time reuse.
-    val withDeg = ctx.persist(
-      edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("od")), "src"))
+    // Both edge directions from ONE pass (r16, guide §2.4): a union of
+    // two projections of `pairs` re-executed the source join per branch
+    // AND per consumer — the r16 plan audit counted the orders⋈lineitem
+    // join FOUR times in the withDeg build. explode emits the forward
+    // and reverse edge from each joined row in the same task.
+    val edges = pairs.select(explode(array(
+        struct(col("cust").as("src"), col("supp").as("dst")),
+        struct(col("supp").as("src"), col("cust").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // The degree table is NODE-sized — the family's broadcast-frontier
+    // contract (iterations already join node-sized rank frames broadcast)
+    // — but post-aggregation stats are blind here, so the planner chose a
+    // SortMergeJoin that exchanged every edge row (10 MB at sf0.1, the
+    // family's dominant construction shuffle — r16 plan audit). The hint
+    // pins the broadcast; ONE pinned frame still carries everything the
+    // loop reads (a separate deg persist was MEASURED slower: it adds a
+    // driver-synchronous job, and at this scale the family is job-count
+    // bound, not byte bound).
+    val withDeg = ctx.persist(edges.join(
+      broadcast(edges.groupBy(col("src")).agg(count(lit(1)).as("od"))), "src"))
     val init = withDeg.select(col("src").as("v")).distinct()
       .select(col("v"), lit(10000L).as("r"))
     val result = ctx.iterate(init, steps = 3, checkpointEvery = 2) { (cur, _) =>
@@ -239,9 +252,13 @@ object IterativeQueries {
             col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"),
               (col("l_suppkey") + 10000000L).as("supp"))
+    // both edge directions from ONE pass of the source join (r16 — a
+    // union of two `pairs` projections re-executed the join per branch)
     val edges = ctx.persist(
-      pairs.select(col("cust").as("src"), col("supp").as("dst"))
-        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst"))))
+      pairs.select(explode(array(
+          struct(col("cust").as("src"), col("supp").as("dst")),
+          struct(col("supp").as("src"), col("cust").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val init = edges.select(col("src").as("v")).distinct()
       .filter(col("v") >= 10000000L && (col("v") - 10000000L) % 10 === 0)
       .select(col("v"), lit(0L).as("dist"))
@@ -275,9 +292,13 @@ object IterativeQueries {
               (col("l_suppkey") + 10000000L).as("supp"),
               col("l_quantity").cast("long").as("w0"))
       .groupBy(col("cust"), col("supp")).agg(min(col("w0")).as("w"))
+    // one pass of the join + lane aggregation instead of one per union
+    // branch (r16 — the min-w groupBy is the expensive half here)
     val edges = ctx.persist(
-      pairs.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
-        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst"), col("w"))))
+      pairs.select(explode(array(
+          struct(col("cust").as("src"), col("supp").as("dst"), col("w")),
+          struct(col("supp").as("src"), col("cust").as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w")))
     val init = edges.select(col("src").as("v")).distinct()
       .filter(col("v") >= 10000000L && (col("v") - 10000000L) % 10 === 0)
       .select(col("v"), lit(0L).as("dist"))
